@@ -1,0 +1,154 @@
+"""Canonical datasets: driver testdata tables + derived graph views.
+
+The driver materializes a TPC-H-ish star schema + ``events`` stream +
+``documents``/``embeddings`` tables (``TESTDATA.md``).  The reference
+engine's native shape is an undirected weighted edge list with an
+update stream (SURVEY.md §1.1-1.2); this module derives that shape
+deterministically from the driver tables so every graph query has a
+DuckDB-checkable oracle (``FIXTURES.md`` §2).
+
+Each view here has a matching SQL fragment in
+:mod:`graphdb_testing_spark.oracles` — the two must stay in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .graph import Graph
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: vertex-id namespace offset for suppliers in the part–supplier graph
+SUPPLIER_OFFSET = 1_000_000
+
+
+#: columns stored as parquet TIMESTAMP(NANOS) — Spark's vectorized
+#: reader rejects nanos, so they are read as raw int64 via
+#: ``spark.sql.legacy.parquet.nanosAsLong`` and converted to
+#: microsecond timestamps (integer ``div 1000`` — double division
+#: would lose precision at 1e18 ns).  DuckDB truncates ns→µs the same
+#: way, so values compare bit-for-bit against the oracle.
+TIMESTAMP_NANO_COLS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def ensure_utc(spark: SparkSession) -> None:
+    """Pin session timezone + nanos handling so timestamp semantics
+    match the DuckDB oracle (DuckDB TIMESTAMP is UTC-naive µs)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_utc(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in TIMESTAMP_NANO_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+# ---------------------------------------------------------------------------
+# derived graphs (FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+
+def part_supplier_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Bipartite part–supplier co-occurrence graph.
+
+    Vertices: partkeys (namespace 0) and ``suppkey + 1_000_000``
+    (namespace 1).  Symmetric, dedup'd, weight = co-occurrence count —
+    mirrors the generator's weight-as-multiplicity canonical form
+    (reference ``rmatter/src/rmatter.c:270-291``).  Matches
+    ``FIXTURES.md`` §2.1 / :data:`oracles.EDGES_CTE`.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    directed = li.groupBy(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + SUPPLIER_OFFSET).alias("dst"),
+    ).agg(F.count("*").alias("wgt"))
+    sym = directed.unionAll(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "wgt")
+    )
+    return Graph(edges=sym)
+
+
+def user_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Event co-participation graph over users.
+
+    Users are connected when they produced the same ``event_type``
+    within the same hour; weight = number of such co-occurrences.
+    Matches ``FIXTURES.md`` §2.2 / :data:`oracles.USER_EDGES_CTE`.
+    Non-bipartite and dense → the fixture for triangles / clustering
+    coefficients / k-core.
+    """
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("src"),
+            F.col("b.user_id").alias("dst"),
+        )
+        .agg(F.count("*").alias("wgt"))
+    )
+    sym = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "wgt")
+    )
+    return Graph(edges=sym)
+
+
+def actions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic update stream derived from ``events``.
+
+    Mirrors the reference actions file (``rmatter.c:349-369``):
+    ~1/16 deletions, deletion encoded as the bitwise complement
+    ``~x == -(x+1)`` of both endpoints (decode rule documented at
+    ``tests/stinger/include/core/stinger-workflow.h:53-70``).
+    Matches ``FIXTURES.md`` §2.3 / :data:`oracles.ACTIONS_CTE`.
+
+    Schema: ``(seq LONG, src LONG, dst LONG, weight LONG, ts TIMESTAMP)``
+    — ``src``/``dst`` still complement-encoded; decode with
+    :func:`graphdb_testing_spark.operators.updates.decode_actions`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    is_del = F.col("event_id") % 16 == 0
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(is_del, -(F.col("user_id") + 1)).otherwise(F.col("user_id")).alias("src"),
+        F.when(is_del, -((F.col("event_id") % 997) + 1))
+        .otherwise(F.col("event_id") % 997)
+        .alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+        F.col("ts"),
+    )

@@ -1,0 +1,75 @@
+"""BFS / unweighted single-source shortest paths.
+
+Reference semantics (SURVEY.md §2.4): level-synchronous frontier
+expansion; distance = hop count.  The relational formulation is the
+model (``tests/sqlite/test.c:210-233``)::
+
+    INSERT OR IGNORE INTO distance
+      SELECT DISTINCT edges.dst, d+1
+      FROM edges JOIN distance ON edges.src = distance.vtx
+      WHERE distance.dist = d       -- until 0 rows inserted
+
+Spark-first design: the frontier is a small DataFrame joined against
+the (pre-partitioned, cached) edge table; visited-set subtraction is a
+``left_anti`` join; the per-level ``count()`` doubles as both the
+convergence test and the frontier materialization.  Frontier sizes
+printed by the reference per level (``test.c:226-227``) are returned
+for parity checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs(
+    edges: DataFrame,
+    source: int,
+    max_depth: int = 100,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """``(id, dist)`` hop distances from ``source`` over a symmetric
+    edge table; unreachable vertices are absent (reference leaves them
+    at "infinity", i.e. not in the ``distance`` table)."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst")
+    dist = spark.createDataFrame([(source, 0)], "id long, dist int").persist()
+    frontier = dist
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        nxt = (
+            e.join(frontier, e.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("int"))
+        )
+        nxt = nxt.persist()
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        new_dist = dist.unionAll(nxt)
+        if depth % checkpoint_every == 0:
+            new_dist = new_dist.localCheckpoint(eager=True)
+        else:
+            new_dist = new_dist.persist()
+            new_dist.count()
+        dist.unpersist()
+        if frontier is not dist:
+            frontier.unpersist()
+        dist, frontier = new_dist, nxt
+    return dist
+
+
+def bfs_levels(dist: DataFrame) -> DataFrame:
+    """``(dist, frontier_size)`` — the per-level sizes the reference
+    prints (``tests/sqlite/test.c:226-227``)."""
+    return dist.groupBy("dist").agg(F.count("*").alias("frontier_size"))
+
+
+def eccentricity(dist: DataFrame) -> int:
+    """Max BFS depth from the source (reference
+    ``tests/neo4j/.../App.java:210-215``)."""
+    return dist.agg(F.max("dist").alias("m")).collect()[0]["m"]

@@ -1,0 +1,109 @@
+"""Connected components — Shiloach-Vishkin-style min-label propagation.
+
+Reference semantics (SURVEY.md §2.4): init ``label[v] = v``; repeat
+{ propagate the minimum label across every edge; pointer-jump
+``label[v] := label[label[v]]`` } until fixpoint; component count =
+number of distinct labels.  (Reference
+``tests/stinger/src/alg/static_components.c:6-54``; relational form
+``tests/sqlite/test.c:157-187``; BSP form
+``tests/bagel/.../App.scala:208-220``.)
+
+Spark-first design
+------------------
+* One round = ``edges ⋈ labels`` on ``dst`` → ``groupBy(src).min`` —
+  a single shuffle of the small O(nv) label side when edges are
+  pre-partitioned on ``src`` (see :meth:`Graph.canonical`); Catalyst
+  broadcast-joins the label side automatically when it fits.
+* Pointer-jumping (labels self-join) halves the round count on
+  high-diameter graphs, same as the reference's jump step.
+* Convergence is detected by the monotone decrease of
+  ``SUM(label)`` (labels only ever decrease, so an unchanged sum ⇔
+  fixpoint) — one scalar aggregate per round instead of a
+  change-count join, mirroring the convergence-scalar pattern of
+  ``tests/sqlite/test.c:180``.  The sum is aggregated as
+  ``DECIMAL(38,0)`` so it cannot overflow even at 2^63-scale ids.
+* ``localCheckpoint`` every ``checkpoint_every`` rounds truncates
+  lineage (the Spark analog of Pegasus's per-stage HDFS
+  materialization, ``tests/pegasus/sssp/SSSP.java:302-310``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 100,
+    checkpoint_every: int = 2,
+    pointer_jump: bool = True,
+) -> DataFrame:
+    """``(id, label)`` where ``label`` = min vertex id in the component.
+
+    ``edges`` must be symmetric (every edge present in both
+    directions), as produced by :func:`graph.symmetrize`.
+    """
+    e = edges.select("src", "dst")
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+
+    for it in range(max_iter):
+        # min neighbor label per vertex (edges symmetric ⇒ src covers all)
+        msgs = (
+            e.join(labels, e.dst == labels.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if pointer_jump:
+            # label[v] := label[label[v]]  (static_components.c:30-37)
+            parents = new_labels.select(
+                F.col("id").alias("p_id"), F.col("label").alias("p_label")
+            )
+            new_labels = new_labels.join(
+                parents, new_labels.label == parents.p_id, "left"
+            ).select(
+                "id", F.coalesce("p_label", "label").alias("label")
+            )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()  # eager: truncate lineage
+        else:
+            new_labels = new_labels.persist()
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def component_count(labels: DataFrame) -> int:
+    """Number of components (reference counts roots ``label[v]==v``,
+    ``static_components.c:43-53``; equivalently distinct labels,
+    ``tests/sqlite/test.c:180``)."""
+    return labels.select("label").distinct().count()
+
+
+def component_sizes(labels: DataFrame) -> DataFrame:
+    """``(label, size)`` histogram of component sizes (reference
+    histogram sink, ``src/util/histogram.c``)."""
+    return labels.groupBy("label").agg(F.count("*").alias("size"))

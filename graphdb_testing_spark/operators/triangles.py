@@ -1,0 +1,80 @@
+"""Triangle counting and clustering coefficients.
+
+Reference semantics (SURVEY.md §2.5 A2-A3): per-vertex triangle count
+``ntri[v]`` = 2 × (#triangles through v) — each triangle is seen from
+v once per incident edge-pair orientation in the reference's
+wedge-closing scan (``tests/stinger/src/alg/
+streaming_clustering_coefficients.c:14-70``); local clustering
+coefficient ``ntri[v] / (deg[v] * (deg[v]-1))``; global coefficient
+``Σ ntri / Σ deg(deg-1)`` (formulas at ``:268-273``).
+
+Spark-first design: canonicalize to ``src < dst`` once, then one
+edge-edge-edge equi-join counts every triangle exactly once
+(``(u<v<w)``) — a shuffled join Catalyst plans as sort-merge/shuffled
+hash with AQE skew splitting.  Per-vertex counts follow by exploding
+each triangle to its three corners — no per-vertex hash probes, no
+driver loop.  At 100 TB the canonical-edge table is the only shuffled
+relation and degree-skew is handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+    """``(id, ntri)`` with the reference's 2×-per-triangle convention.
+
+    Vertices in no triangle get ``ntri = 0`` (the reference
+    initializes the array to zero).
+    """
+    canon = (
+        edges.filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    )
+    e1 = canon.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = canon.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    e3 = canon.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = e1.join(e2, "v").join(e3, ["u", "w"])  # u < v < w
+    corners = (
+        tri.select(F.col("u").alias("id"))
+        .unionAll(tri.select(F.col("v").alias("id")))
+        .unionAll(tri.select(F.col("w").alias("id")))
+    )
+    counts = corners.groupBy("id").agg((2 * F.count("*")).alias("ntri"))
+    all_ids = edges.select(F.col("src").alias("id")).distinct()
+    return all_ids.join(counts, "id", "left").select(
+        "id", F.coalesce("ntri", F.lit(0)).alias("ntri")
+    )
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """``(id, ntri, degree, local_cc)`` per vertex.
+
+    ``local_cc = ntri / (deg * (deg - 1))`` (reference
+    ``streaming_clustering_coefficients.c:268-273``); 0 when
+    ``deg < 2``.
+    """
+    ntri = triangles_per_vertex(edges)
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    return ntri.join(deg, "id").select(
+        "id",
+        "ntri",
+        "degree",
+        F.when(
+            F.col("degree") >= 2,
+            F.col("ntri") / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("local_cc"),
+    )
+
+
+def global_clustering_coefficient(edges: DataFrame) -> float:
+    """``Σ ntri / Σ deg(deg-1)`` over all vertices."""
+    cc = clustering_coefficients(edges)
+    row = cc.agg(
+        F.sum("ntri").alias("num"),
+        F.sum(F.col("degree") * (F.col("degree") - 1)).alias("den"),
+    ).collect()[0]
+    return row["num"] / row["den"] if row["den"] else 0.0

@@ -1,0 +1,159 @@
+"""Batch edge updates — the reference's "transactional" surface.
+
+Reference semantics (SURVEY.md §2.2):
+
+* insert is an **upsert**: existing edge ⇒ weight increment (+
+  ``time_recent`` update), absent ⇒ create
+  (``stinger_incr_edge_pair``, ``include/stinger.h:57-65``,
+  ``include/core/stinger-workflow.h:46-52``);
+* delete removes the edge (``stinger_remove_edge_pair``,
+  ``stinger.h:67-71``; ``DELETE FROM edges WHERE src=? AND dst=?``,
+  ``tests/sqlite/test.c:355-358``);
+* every action applies in **both directions** and self-loops are
+  skipped (``tests/stinger/main.c:176-189``);
+* deletions are complement-encoded: action ``(i,j)`` with ``i<0``
+  means delete ``(~i, ~j)`` (``rmatter.c:349-369``; decode at
+  ``tests/sqlite/test.c:352-354``).
+
+Spark-first design: a batch of actions folds to one delta row per
+``(src, dst)`` key — for each key, the post-batch state depends only
+on the last deletion's position and the inserts after it, so the
+sequential replay collapses to a window + aggregate, and the merge
+into the edge table is a single ``full_outer`` join.  No per-action
+driver loop; the merge is one shuffle on the edge key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def decode_actions(actions: DataFrame) -> DataFrame:
+    """Decode complement-encoded actions.
+
+    In: ``(seq, src, dst, weight, ...)`` with raw (possibly negative)
+    ids.  Out: ``(seq, src, dst, weight, is_delete)`` with
+    non-negative ids (``~x == -x-1``).
+    """
+    is_del = F.col("src") < 0
+    return actions.select(
+        "seq",
+        F.when(is_del, -F.col("src") - 1).otherwise(F.col("src")).alias("src"),
+        F.when(is_del, -F.col("dst") - 1).otherwise(F.col("dst")).alias("dst"),
+        F.col("weight").cast("long").alias("weight"),
+        is_del.alias("is_delete"),
+    )
+
+
+def both_directions(decoded: DataFrame) -> DataFrame:
+    """Apply each action in both directions, skipping self-loops."""
+    rev = decoded.select(
+        "seq",
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        "weight",
+        "is_delete",
+    )
+    return decoded.unionAll(rev).filter(F.col("src") != F.col("dst"))
+
+
+def batch_delta(decoded_bidir: DataFrame) -> DataFrame:
+    """Fold a batch of per-direction actions to one row per edge key.
+
+    Output: ``(src, dst, last_del BOOLEAN-as-present, ins_w)`` where
+    ``ins_w`` = total inserted weight after the last deletion (NULL if
+    none), ``had_delete`` whether any deletion hit the key.  This is
+    the exact sequential-replay fixpoint of upsert/delete per key.
+    """
+    w = Window.partitionBy("src", "dst")
+    with_del = decoded_bidir.withColumn(
+        "last_del", F.max(F.when(F.col("is_delete"), F.col("seq"))).over(w)
+    )
+    return with_del.groupBy("src", "dst").agg(
+        F.sum(
+            F.when(
+                (~F.col("is_delete"))
+                & (F.col("seq") > F.coalesce(F.col("last_del"), F.lit(-(2**62)))),
+                F.col("weight"),
+            )
+        ).alias("ins_w"),
+        F.max("last_del").isNotNull().alias("had_delete"),
+    )
+
+
+def apply_actions(edges: DataFrame, actions: DataFrame) -> DataFrame:
+    """Merge a batch of complement-encoded actions into the edge table.
+
+    Equivalent to replaying the actions in ``seq`` order with the
+    reference's ``incr_edge_pair`` / ``remove_edge_pair`` semantics
+    (M13 update benchmark, ``tests/stinger/main.c:165-204``).
+    """
+    delta = batch_delta(both_directions(decode_actions(actions)))
+    merged = edges.select("src", "dst", "wgt").join(delta, ["src", "dst"], "full_outer")
+    return (
+        merged.select(
+            "src",
+            "dst",
+            F.when(
+                F.col("had_delete").isNull() | ~F.col("had_delete"),
+                F.coalesce("wgt", F.lit(0)) + F.coalesce("ins_w", F.lit(0)),
+            )
+            .otherwise(F.col("ins_w"))  # NULL ⇒ deleted, filtered below
+            .alias("wgt"),
+        )
+        .filter(F.col("wgt").isNotNull() & (F.col("wgt") > 0))
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1-M5 primitives as batch operations
+# ---------------------------------------------------------------------------
+
+
+def insert_edges(edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """``stinger_insert_edge`` batch analog: set weight, create if
+    absent (``include/stinger.h:47-55``).  Last write wins within the
+    batch is not needed — new_edges is deduped on the key first."""
+    ne = new_edges.select("src", "dst", F.col("wgt").alias("new_wgt")).dropDuplicates(
+        ["src", "dst"]
+    )
+    return (
+        edges.join(ne, ["src", "dst"], "full_outer")
+        .select("src", "dst", F.coalesce("new_wgt", "wgt").alias("wgt"))
+    )
+
+
+def increment_edges(edges: DataFrame, deltas: DataFrame) -> DataFrame:
+    """``stinger_incr_edge`` batch analog: weight += delta, create if
+    absent (``include/stinger.h:57-65``)."""
+    d = deltas.groupBy("src", "dst").agg(F.sum("wgt").alias("d_wgt"))
+    return (
+        edges.join(d, ["src", "dst"], "full_outer")
+        .select(
+            "src",
+            "dst",
+            (F.coalesce("wgt", F.lit(0)) + F.coalesce("d_wgt", F.lit(0))).alias("wgt"),
+        )
+    )
+
+
+def remove_edges(edges: DataFrame, keys: DataFrame) -> DataFrame:
+    """``stinger_remove_edge`` batch analog via anti-join
+    (``include/stinger.h:67-71``)."""
+    return edges.join(keys.select("src", "dst"), ["src", "dst"], "left_anti")
+
+
+def insert_if_absent(edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """SQLite ``INSERT OR IGNORE`` analog (``tests/sqlite/test.c:125``):
+    keep existing rows, add only unseen keys."""
+    fresh = (
+        new_edges.dropDuplicates(["src", "dst"])
+        .join(edges.select("src", "dst"), ["src", "dst"], "left_anti")
+    )
+    return edges.unionByName(fresh.select(*edges.columns))
+
+
+def update_throughput(n_actions: int, seconds: float) -> float:
+    """The M13 metric: actions applied per second (edges/sec)."""
+    return n_actions / seconds if seconds > 0 else float("inf")

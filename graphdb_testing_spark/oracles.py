@@ -1,0 +1,80 @@
+"""DuckDB oracle SQL fragments.
+
+Each derived view in :mod:`graphdb_testing_spark.datasets` has a CTE
+fragment here; ``__spark_entry__.oracle_sql()`` composes them into
+standalone ANSI-SQL statements DuckDB runs over the pre-registered
+parquet views (``region nation customer supplier part orders lineitem
+events documents embeddings``).
+
+Float discipline (so value-hashes match bit-for-bit):
+
+* money sums are aggregated as ``DECIMAL(18,2)`` (exact,
+  order-independent) and cast back to DOUBLE at the end;
+* PageRank-style iterative doubles are ``ROUND(x, 6)`` on both sides;
+* literals use e-notation (``0.85e0``) so DuckDB parses DOUBLE, not
+  DECIMAL.
+"""
+
+from __future__ import annotations
+
+#: FIXTURES.md §2.1 — part–supplier co-occurrence graph (bipartite,
+#: symmetric, weight = multiplicity).  Lockstep with
+#: :func:`datasets.part_supplier_graph`.
+EDGES_CTE = """
+directed AS (
+  SELECT l_partkey AS src, l_suppkey + 1000000 AS dst, COUNT(*) AS wgt
+  FROM lineitem GROUP BY 1, 2
+),
+edges AS (
+  SELECT src, dst, wgt FROM directed
+  UNION ALL
+  SELECT dst, src, wgt FROM directed
+)
+"""
+
+#: FIXTURES.md §2.2 — user co-participation graph.  Lockstep with
+#: :func:`datasets.user_graph`.
+USER_EDGES_CTE = """
+upairs AS (
+  SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS wgt
+  FROM events a JOIN events b
+    ON a.event_type = b.event_type
+   AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+   AND a.user_id < b.user_id
+  GROUP BY 1, 2
+),
+user_edges AS (
+  SELECT src, dst, wgt FROM upairs
+  UNION ALL
+  SELECT dst, src, wgt FROM upairs
+)
+"""
+
+#: FIXTURES.md §2.3 — complement-encoded action stream.  Lockstep with
+#: :func:`datasets.actions_stream`.
+ACTIONS_CTE = """
+actions AS (
+  SELECT event_id AS seq,
+         CASE WHEN event_id % 16 = 0 THEN -(user_id + 1) ELSE user_id END AS src,
+         CASE WHEN event_id % 16 = 0 THEN -((event_id % 997) + 1)
+              ELSE event_id % 997 END AS dst,
+         CAST(1 AS BIGINT) AS weight,
+         ts
+  FROM events
+)
+"""
+
+
+def with_edges(body: str, extra_ctes: str = "") -> str:
+    """Compose a full query: ``WITH <edges views>[, extra] <body>``."""
+    ctes = EDGES_CTE.strip()
+    if extra_ctes:
+        ctes += ",\n" + extra_ctes.strip()
+    return f"WITH {ctes}\n{body}"
+
+
+def with_user_edges(body: str, extra_ctes: str = "") -> str:
+    ctes = USER_EDGES_CTE.strip()
+    if extra_ctes:
+        ctes += ",\n" + extra_ctes.strip()
+    return f"WITH {ctes}\n{body}"

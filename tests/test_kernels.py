@@ -1,0 +1,63 @@
+"""The four benchmark kernels on hand-built micro-graphs (SURVEY.md §2.4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphdb_testing_spark.operators.bfs import bfs, bfs_levels, eccentricity
+from graphdb_testing_spark.operators.components import (
+    component_count,
+    component_sizes,
+    connected_components,
+)
+from graphdb_testing_spark.operators.pagerank import pagerank
+
+
+def test_cc_two_components(spark, path_graph):
+    labels = connected_components(path_graph)
+    got = {r.id: r.label for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10}
+    assert component_count(labels) == 2
+    sizes = {r.label: r.size for r in component_sizes(labels).collect()}
+    assert sizes == {0: 5, 10: 2}
+
+
+def test_cc_single_component(spark, bridged_cliques):
+    labels = connected_components(bridged_cliques)
+    assert component_count(labels) == 1
+    assert labels.filter("label != 0").count() == 0
+
+
+def test_bfs_path_distances(spark, path_graph):
+    dist = bfs(path_graph, source=0)
+    got = {r.id: r.dist for r in dist.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}  # 10, 11 unreachable: absent
+    assert eccentricity(dist) == 4
+    levels = {r.dist: r.frontier_size for r in bfs_levels(dist).collect()}
+    assert levels == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_bfs_bridged_cliques(spark, bridged_cliques):
+    dist = bfs(bridged_cliques, source=0)
+    got = {r.id: r.dist for r in dist.collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 2, 5: 3, 6: 3, 7: 3}
+
+
+def test_pagerank_star_closed_form(spark, star_graph):
+    pr = {r.id: r.pr for r in pagerank(star_graph).collect()}
+    # closed form for S6: c = (0.15*6.1/7)/(1-0.7225), l = 0.15/7 + 0.85*c/6
+    c = (0.15 * 6.1 / 7) / (1 - 0.85 * 0.85 * 6 / 6)
+    l = 0.15 / 7 + 0.85 * c / 6
+    assert pr[0] == pytest.approx(c, abs=1e-6)
+    for leaf in range(1, 7):
+        assert pr[leaf] == pytest.approx(l, abs=1e-6)
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_fixed_iterations_deterministic(spark, bowtie_graph):
+    a = {r.id: r.pr for r in pagerank(bowtie_graph, num_iter=5).collect()}
+    b = {r.id: r.pr for r in pagerank(bowtie_graph, num_iter=5).collect()}
+    assert a == b
+    # symmetric roles: 0,1,3,4 identical by symmetry; 2 is the hub
+    assert a[0] == pytest.approx(a[4], abs=1e-12)
+    assert a[2] > a[0]

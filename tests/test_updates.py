@@ -1,0 +1,87 @@
+"""Batch update semantics (M1-M5, M13): upsert-increment, both-direction
+delete, complement decode, sequential-replay equivalence."""
+
+from __future__ import annotations
+
+from graphdb_testing_spark.operators.updates import (
+    apply_actions,
+    decode_actions,
+    increment_edges,
+    insert_edges,
+    insert_if_absent,
+    remove_edges,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, wgt long")
+
+
+def _actions(spark, rows):
+    """rows: (seq, src, dst, weight) — complement-encoded."""
+    return spark.createDataFrame(rows, "seq long, src long, dst long, weight long")
+
+
+def as_map(df):
+    return {(r.src, r.dst): r.wgt for r in df.collect()}
+
+
+def test_decode_complement(spark):
+    acts = _actions(spark, [(0, 5, 7, 1), (1, -6, -8, 1)])
+    dec = {(r.seq): (r.src, r.dst, r.is_delete) for r in decode_actions(acts).collect()}
+    assert dec[0] == (5, 7, False)
+    assert dec[1] == (5, 7, True)  # ~5 = -6, ~7 = -8
+
+
+def test_insert_is_upsert_increment_both_directions(spark):
+    base = _edges(spark, [(1, 2, 10), (2, 1, 10)])
+    acts = _actions(spark, [(0, 1, 2, 1), (1, 3, 4, 1)])
+    got = as_map(apply_actions(base, acts))
+    assert got == {(1, 2): 11, (2, 1): 11, (3, 4): 1, (4, 3): 1}
+
+
+def test_delete_removes_both_directions(spark):
+    base = _edges(spark, [(1, 2, 5), (2, 1, 5), (2, 3, 1), (3, 2, 1)])
+    acts = _actions(spark, [(0, -2, -3, 1)])  # delete (1, 2)
+    got = as_map(apply_actions(base, acts))
+    assert got == {(2, 3): 1, (3, 2): 1}
+
+
+def test_insert_after_delete_recreates(spark):
+    base = _edges(spark, [(1, 2, 5), (2, 1, 5)])
+    acts = _actions(
+        spark,
+        [(0, 1, 2, 1), (1, -2, -3, 1), (2, 1, 2, 1), (3, 1, 2, 1)],
+    )
+    # replay: 5 -> 6 -> deleted -> 1 -> 2
+    got = as_map(apply_actions(base, acts))
+    assert got == {(1, 2): 2, (2, 1): 2}
+
+
+def test_self_loops_skipped(spark):
+    base = _edges(spark, [])
+    acts = _actions(spark, [(0, 4, 4, 1), (1, 4, 5, 1)])
+    got = as_map(apply_actions(base, acts))
+    assert got == {(4, 5): 1, (5, 4): 1}
+
+
+def test_primitive_insert_set_weight(spark):
+    base = _edges(spark, [(1, 2, 5)])
+    new = _edges(spark, [(1, 2, 9), (7, 8, 3)])
+    got = as_map(insert_edges(base, new))
+    assert got == {(1, 2): 9, (7, 8): 3}
+
+
+def test_primitive_increment(spark):
+    base = _edges(spark, [(1, 2, 5)])
+    inc = _edges(spark, [(1, 2, 2), (1, 2, 1), (9, 9, 4)])
+    got = as_map(increment_edges(base, inc))
+    assert got == {(1, 2): 8, (9, 9): 4}
+
+
+def test_primitive_remove_and_insert_or_ignore(spark):
+    base = _edges(spark, [(1, 2, 5), (3, 4, 1)])
+    got = as_map(remove_edges(base, _edges(spark, [(1, 2, 0)])))
+    assert got == {(3, 4): 1}
+    got2 = as_map(insert_if_absent(base, _edges(spark, [(1, 2, 99), (5, 6, 7)])))
+    assert got2 == {(1, 2): 5, (3, 4): 1, (5, 6): 7}
