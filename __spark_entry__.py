@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — equivalent DuckDB SQL per query for the
+value-hash correctness gate.
+
+Implementations live in :mod:`graphdb_testing_spark.queries`; this
+module is a thin adapter.
 """
 
 from __future__ import annotations
@@ -13,26 +15,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from graphdb_testing_spark import datasets
+from graphdb_testing_spark import queries as q
+from graphdb_testing_spark.operators.components import (
+    component_sizes,
+    connected_components,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: connected-component size distribution of the
+    part–supplier co-occurrence graph at sf0.001 — exercises scan,
+    symmetrize, join, group-by, and the fixpoint driver loop."""
+    sf_dir = "/root/testdata/sf0.001"
+    g = datasets.part_supplier_graph(spark, sf_dir).canonical()
+    labels = connected_components(g.edges)
+    sizes = component_sizes(labels)
+    g.unpersist()
+    return sizes
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented query/operator from SURVEY.md §2."""
+    return q.all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query (same column names/values)."""
+    return q.all_oracles()

@@ -27,12 +27,15 @@ def kcore_vertices(
     semantics, used by the unrolled SQL oracle).
     """
     e = edges.select("src", "dst")
-    active = e.select(F.col("src").alias("id")).distinct().persist()
+    active = e.select(F.col("src").alias("id")).distinct().localCheckpoint()
     prev_n = active.count()
     rounds = 0
     while True:
         if max_rounds is not None and rounds >= max_rounds:
             break
+        # active is referenced TWICE per round — without lineage
+        # truncation the plan doubles every round (2^rounds nodes),
+        # so eager-checkpoint instead of persist
         surviving = (
             e.join(active.select(F.col("id").alias("src")), "src", "left_semi")
             .join(active.select(F.col("id").alias("dst")), "dst", "left_semi")
@@ -40,7 +43,7 @@ def kcore_vertices(
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= k)
             .select("id")
-            .persist()
+            .localCheckpoint()
         )
         n = surviving.count()
         active.unpersist()

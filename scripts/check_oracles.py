@@ -1,0 +1,91 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` in
+DuckDB over the same sf directory, then compares row count, column
+names, and order-insensitive values.  Usage::
+
+    python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from graphdb_testing_spark.datasets import TABLES  # noqa: E402
+from graphdb_testing_spark.session import get_spark  # noqa: E402
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.driver.memory": "16g",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        import time
+
+        t0 = time.time()
+        sdf = fn(spark, sf_dir).toPandas()
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(sdf)} rows ({t_spark:.1f}s)")
+            continue
+        t0 = time.time()
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"[FAIL-sql ] {name}: oracle SQL error: {exc}")
+            failures += 1
+            continue
+        t_duck = time.time() - t0
+        a, b = normalize(sdf), normalize(ddf)
+        status = "ok"
+        if list(a.columns) != list(b.columns):
+            status = f"COLUMN MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+        elif len(a) != len(b):
+            status = f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
+        else:
+            try:
+                pd.testing.assert_frame_equal(
+                    a, b, check_dtype=False, check_exact=True
+                )
+            except AssertionError as exc:
+                status = f"VALUE MISMATCH: {str(exc)[:400]}"
+        tag = "ok        " if status == "ok" else "FAIL      "
+        print(
+            f"[{tag}] {name}: {len(a)} rows (spark {t_spark:.1f}s, duck {t_duck:.1f}s)"
+            + ("" if status == "ok" else f"\n    {status}")
+        )
+        if status != "ok":
+            failures += 1
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
