@@ -1,0 +1,139 @@
+"""Benchmark harness — mirrors the reference's RSLT JSON emitter.
+
+Runs the headline kernels at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Kernel names follow the reference result files
+(``tests/sqlite/test.c:364-375``): build / sv (connected components) /
+sssp (BFS) / pr (PageRank to convergence) / update (action merge),
+plus engine extensions (triangles, q1, dedup/ANN once implemented).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graphdb_testing_spark import datasets  # noqa: E402
+from graphdb_testing_spark.operators.bfs import bfs  # noqa: E402
+from graphdb_testing_spark.operators.components import (  # noqa: E402
+    connected_components,
+)
+from graphdb_testing_spark.operators.pagerank import pagerank  # noqa: E402
+from graphdb_testing_spark.operators.triangles import (  # noqa: E402
+    triangles_per_vertex,
+)
+from graphdb_testing_spark.operators.updates import apply_actions  # noqa: E402
+from graphdb_testing_spark.queries import all_queries  # noqa: E402
+from graphdb_testing_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(
+        app_name="graphdb-testing-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    timings: dict[str, float] = {}
+    meta: dict[str, int] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 4)
+        return out
+
+    # build: derive + canonicalize + materialize the part-supplier graph
+    def _build():
+        g = datasets.part_supplier_graph(spark, sf_dir).canonical()
+        meta["ne"] = g.num_edges()  # directed count; forces materialization
+        meta["nv"] = g.num_vertices()
+        return g
+
+    g = timed("build", _build)
+
+    # sv: connected components to fixpoint + component count
+    def _sv():
+        labels = connected_components(g.edges)
+        n = labels.select("label").distinct().count()
+        meta["n_components"] = n
+        labels.unpersist()
+        return n
+
+    timed("sv", _sv)
+
+    # sssp: BFS from min vertex id
+    def _sssp():
+        src = g.edges.agg(F.min("src").alias("s")).collect()[0]["s"]
+        dist = bfs(g.edges, int(src))
+        meta["bfs_reached"] = dist.count()
+        dist.unpersist()
+
+    timed("sssp", _sssp)
+
+    # pr: PageRank to convergence (reference params d=.85 eps=1e-8 max 100)
+    def _pr():
+        pr = pagerank(g.edges)
+        pr.count()
+        pr.unpersist()
+
+    timed("pr", _pr)
+
+    # update: merge the full action stream (M13); metric seconds here,
+    # actions/sec derivable from meta
+    def _update():
+        acts = datasets.actions_stream(spark, sf_dir)
+        meta["na"] = acts.count()
+        ug = datasets.user_graph(spark, sf_dir)
+        merged = apply_actions(ug.edges, acts)
+        meta["edges_after_update"] = merged.count()
+
+    timed("update", _update)
+
+    # tri: exact triangle counting on the (dense) user graph
+    def _tri():
+        ug = datasets.user_graph(spark, sf_dir)
+        tri = triangles_per_vertex(ug.edges)
+        meta["total_ntri"] = tri.agg(F.sum("ntri").alias("s")).collect()[0]["s"]
+
+    timed("tri", _tri)
+
+    # q1: relational aggregation layer
+    q1 = all_queries()["q1_pricing_summary"]
+    timed("q1", lambda: q1(spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "kernel_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "meta": meta,
+                "update_eps": (
+                    round(meta["na"] / timings["update"], 1)
+                    if timings.get("update")
+                    else None
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import state_hint
+
 
 def bfs(
     edges: DataFrame,
@@ -34,32 +36,35 @@ def bfs(
     at "infinity", i.e. not in the ``distance`` table)."""
     spark = edges.sparkSession
     e = edges.select("src", "dst")
-    dist = spark.createDataFrame([(source, 0)], "id long, dist int").persist()
+    dist = spark.createDataFrame([(source, 0)], "id long, dist int").localCheckpoint()
     frontier = dist
     depth = 0
+    reached = 1
     while depth < max_depth:
         depth += 1
+        # one job per level: the frontier count doubles as the
+        # convergence test and the materialization of the expansion.
+        # frontier and visited-set are O(nv) — broadcast both so the
+        # edge table never moves (shuffle fallback above the threshold)
         nxt = (
-            e.join(frontier, e.src == frontier.id)
+            e.join(state_hint(frontier, reached), e.src == frontier.id)
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(dist, "id", "left_anti")
+            .join(state_hint(dist, reached), "id", "left_anti")
             .withColumn("dist", F.lit(depth).cast("int"))
+            .localCheckpoint()
         )
-        nxt = nxt.persist()
-        if nxt.count() == 0:
+        n = nxt.count()
+        if n == 0:
             nxt.unpersist()
             break
-        new_dist = dist.unionAll(nxt)
+        # dist stays a lazy union of checkpointed frontiers; truncate
+        # the union tree periodically so the anti-join plan stays flat
+        reached += n
+        dist = dist.unionAll(nxt)
         if depth % checkpoint_every == 0:
-            new_dist = new_dist.localCheckpoint(eager=True)
-        else:
-            new_dist = new_dist.persist()
-            new_dist.count()
-        dist.unpersist()
-        if frontier is not dist:
-            frontier.unpersist()
-        dist, frontier = new_dist, nxt
+            dist = dist.localCheckpoint()
+        frontier = nxt
     return dist
 
 

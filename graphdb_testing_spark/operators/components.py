@@ -32,64 +32,69 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import state_hint
+
 
 def connected_components(
     edges: DataFrame,
     max_iter: int = 100,
-    checkpoint_every: int = 2,
+    unroll: int = 2,
     pointer_jump: bool = True,
 ) -> DataFrame:
     """``(id, label)`` where ``label`` = min vertex id in the component.
 
     ``edges`` must be symmetric (every edge present in both
     directions), as produced by :func:`graph.symmetrize`.
+
+    ``unroll`` rounds are composed into one lazy plan and materialized
+    with a single eager ``localCheckpoint`` (job scheduling is the
+    per-round floor; lineage must be truncated anyway to keep round
+    cost O(1)).  The convergence scalar is checked once per chunk —
+    labels only decrease, so an unchanged sum ⇔ fixpoint.
     """
     e = edges.select("src", "dst")
     labels = (
         e.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
+    nv = labels.count()
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
 
-    for it in range(max_iter):
-        # min neighbor label per vertex (edges symmetric ⇒ src covers all)
-        msgs = (
-            e.join(labels, e.dst == labels.id)
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(msgs, "id", "left")
-            .select(
+    done = 0
+    while done < max_iter:
+        k = min(unroll, max_iter - done)
+        chunk_start = labels
+        for _ in range(k):
+            # min neighbor label per vertex (edges symmetric ⇒ src covers all)
+            msgs = (
+                e.join(state_hint(labels, nv), e.dst == labels.id)
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            labels = labels.join(state_hint(msgs, nv), "id", "left").select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-        )
-        if pointer_jump:
-            # label[v] := label[label[v]]  (static_components.c:30-37)
-            parents = new_labels.select(
-                F.col("id").alias("p_id"), F.col("label").alias("p_label")
-            )
-            new_labels = new_labels.join(
-                parents, new_labels.label == parents.p_id, "left"
-            ).select(
-                "id", F.coalesce("p_label", "label").alias("label")
-            )
-        if (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()  # eager: truncate lineage
-        else:
-            new_labels = new_labels.persist()
-        cur_sum = new_labels.agg(
+            if pointer_jump:
+                # label[v] := label[label[v]]  (static_components.c:30-37)
+                parents = labels.select(
+                    F.col("id").alias("p_id"), F.col("label").alias("p_label")
+                )
+                labels = labels.join(
+                    state_hint(parents, nv), labels.label == parents.p_id, "left"
+                ).select("id", F.coalesce("p_label", "label").alias("label"))
+        labels = labels.localCheckpoint()
+        done += k
+        cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
-        labels.unpersist()
-        labels = new_labels
+        chunk_start.unpersist()
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

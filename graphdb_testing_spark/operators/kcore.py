@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import state_hint
+
 
 def kcore_vertices(
     edges: DataFrame, k: int, max_rounds: int | None = None
@@ -37,8 +39,16 @@ def kcore_vertices(
         # truncation the plan doubles every round (2^rounds nodes),
         # so eager-checkpoint instead of persist
         surviving = (
-            e.join(active.select(F.col("id").alias("src")), "src", "left_semi")
-            .join(active.select(F.col("id").alias("dst")), "dst", "left_semi")
+            e.join(
+                state_hint(active.select(F.col("id").alias("src")), prev_n),
+                "src",
+                "left_semi",
+            )
+            .join(
+                state_hint(active.select(F.col("id").alias("dst")), prev_n),
+                "dst",
+                "left_semi",
+            )
             .groupBy(F.col("src").alias("id"))
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= k)
