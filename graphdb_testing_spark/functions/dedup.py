@@ -1,0 +1,232 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Cross-engine-stable hashing: every hash is derived from ``md5`` hex
+(``conv(substr(md5(x),1,8),16,10)`` in Spark ≡
+``('0x' || substr(md5(x),1,8))::BIGINT`` in DuckDB), so each operator
+has an exact SQL oracle.
+
+Scale design (100 TB): all stages are shuffle-bounded by design —
+shingling is a narrow explode, MinHash is one partial-aggregating
+``groupBy(doc_id)``, LSH banding turns the quadratic all-pairs
+problem into an equi-join on ``(band, band_key)`` whose output is
+only true candidate pairs, and verification touches candidates only.
+No stage materializes the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE_K = 8
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4
+
+
+def _hash32(col) -> "F.Column":
+    """First 32 bits of md5 as a BIGINT — lockstep with the DuckDB
+    expression ``('0x' || substr(md5(x),1,8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, fingerprint, canonical_id)`` — exact-content groups
+    via content hash; canonical = min id per group.  Drop rows with
+    ``doc_id != canonical_id`` to dedup."""
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fingerprint"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per exact-content group."""
+    marked = exact_duplicates(docs, id_col, text_col)
+    keep = marked.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id")
+    return docs.join(keep, docs[id_col] == keep.doc_id, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(
+    docs: DataFrame,
+    k: int = DEFAULT_SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct character k-grams per document: ``(doc_id, sh)``."""
+    return (
+        docs.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k - 1}),"
+                    f" i -> substring({text_col}, i, {k}))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """Wide MinHash signature ``(doc_id, mh_0 .. mh_{n-1})``.
+
+    One partial-aggregating groupBy; hash family = md5 seeded by the
+    hash index (seed string prefix), identical to the SQL oracle.
+    """
+    aggs = [
+        F.min(_hash32(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """``(doc_id, band, bkey)`` — md5 over each band's signature rows."""
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+                )
+            ).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
+def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
+    """Distinct ``(a_id, b_id)`` pairs sharing ≥1 band bucket — the
+    equi-join that replaces the quadratic all-pairs comparison."""
+    a = bands_df.select(F.col("doc_id").alias("a_id"), "band", "bkey")
+    b = bands_df.select(F.col("doc_id").alias("b_id"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs:
+    ``(a_id, b_id, inter, a_size, b_size, jaccard)``."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("a_id"), "sh")
+    sb = shingles.select(F.col("doc_id").alias("b_id"), "sh")
+    inter = (
+        pairs.join(sa, "a_id")
+        .join(sb, ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["a_id", "b_id"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_size"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_size"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "inter",
+            "a_size",
+            "b_size",
+            F.round(
+                F.col("inter") / (F.col("a_size") + F.col("b_size") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → signature → band join →
+    exact-Jaccard verify ≥ threshold."""
+    sh = char_shingles(docs, k)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(lsh_bands(sig, bands, num_hashes))
+    return jaccard_for_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """``(doc_id, simhash)`` — 32-bit SimHash over whitespace tokens.
+
+    Bit j of the fingerprint is the sign of ``Σ_tokens (2·bit_j(h)−1)``
+    where ``h`` = 32-bit md5 of the token.  Pure column arithmetic
+    (integer div/mod, no shifts) so the SQL oracle is identical.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = _hash32(F.col("tok"))
+    toks = toks.select("doc_id", h.alias("h"))
+    aggs = [
+        F.sum(2 * ((F.col("h") / (1 << j)).cast("long") % 2) - 1).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs whose SimHashes differ in ≤ ``max_hamming`` of 32 bits.
+
+    Blocked by the top 16 bits (a SimHash pigeonhole prefix) to avoid
+    the full cross join; exact Hamming check via popcount arithmetic
+    (``bit_count`` is JVM-side in Spark ≥ 3.4).
+    """
+    sh = simhash(docs)
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
+    blocked = a.join(
+        b,
+        ((F.col("ha") / (1 << 16)).cast("long") == (F.col("hb") / (1 << 16)).cast("long"))
+        & (F.col("a_id") < F.col("b_id")),
+    )
+    hamming = F.bit_count(
+        F.col("ha").cast("long").bitwiseXOR(F.col("hb").cast("long"))
+    )
+    return blocked.select(
+        "a_id", "b_id", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

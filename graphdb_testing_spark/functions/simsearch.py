@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline (one broadcast join,
+JVM-side ``aggregate``/``zip_with`` arithmetic — no Python in the hot
+path).  The scale paths are sign-bucket IVF and random-hyperplane LSH:
+both turn the all-pairs scan into an equi-join on a coarse bucket id,
+trading recall for a shuffle-bounded plan.  At 100 TB the bucketed
+variants are the only viable shape; the brute-force baseline stays
+broadcastable as long as the query set is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> "F.Column":
+    """Left-to-right fold dot product with element-wise DOUBLE cast —
+    deterministic order, lockstep with the SQL oracle."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return embeddings.withColumn(
+        "_norm",
+        F.sqrt(
+            F.expr(
+                f"aggregate({vec_col}, CAST(0 AS DOUBLE),"
+                " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+            )
+        ),
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``(query_id, vec_id, rank, sim)``; ``sim`` rounded to 6 decimals
+    and ranking is on (rounded sim desc, vec_id) so results are
+    deterministic and oracle-comparable.  Self-matches excluded.
+    """
+    base = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.col("_norm").alias("nv"),
+    )
+    qs = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q"),
+        F.col("_norm").alias("nq"),
+    )
+    _den = F.col("nq") * F.col("nv")
+    sim = F.round(F.when(_den > 0, _dot("q", "v") / _den).otherwise(F.lit(0.0)), 6)
+    scored = (
+        base.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold: ``(a_id, b_id, sim)``.
+
+    All-pairs is acceptable at test scale; at 100 TB route through
+    :func:`ivf_topk`-style bucketing first.
+    """
+    base = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("_norm").alias("n")
+    )
+    a = base.select(
+        F.col("id").alias("a_id"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = base.select(
+        F.col("id").alias("b_id"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    _den = F.col("na") * F.col("nb")
+    sim = F.round(F.when(_den > 0, _dot("va", "vb") / _den).otherwise(F.lit(0.0)), 6)
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def sign_bucket(vec_col: str, dims: int) -> "F.Column":
+    """IVF-style coarse bucket: sign bits of the first ``dims``
+    components packed into an int."""
+    expr = F.lit(0)
+    for j in range(dims):
+        expr = expr + F.when(
+            F.expr(f"element_at({vec_col}, {j + 1})") > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return expr
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bucket_dims: int = 8,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket (equi-join instead of cross join), then exact cosine rank
+    within the bucket.
+
+    ``multiprobe`` additionally probes every Hamming-1 neighbor bucket
+    (standard multi-probe LSH: near neighbors that flip one sign bit
+    are recovered at the cost of ``bucket_dims``× more candidate
+    lookups — still an equi-join, never a cross join).  Recall is
+    measured against :func:`cosine_topk` in tests."""
+    base = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.col("_norm").alias("nv"),
+        sign_bucket(vec_col, bucket_dims).alias("bucket"),
+    )
+    qs = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q"),
+        F.col("_norm").alias("nq"),
+        sign_bucket(vec_col, bucket_dims).alias("bucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                for j in range(bucket_dims)
+            ],
+        )
+        qs = qs.withColumn("bucket", F.explode(probes))
+    _den = F.col("nq") * F.col("nv")
+    sim = F.round(F.when(_den > 0, _dot("q", "v") / _den).otherwise(F.lit(0.0)), 6)
+    scored = (
+        base.join(F.broadcast(qs), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )
+
+
+def hyperplane_lsh_signature(
+    embeddings: DataFrame,
+    num_planes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH signature ``(vec_id, sig)``.
+
+    Plane coefficients are deterministic pseudo-randoms derived from
+    md5 of ``(plane, dim)`` — reproducible across engines and runs
+    with no driver-side RNG state.
+    """
+    sig = F.lit(0)
+    for p in range(num_planes):
+        coeffs = ", ".join(
+            f"(CAST(conv(substring(md5('{p}_{d}'), 1, 8), 16, 10) AS BIGINT) % 2001 - 1000)"
+            f" / 1000.0"
+            for d in range(dim)
+        )
+        proj = F.expr(
+            f"aggregate(zip_with({vec_col}, array({coeffs}),"
+            " (x, c) -> CAST(x AS DOUBLE) * c), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return embeddings.select(F.col(id_col).alias("vec_id"), sig.alias("sig"))

@@ -1,0 +1,121 @@
+"""Text analysis over the ``documents`` table: token stats, quality
+scoring, language identification, document fingerprinting.
+
+Everything is whitespace-token arithmetic on JVM-side functions —
+no Python UDFs.  Each operator has an exact SQL oracle (the token
+explode is ``split(text, ' ')`` ≡ DuckDB
+``unnest(string_split(text, ' '))``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic
+#: language identifier (documents.lang ∈ {en, de, fr, es, zh})
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "du", "que"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "de", "que", "por"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "个"),
+}
+
+
+def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(doc_id, tok)`` whitespace tokens, empties dropped."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document stats: ``(doc_id, n_chars, n_tokens,
+    avg_token_len, n_distinct_tokens, distinct_ratio)``.
+
+    ``distinct_ratio`` (type/token ratio) is the quality signal the
+    repetition-heavy junk documents fail.
+    """
+    t = tokens(docs, id_col, text_col)
+    per_doc = t.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.length("tok")), 6).alias("avg_token_len"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.length(text_col).cast("long").alias("n_chars")
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("avg_token_len", F.lit(0.0)).alias("avg_token_len"),
+        F.coalesce("n_distinct_tokens", F.lit(0)).alias("n_distinct_tokens"),
+        F.round(
+            F.coalesce(F.col("n_distinct_tokens") / F.col("n_tokens"), F.lit(0.0)), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality in [0, 1]: length band + type/token diversity
+    + mean-token-length band.  The shape of C4/Gopher-style rule
+    filters, arithmetic only."""
+    s = text_stats(docs, id_col, text_col)
+    len_ok = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000)
+    tok_len_ok = (F.col("avg_token_len") >= 2.0) & (F.col("avg_token_len") <= 12.0)
+    diversity = F.least(F.col("distinct_ratio") * 2, F.lit(1.0))
+    return s.select(
+        "doc_id",
+        F.round(
+            (len_ok.cast("double") + tok_len_ok.cast("double") + diversity) / 3.0, 6
+        ).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(doc_id, pred_lang, score)`` — argmax of per-language
+    stopword-hit counts, ties broken by language code order.  One
+    explode + one aggregate; the classic cheap lang-id heuristic."""
+    t = tokens(docs, id_col, text_col)
+    scores = t.groupBy("doc_id").agg(
+        *[
+            F.sum(F.col("tok").isin(*words).cast("int")).alias(f"score_{lang}")
+            for lang, words in LANG_STOPWORDS.items()
+        ]
+    )
+    # argmax via greatest + chained when (deterministic tie order)
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = None
+    for lang in langs:
+        cond = F.col(f"score_{lang}") == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return scores.select("doc_id", pred.alias("pred_lang"), best.alias("score"))
+
+
+def fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    keep: int = 4,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the ``keep`` smallest
+    32-bit hashes of the document's character k-grams, concatenated.
+    Robust to small edits (unlike the exact md5 fingerprint)."""
+    from .dedup import _hash32, char_shingles
+
+    sh = char_shingles(docs, k, id_col, text_col)
+    hashed = sh.select("doc_id", _hash32(F.col("sh")).alias("h"))
+    return hashed.groupBy("doc_id").agg(
+        F.concat_ws(
+            "-",
+            *[
+                F.element_at(F.array_sort(F.collect_set("h")), i + 1).cast("string")
+                for i in range(keep)
+            ],
+        ).alias("fingerprint")
+    )

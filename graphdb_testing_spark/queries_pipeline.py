@@ -1,0 +1,356 @@
+"""Data-pipeline queries (dedup / similarity / text) + DuckDB oracles.
+
+Registered into the same registry as :mod:`queries` (importing this
+module populates it).  Hashing lockstep: Spark
+``conv(substr(md5(x),1,8),16,10)`` ≡ DuckDB
+``('0x' || substr(md5(x),1,8))::BIGINT``; cosine agreement between the
+Spark fold and DuckDB ``list_cosine_similarity(::DOUBLE[])`` verified
+exact at 6 decimals over all sf0.001 pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import datasets
+from .functions import dedup, simsearch, textstats
+from .queries import register
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    """
+SELECT doc_id, md5(text) AS fingerprint,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+FROM documents
+""",
+)
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates with exact-Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle(k: int = 8, num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mh_cols = ",\n         ".join(
+        f"MIN(CASE WHEN seed = {s} THEN hv END) AS mh_{s}" for s in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ")) AS bkey FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, {k}) AS sh
+  FROM documents, UNNEST(generate_series(1, len(text) - {k - 1})) AS t(i)
+  WHERE len(text) >= {k}
+),
+hv AS (
+  SELECT doc_id, s.seed,
+         ('0x' || substr(md5(s.seed::VARCHAR || '|' || sh), 1, 8))::BIGINT AS hv
+  FROM sh, (SELECT UNNEST(generate_series(0, {num_hashes - 1})) AS seed) s
+),
+sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM hv GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+  GROUP BY c.a_id, c.b_id
+)
+SELECT c.a_id, c.b_id, COALESCE(i.inter, 0) AS inter,
+       za.sz AS a_size, zb.sz AS b_size,
+       ROUND(COALESCE(i.inter, 0) / (1e0 * (za.sz + zb.sz - COALESCE(i.inter, 0))), 6)
+         AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+JOIN sizes za ON za.doc_id = c.a_id
+JOIN sizes zb ON zb.doc_id = c.b_id
+"""
+
+
+@register("minhash_lsh_candidates", _minhash_oracle())
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidate pairs with exact shingle
+    Jaccard — the full near-dup pipeline minus the final threshold."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(docs)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(dedup.minhash_signatures(sh)))
+    return dedup.jaccard_for_pairs(sh, cand)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = ",\n         ".join(
+        f"CAST(SUM(2 * ((h // {1 << j}) % 2) - 1) AS BIGINT) AS s_{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@register("simhash_fingerprints", _simhash_oracle())
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+)
+"""
+
+
+@register(
+    "text_stats",
+    f"""
+WITH {_TOKS_CTE.strip()},
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(AVG(LEN(tok)), 6) AS avg_token_len,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(LEN(d.text) AS BIGINT) AS n_chars,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.avg_token_len, 0e0) AS avg_token_len,
+       COALESCE(p.n_distinct_tokens, 0) AS n_distinct_tokens,
+       ROUND(COALESCE(p.n_distinct_tokens / (1e0 * p.n_tokens), 0e0), 6)
+         AS distinct_ratio
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return textstats.text_stats(docs)
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, words in textstats.LANG_STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"CAST(SUM(CASE WHEN tok IN ({inlist}) THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS score_{lang}"
+        )
+    langs = list(textstats.LANG_STOPWORDS)
+    greatest = ", ".join(f"score_{lang}" for lang in langs)
+    case = " ".join(f"WHEN score_{lang} = g THEN '{lang}'" for lang in langs)
+    return f"""
+WITH {_TOKS_CTE.strip()},
+scores AS (
+  SELECT doc_id, {", ".join(score_cols)}
+  FROM toks GROUP BY doc_id
+),
+g AS (SELECT *, GREATEST({greatest}) AS g FROM scores)
+SELECT doc_id, CASE {case} END AS pred_lang, g AS score FROM g
+"""
+
+
+@register("language_id", _langid_oracle())
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return textstats.language_id(docs)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id AS query_id, v AS q FROM base WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         ROUND(list_cosine_similarity(q.q, b.v), 6) AS sim
+  FROM base b, qs q WHERE b.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, sim
+FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ann_cosine_topk", _ANN_ORACLE)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-10 cosine neighbors for the query subset
+    ``vec_id % 100 == 0`` (the ANN ground-truth baseline)."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = simsearch.cosine_topk(emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "embedding_near_dup_pairs",
+    """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+""",
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4 — the
+    synthetic embeddings are near-orthogonal, so higher thresholds
+    are empty)."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return simsearch.embedding_near_duplicates(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# relational/event coverage: windowed aggregation + multi-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly",
+    """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event rollup — the batch shape of the streaming windowed
+    aggregation (event-time tumbling window)."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).cast("long").alias("hour_epoch"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1e0 - l.l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name
+""",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: fact ⋈ 3 broadcastable dims."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    sup = datasets.load_table(spark, sf_dir, "supplier")
+    nat = datasets.load_table(spark, sf_dir, "nation")
+    reg = datasets.load_table(spark, sf_dir, "region")
+    disc = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(disc).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_orders_by_revenue",
+    """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1e0 - l_discount) AS DECIMAL(18,6)))
+              AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_orderkey
+),
+ranked AS (
+  SELECT o.o_orderkey, o.o_custkey, r.revenue,
+         ROW_NUMBER() OVER (ORDER BY r.revenue DESC, o.o_orderkey) AS rank
+  FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey
+)
+SELECT o_orderkey, o_custkey, revenue, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 25
+""",
+)
+def q_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped top-k: aggregate ⋈ orders, global top-25 by
+    DECIMAL-exact revenue (deterministic tie-break on orderkey)."""
+    from pyspark.sql import Window
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    disc = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    rev = li.groupBy("l_orderkey").agg(F.sum(disc).cast("double").alias("revenue"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .select("o_orderkey", "o_custkey", "revenue")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 25)
+    )

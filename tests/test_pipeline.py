@@ -1,0 +1,155 @@
+"""Data-pipeline operators: dedup, similarity search, text stats,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_testing_spark.functions import dedup, multimodal, simsearch, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+        (4, "completely different content about spark query engines here"),
+        (5, "der hund und die katze sind nicht der gleiche und das ist gut"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    marked = dedup.exact_duplicates(docs)
+    canon = {r.doc_id: r.canonical_id for r in marked.collect()}
+    assert canon[1] == 1 and canon[2] == 1  # 2 collapses into 1
+    assert canon[3] == 3 and canon[4] == 4
+    kept = sorted(r.doc_id for r in dedup.dedup_exact(docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    out = dedup.minhash_near_duplicates(docs, threshold=0.5)
+    pairs = {(r.a_id, r.b_id): r.jaccard for r in out.collect()}
+    assert pairs[(1, 2)] == 1.0  # exact dup -> jaccard 1
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near dup found
+    assert all(a < b for a, b in pairs)
+
+
+def test_jaccard_values(spark, docs):
+    sh = dedup.char_shingles(docs)
+    pairs = spark.createDataFrame([(1, 4)], "a_id long, b_id long")
+    j = dedup.jaccard_for_pairs(sh, pairs).collect()[0]
+    assert j.jaccard < 0.2  # unrelated docs
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert sh[1] == sh[2]  # identical text, identical fingerprint
+    ham13 = bin(sh[1] ^ sh[3]).count("1")
+    ham14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham13 < ham14  # near dup closer than unrelated
+    assert all(0 <= v < 2**32 for v in sh.values())
+
+
+def test_text_stats_and_quality(spark, docs):
+    stats = {r.doc_id: r for r in textstats.text_stats(docs).collect()}
+    assert stats[1].n_tokens == 12
+    assert stats[1].n_distinct_tokens == 10  # 'the'/'again' repeat
+    q = {r.doc_id: r.quality for r in textstats.quality_score(docs).collect()}
+    assert all(0 <= v <= 1 for v in q.values())
+
+
+def test_language_id(spark, docs):
+    pred = {r.doc_id: r.pred_lang for r in textstats.language_id(docs).collect()}
+    assert pred[1] == "en"
+    assert pred[5] == "de"
+
+
+def test_fingerprint_stable_under_small_edit(spark, docs):
+    fp = {r.doc_id: r.fingerprint for r in textstats.fingerprint(docs).collect()}
+    assert fp[1] == fp[2]
+    # winnowed min-hashes: near-dup shares some components
+    assert len(set(fp[1].split("-")) & set(fp[3].split("-"))) >= 1
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import math
+
+    rows = []
+    for i in range(60):
+        base = [math.sin(0.1 * i * (d + 1)) for d in range(8)]
+        rows.append((i, [float(x) for x in base], i % 3))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") == 0)
+    out = simsearch.cosine_topk(embeddings, queries, k=5).collect()
+    assert len(out) == 5
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    sims = [r.sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r.vec_id != 0 for r in out)
+
+
+def test_ivf_recall_vs_bruteforce(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") % 20 == 0)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in simsearch.cosine_topk(embeddings, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in simsearch.ivf_topk(embeddings, queries, k=5, bucket_dims=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # coarse buckets, small data: sanity not SLA
+
+
+def test_embedding_near_dups_include_self_similar(spark, embeddings):
+    out = simsearch.embedding_near_duplicates(embeddings, threshold=0.99)
+    assert all(r.sim >= 0.99 for r in out.collect())
+
+
+def test_hyperplane_lsh_signature_deterministic(spark, embeddings):
+    a = {r.vec_id: r.sig for r in simsearch.hyperplane_lsh_signature(
+        embeddings, num_planes=8, dim=8).collect()}
+    b = {r.vec_id: r.sig for r in simsearch.hyperplane_lsh_signature(
+        embeddings, num_planes=8, dim=8).collect()}
+    assert a == b
+    assert all(0 <= v < 256 for v in a.values())
+
+
+def test_multimodal_feature_pipeline(spark, docs):
+    media = multimodal.synthetic_media(docs, modality="image")
+    feats = multimodal.extract_features(media, dim=16).collect()
+    assert len(feats) == 5
+    by_id = {r.media_id: r for r in feats}
+    assert all(len(r.feature) == 16 for r in feats)
+    # deterministic: same payload -> same feature
+    assert by_id[1].feature == by_id[2].feature
+    assert by_id[1].n_bytes == len(
+        "the quick brown fox jumps over the lazy dog again and again"
+    )
+
+
+def test_multimodal_decode_stub_raises(spark, docs):
+    media = multimodal.synthetic_media(docs)
+    with pytest.raises(Exception) as exc:
+        multimodal.extract_features(media, decode_stub="error").collect()
+    assert "NotImplementedError" in str(exc.value) or "codecs unavailable" in str(
+        exc.value
+    )
+
+
+def test_frame_sampling(spark, docs):
+    media = multimodal.synthetic_media(docs, modality="video")
+    frames = multimodal.sample_frames(media, every_ms=100)
+    one = frames.filter(F.col("media_id") == 1)
+    # duration = len(text)*10 ms -> len/10 + 1 frames at 100ms
+    n_chars = len("the quick brown fox jumps over the lazy dog again and again")
+    assert one.count() == (n_chars * 10 - 1) // 100 + 1
