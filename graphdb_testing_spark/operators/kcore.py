@@ -67,31 +67,59 @@ def kcore_vertices(
     return active
 
 
-def core_numbers(edges: DataFrame, k_max: int = 64) -> DataFrame:
+def core_numbers(edges: DataFrame, max_rounds: int = 100, k_max: int | None = None) -> DataFrame:
     """``(id, core)`` — max k such that the vertex survives k-core
     peeling (the reference outputs the max-k labels plus per-k counts,
-    ``static_kcore.c:40-57``).  Driver loop over k; each level reuses
-    the previous level's survivor set as the starting point, so total
-    work is the peeling telescope, not k_max full decompositions.
+    ``static_kcore.c:12-57``).
+
+    Algorithm: iterated neighborhood h-index (Lü et al. 2016) — init
+    ``c(v) = degree(v)``; each round ``c'(v) = h-index of neighbors'
+    c values``; the fixpoint is exactly the core number.  Rounds are
+    O(graph radius)-ish in practice, each one join + one window — far
+    cheaper than peeling k levels sequentially (a 100-core graph
+    costs ~100 peel fixpoints the telescope way, ~10 rounds this
+    way).  ``k_max`` is accepted for API compatibility and ignored.
     """
+    from pyspark.sql import Window
+
     e = edges.select("src", "dst")
-    result = e.select(F.col("src").alias("id")).distinct().withColumn(
-        "core", F.lit(0).cast("int")
-    ).persist()
-    survivors = result.select("id")
-    for k in range(1, k_max + 1):
-        survivors = kcore_vertices(
-            e.join(survivors.withColumnRenamed("id", "src"), "src", "left_semi"), k
+    state = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("core"))
+        .localCheckpoint()
+    )
+    nv = state.count()
+    for _ in range(max_rounds):
+        nbr = e.join(
+            state_hint(state.withColumnRenamed("id", "dst"), nv), "dst"
+        ).select(F.col("src").alias("id"), F.col("core").alias("c_nbr"))
+        w = Window.partitionBy("id").orderBy(F.desc("c_nbr"))
+        hidx = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .select("id", F.least(F.col("c_nbr"), F.col("rn")).alias("h"))
+            .groupBy("id")
+            .agg(F.max("h").alias("new_core"))
         )
-        if survivors.count() == 0:
+        new_state = (
+            state.join(state_hint(hidx, nv), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("core"), F.coalesce("new_core", F.lit(0))
+                ).alias("core"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_state.join(
+                state.withColumnRenamed("core", "old_core"), "id"
+            )
+            .filter(F.col("core") != F.col("old_core"))
+            .limit(1)
+            .count()
+        )
+        state.unpersist()
+        state = new_state
+        if changed == 0:
             break
-        upd = survivors.withColumn("k", F.lit(k).cast("int"))
-        new_result = (
-            result.join(upd, "id", "left")
-            .select("id", F.greatest("core", F.coalesce("k", F.lit(0))).alias("core"))
-            .persist()
-        )
-        new_result.count()
-        result.unpersist()
-        result = new_result
-    return result
+    return state.select("id", F.col("core").cast("int").alias("core"))

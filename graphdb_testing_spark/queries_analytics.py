@@ -1,0 +1,106 @@
+"""Analytics-pack queries: betweenness (unrolled-Brandes oracle),
+community agglomeration + core numbers (rows-only: driver records the
+weaker check for genuinely iterative, non-SQL-expressible ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import datasets, oracles
+from .operators.betweenness import betweenness
+from .operators.community import community_agglomeration
+from .operators.kcore import core_numbers
+from .queries import register
+
+_N_ROOTS = 4
+_LEVELS = 4  # user graph eccentricity ≤ 3 from any root at test scales
+
+
+def _brandes_oracle(n_roots: int = _N_ROOTS, levels: int = _LEVELS) -> str:
+    """Brandes unrolled to a fixed level count in plain SQL.
+
+    Forward: per-level frontier ``l{i}(root, id, sigma)`` with visited
+    subtraction; backward: dependency sums ``d{i}`` from deepest to
+    root level.  Valid while the true BFS depth from every root is
+    < ``levels`` (asserted by the engine side using the same bound).
+    """
+    ctes = [
+        f"roots AS (SELECT src AS root FROM user_edges GROUP BY src"
+        f" ORDER BY src LIMIT {n_roots})",
+        "l0 AS (SELECT root, root AS id, 1e0 AS sigma FROM roots)",
+        "v0 AS (SELECT root, id FROM l0)",
+    ]
+    for i in range(1, levels):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT f.root, f.id, f.sigma FROM (
+    SELECT l.root, e.dst AS id, SUM(l.sigma) AS sigma
+    FROM user_edges e JOIN l{i - 1} l ON e.src = l.id
+    GROUP BY l.root, e.dst
+  ) f LEFT JOIN v{i - 1} v ON v.root = f.root AND v.id = f.id
+  WHERE v.id IS NULL)"""
+        )
+        ctes.append(
+            f"v{i} AS (SELECT root, id FROM v{i - 1}"
+            f" UNION ALL SELECT root, id FROM l{i})"
+        )
+    last = levels - 1
+    ctes.append(f"d{last} AS (SELECT root, id, sigma, 0e0 AS delta FROM l{last})")
+    for i in range(last - 1, -1, -1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT p.root, p.id, p.sigma, COALESCE(s.dep, 0e0) AS delta
+  FROM l{i} p LEFT JOIN (
+    SELECT p2.root, p2.id, SUM(p2.sigma / c.sigma * (1e0 + c.delta)) AS dep
+    FROM l{i} p2
+    JOIN user_edges e ON p2.id = e.src
+    JOIN d{i + 1} c ON c.root = p2.root AND c.id = e.dst
+    GROUP BY p2.root, p2.id
+  ) s ON s.root = p.root AND s.id = p.id)"""
+        )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT root, id, delta FROM d{i}" for i in range(levels)
+    )
+    body = f"""
+SELECT id, ROUND(SUM(delta), 6) AS bc FROM (
+  {union}
+) WHERE id <> root GROUP BY id
+"""
+    return oracles.with_user_edges(body, extra_ctes=",\n".join(ctes))
+
+
+@register("betweenness_4roots", _brandes_oracle())
+def q_betweenness_4roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate Brandes betweenness from the 4 smallest user ids
+    (deterministic root choice shared with the SQL oracle).
+    Reference ``static_betweenness_centrality.c:56-180``."""
+    g = datasets.user_graph(spark, sf_dir)
+    roots = [
+        r.id
+        for r in g.edges.select(F.col("src").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(_N_ROOTS)
+        .collect()
+    ]
+    return betweenness(g.edges, roots, max_depth=_LEVELS - 1)
+
+
+@register("community_agglomeration")  # iterative matching: rows-only check
+def q_community_agglomeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multicontract community detection on the user graph
+    (reference ``static_multicontract_clustering.c``); driver records
+    the rows-only check — the mutual-best matching fixpoint is not
+    SQL-expressible."""
+    g = datasets.user_graph(spark, sf_dir)
+    return community_agglomeration(g.edges, max_levels=6)
+
+
+@register("core_numbers")  # peeling telescope: rows-only check
+def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-core decomposition (max core number per vertex) on the
+    user graph; the per-k fixpoint telescope is checked rows-only
+    (the fixed-round k=3 variant has the exact SQL oracle)."""
+    g = datasets.user_graph(spark, sf_dir)
+    return core_numbers(g.edges)

@@ -1,0 +1,70 @@
+"""Betweenness centrality and community agglomeration (A5, A6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_testing_spark.operators.betweenness import betweenness, sample_roots
+from graphdb_testing_spark.operators.community import (
+    community_agglomeration,
+    community_sizes,
+)
+
+
+def test_betweenness_path_graph_exact(spark, path_graph):
+    # P5 (0-1-2-3-4) + disjoint edge: exact BC with all P5 roots.
+    # Closed form (directed-both-ways convention, per-root deltas):
+    # vertex 2 lies on 0-4,0-3,1-4,1-3 paths both directions -> bc=8? no:
+    # Brandes delta sums: bc(1)=bc(3)=6, bc(2)=8 for P5 with all 5 roots.
+    bc = {
+        r.id: r.bc
+        for r in betweenness(path_graph, roots=[0, 1, 2, 3, 4]).collect()
+    }
+    assert bc[2] == pytest.approx(8.0)
+    assert bc[1] == pytest.approx(6.0) and bc[3] == pytest.approx(6.0)
+    assert bc.get(0, 0.0) == pytest.approx(0.0) and bc.get(4, 0.0) == pytest.approx(0.0)
+
+
+def test_betweenness_star_center(spark, star_graph):
+    bc = {r.id: r.bc for r in betweenness(star_graph, roots=list(range(0, 7))).collect()}
+    # center lies on every leaf-leaf path: 6 roots x 5 targets = 30
+    assert bc[0] == pytest.approx(30.0)
+    for leaf in range(1, 7):
+        assert bc.get(leaf, 0.0) == pytest.approx(0.0)
+
+
+def test_betweenness_bridge(spark, bridged_cliques):
+    roots = list(range(8))
+    bc = {r.id: r.bc for r in betweenness(bridged_cliques, roots=roots).collect()}
+    # bridge endpoints dominate
+    assert bc[3] > bc[0] and bc[4] > bc[7]
+
+
+def test_sample_roots_deterministic(spark, bridged_cliques):
+    a = sample_roots(bridged_cliques, 3)
+    b = sample_roots(bridged_cliques, 3)
+    assert a == b and len(a) == 3
+
+
+def test_community_bridged_cliques(spark, bridged_cliques):
+    mapping = community_agglomeration(bridged_cliques, max_levels=5)
+    got = {r.id: r.community for r in mapping.collect()}
+    assert len(got) == 8
+    # the two cliques must not fully merge into one community
+    n_comms = len(set(got.values()))
+    assert 1 < n_comms < 8
+    sizes = {r.community: r.size for r in community_sizes(mapping).collect()}
+    assert sum(sizes.values()) == 8
+
+
+def test_community_weights_pull_pairs_together(spark):
+    # two heavy pairs + light cross edges: pairs contract first
+    rows = []
+    for u, v, w in [(1, 2, 100), (3, 4, 100), (2, 3, 1)]:
+        rows += [(u, v, w), (v, u, w)]
+    e = spark.createDataFrame(rows, "src long, dst long, wgt long")
+    got = {r.id: r.community for r in community_agglomeration(e, max_levels=3).collect()}
+    assert got[1] == got[2]
+    assert got[3] == got[4]
+    assert got[1] != got[3]

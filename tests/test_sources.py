@@ -1,0 +1,131 @@
+"""Sources: binary .g/.a round-trips (FIXTURES.md §4), RMAT generator
+invariants, CSV mapping + physmap, save/restore, sinks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_testing_spark.graph import Graph
+from graphdb_testing_spark.operators.updates import decode_actions
+from graphdb_testing_spark.sources import csr, csv_source, rmat, sinks
+
+
+def test_graph_file_roundtrip(spark, tmp_path):
+    g = rmat.rmat_graph(spark, scale=6, edge_factor=4, seed=3)
+    path = str(tmp_path / "g.6.4.bin")
+    nv, ne = csr.write_graph_file(g, path)
+    # header invariants (reference stinger_consistency_check style)
+    raw = np.fromfile(path, dtype="<u8")
+    assert raw[0] == csr.ENDIAN_CHECK
+    assert raw[1] == nv and raw[2] == ne
+    off = raw[3 : 3 + nv + 1]
+    assert off[-1] == ne  # off[nv] == ne
+    back = csr.read_graph_file(spark, path)
+    assert back.count() == g.count()
+    orig = {(r.src, r.dst): r.wgt for r in g.collect()}
+    got = {(r.src, r.dst): r.wgt for r in back.collect()}
+    assert orig == got
+
+
+def test_graph_file_byteswap_fallback(spark, tmp_path):
+    g = rmat.rmat_graph(spark, scale=4, edge_factor=2, seed=5)
+    path = str(tmp_path / "little.bin")
+    csr.write_graph_file(g, path)
+    swapped = str(tmp_path / "big.bin")
+    np.fromfile(path, dtype="<u8").byteswap().tofile(swapped)
+    back = csr.read_graph_file(spark, swapped)
+    assert back.count() == g.count()
+
+
+def test_actions_file_roundtrip(spark, tmp_path):
+    acts = rmat.rmat_actions(spark, scale=6, num_actions=500, seed=11)
+    path = str(tmp_path / "a.bin")
+    n = csr.write_actions_file(acts, path)
+    assert n == 500
+    back = csr.read_actions_file(spark, path)
+    assert back.count() == 500
+    orig = [(r.src, r.dst) for r in acts.orderBy("seq").collect()]
+    got = [(r.src, r.dst) for r in back.orderBy("seq").collect()]
+    assert orig == got
+
+
+def test_rmat_graph_invariants(spark):
+    g = rmat.rmat_graph(spark, scale=7, edge_factor=4, seed=2)
+    checks = Graph(edges=g).consistency_check()
+    assert all(checks.values()), checks
+    assert g.agg(F.max("src")).collect()[0][0] < 2**7
+    # deterministic across invocations
+    again = rmat.rmat_graph(spark, scale=7, edge_factor=4, seed=2)
+    assert g.exceptAll(again).count() == 0 and again.exceptAll(g).count() == 0
+    # different seed -> different graph
+    other = rmat.rmat_graph(spark, scale=7, edge_factor=4, seed=3)
+    assert g.exceptAll(other).count() > 0
+
+
+def test_rmat_skew(spark):
+    # RMAT concentrates mass in low quadrants: vertex 0's degree far
+    # above the mean (A=0.55 repeated pulls toward low ids)
+    g = rmat.rmat_graph(spark, scale=8, edge_factor=8, seed=1)
+    degs = Graph(edges=g).out_degrees()
+    mean = degs.agg(F.avg("degree")).collect()[0][0]
+    top = degs.agg(F.max("degree")).collect()[0][0]
+    assert top > 4 * mean
+
+
+def test_rmat_actions_encoding(spark):
+    acts = rmat.rmat_actions(spark, scale=6, num_actions=2000, seed=1)
+    dec = decode_actions(acts)
+    frac_del = dec.filter("is_delete").count() / 2000
+    assert 0.03 < frac_del < 0.10  # P(delete) = 1/16
+    assert dec.filter("src < 0 or dst < 0").count() == 0
+    assert dec.filter(f"src >= {2**6} or dst >= {2**6}").count() == 0
+
+
+def test_csv_mapping_and_physmap(spark, tmp_path):
+    p = tmp_path / "edges.csv"
+    p.write_text(
+        "from,to,w,t\nalice,bob,3,100\nbob,carol,1,200\nalice,carol,2,150\n"
+    )
+    edges = csv_source.read_csv_edges(
+        spark,
+        str(p),
+        mapping={"src": "from", "dst": "to", "weight": "w", "time": "t"},
+        schema="from string, to string, w int, t long",
+    )
+    names = edges.select("src").unionAll(edges.select(F.col("dst").alias("src")))
+    pm = csv_source.build_physmap(names, compact=True)
+    ids = {r.name: r.id for r in pm.collect()}
+    assert ids == {"alice": 0, "bob": 1, "carol": 2}
+    resolved = csv_source.resolve_names(edges, pm)
+    got = {(r.src, r.dst): (r.wgt, r.time_recent) for r in resolved.collect()}
+    assert got[(0, 1)] == (3, 100) and got[(1, 2)] == (1, 200)
+
+
+def test_physmap_hash_ids_deterministic(spark):
+    names = spark.createDataFrame([("x",), ("y",)], "name string")
+    a = {r.name: r.id for r in csv_source.build_physmap(names).collect()}
+    b = {r.name: r.id for r in csv_source.build_physmap(names).collect()}
+    assert a == b and len(set(a.values())) == 2
+
+
+def test_save_restore(spark, tmp_path, path_graph):
+    d = str(tmp_path / "ckpt")
+    csr.save_graph(path_graph, d)
+    back = csr.restore_graph(spark, d)
+    assert {(r.src, r.dst, r.wgt) for r in back.collect()} == {
+        (r.src, r.dst, r.wgt) for r in path_graph.collect()
+    }
+
+
+def test_histogram_and_result_store(spark, tmp_path, path_graph):
+    degs = Graph(edges=path_graph).out_degrees()
+    h = {r.value: r["count"] for r in sinks.histogram(degs, "degree").collect()}
+    assert h == {1: 4, 2: 3}
+    store = sinks.NamedResultStore()
+    store.publish("degree", degs)
+    assert store.names() == ["degree"]
+    assert spark.sql("select count(*) from result_degree").collect()[0][0] == 7
+    store.dump(str(tmp_path), batch=0)
+    assert spark.read.parquet(str(tmp_path / "degree.0.parquet")).count() == 7

@@ -1,0 +1,127 @@
+"""Streaming workflow: micro-batch replay, incremental algorithms,
+structured streaming foreachBatch, windowed aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_testing_spark.operators.components import component_count, connected_components
+from graphdb_testing_spark.operators.updates import apply_actions
+from graphdb_testing_spark.sources import rmat
+from graphdb_testing_spark.streaming.workflow import (
+    ActionStreamWorkflow,
+    IncrementalComponents,
+    IncrementalTriangles,
+    run_structured_stream,
+    streaming_hourly_counts,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, wgt long")
+
+
+def _actions(spark, rows):
+    return spark.createDataFrame(rows, "seq long, src long, dst long, weight long")
+
+
+def test_batched_replay_equals_single_merge(spark):
+    base = rmat.rmat_graph(spark, scale=5, edge_factor=4, seed=9)
+    acts = rmat.rmat_actions(spark, scale=5, num_actions=400, seed=4)
+    wf = ActionStreamWorkflow(base)
+    res = wf.run(acts, batch_size=100)
+    assert res.batches == 4 and res.total_actions == 400
+    # batch-of-everything must equal the same merge in one shot:
+    # actions touch disjoint seq ranges, so chunked apply == one apply
+    oneshot = apply_actions(base, acts)
+    a = {(r.src, r.dst): r.wgt for r in wf.edges.collect()}
+    b = {(r.src, r.dst): r.wgt for r in oneshot.collect()}
+    assert a == b
+    assert res.actions_per_sec > 0
+
+
+def test_incremental_components_insert_fast_path(spark):
+    base = _edges(spark, [(1, 2, 1), (2, 1, 1), (3, 4, 1), (4, 3, 1)])
+    alg = IncrementalComponents()
+    wf = ActionStreamWorkflow(base, algs=[alg])
+    # insert-only batch bridges the two components (no deletes)
+    acts = _actions(spark, [(0, 2, 3, 1)])
+    wf.run(acts, batch_size=10)
+    labels = wf.store.get("components")
+    assert component_count(labels) == 1
+    got = {r.id: r.label for r in labels.collect()}
+    assert set(got.values()) == {1}
+
+
+def test_incremental_components_delete_fallback(spark):
+    base = _edges(
+        spark,
+        [(1, 2, 1), (2, 1, 1), (2, 3, 1), (3, 2, 1), (3, 4, 1), (4, 3, 1)],
+    )
+    alg = IncrementalComponents()
+    wf = ActionStreamWorkflow(base, algs=[alg])
+    # delete the bridge 2-3 -> {1,2} and {3,4} (complement encoding)
+    acts = _actions(spark, [(0, -3, -4, 1)])
+    wf.run(acts, batch_size=10)
+    labels = wf.store.get("components")
+    assert component_count(labels) == 2
+    # matches full recompute on the final edge table
+    full = connected_components(wf.edges)
+    assert {(r.id, r.label) for r in labels.collect()} == {
+        (r.id, r.label) for r in full.collect()
+    }
+
+
+def test_incremental_triangles_published_per_batch(spark, bowtie_graph):
+    alg = IncrementalTriangles()
+    wf = ActionStreamWorkflow(bowtie_graph, algs=[alg])
+    acts = _actions(spark, [(0, 0, 3, 1)])  # close a new triangle 0-2-3? (0-3 edge)
+    wf.run(acts, batch_size=10)
+    cc = {r.id: r.ntri for r in wf.store.get("clustering").collect()}
+    # new edge (0,3): triangles through 0 now {0,1,2} and {0,2,3}
+    assert cc[0] == 4
+
+
+def test_structured_stream_foreachbatch(spark, tmp_path):
+    base = _edges(spark, [(1, 2, 5), (2, 1, 5)])
+    acts_dir = str(tmp_path / "acts")
+    a1 = _actions(spark, [(0, 1, 2, 1), (1, 3, 4, 1)])
+    a1.write.parquet(acts_dir)
+    ckpt = str(tmp_path / "ckpt")
+    final = run_structured_stream(spark, acts_dir, base, checkpoint_dir=ckpt)
+    got = {(r.src, r.dst): r.wgt for r in final.collect()}
+    assert got == {(1, 2): 6, (2, 1): 6, (3, 4): 1, (4, 3): 1}
+
+
+def test_streaming_hourly_counts_matches_batch(spark, tmp_path):
+    import shutil
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", stream_dir / "part-0.parquet")
+    q = streaming_hourly_counts(spark, str(stream_dir), query_name="t_hourly")
+    q.awaitTermination()
+    # append mode + watermark: only windows closed by the final
+    # watermark are emitted — every emitted window must match batch,
+    # and only the trailing <= watermark-width windows may be missing
+    stream_rows = spark.sql(
+        "select window.start as ws, event_type, n from t_hourly"
+    ).collect()
+    assert len(stream_rows) > 0
+    from graphdb_testing_spark.datasets import load_table
+
+    batch = (
+        load_table(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("ws"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    bgot = {(r.ws, r.event_type): r.n for r in batch.collect()}
+    for r in stream_rows:
+        assert bgot[(r.ws, r.event_type)] == r.n
+    # missing windows are only near the stream's end (watermark 2h)
+    missing = len(bgot) - len(stream_rows)
+    assert missing <= 5 * 3  # event types x trailing hours
