@@ -230,3 +230,85 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return blocked.select(
         "a_id", "b_id", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# word n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-grams per document: ``(doc_id, ng)``.
+
+    Tokenization = whitespace split with empties dropped (same as
+    :mod:`textstats`); n-grams are space-rejoined token windows.
+    """
+    toks = f"filter(split({text_col}, ' '), t -> t <> '')"
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)),"
+                    f" i -> concat_ws(' ', slice({toks}, i, {n})))"
+                )
+            ).alias("ng"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by exact word-n-gram Jaccard.
+
+    Scale path: candidate generation is blocked on **rare** n-grams
+    (document frequency ≤ ``max_df``) — an inverted-index equi-join,
+    never an all-pairs cross product.  High-DF n-grams are useless for
+    dedup (any truly similar pair shares many rare ones) and would
+    otherwise produce quadratic candidate blowup on common phrases.
+    Jaccard is then verified exactly over the full n-gram sets of the
+    candidates only.  Output: ``(a_id, b_id, jaccard)``.
+    """
+    ng = word_ngrams(docs, n, id_col, text_col)
+    df_counts = ng.groupBy("ng").agg(F.count("*").alias("df"))
+    rare = ng.join(
+        df_counts.filter(F.col("df") <= max_df).select("ng"), "ng", "left_semi"
+    )
+    a = rare.select(F.col("doc_id").alias("a_id"), "ng")
+    b = rare.select(F.col("doc_id").alias("b_id"), "ng")
+    cand = (
+        a.join(b, "ng")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sizes = ng.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = ng.select(F.col("doc_id").alias("a_id"), "ng")
+    sb = ng.select(F.col("doc_id").alias("b_id"), "ng")
+    inter = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "ng"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("a_sz")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("b_sz")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("inter") / (F.col("a_sz") + F.col("b_sz") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

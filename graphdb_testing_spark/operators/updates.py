@@ -106,6 +106,81 @@ def apply_actions(edges: DataFrame, actions: DataFrame) -> DataFrame:
     )
 
 
+def apply_actions_timed(edges: DataFrame | None, actions: DataFrame) -> DataFrame:
+    """Merge actions while maintaining per-edge ``time_first`` /
+    ``time_recent`` — the reference's edge-timestamp metadata (M6):
+    ``timeFirst`` set at creation, ``timeRecent`` bumped by every
+    upsert (``include/core/stinger-internal.h:52-58``,
+    ``stinger-workflow.h:46-52``).  A deletion ends the edge's life;
+    re-insertion restarts ``time_first`` at the first post-delete
+    insert.
+
+    ``actions`` must carry a ``ts`` timestamp column; timestamps are
+    kept as epoch microseconds (LONG) so time-range scans (F5/F6
+    ``MODIFIED_AFTER``/``CREATED_BEFORE``) are plain pushdown-friendly
+    predicates.  ``edges=None`` starts from an empty graph.
+    """
+    ts_by_seq = actions.select("seq", F.unix_micros("ts").alias("us"))
+    bidir = both_directions(decode_actions(actions)).join(ts_by_seq, "seq")
+    w = Window.partitionBy("src", "dst")
+    keyed = bidir.withColumn(
+        "last_del", F.max(F.when(F.col("is_delete"), F.col("seq"))).over(w)
+    )
+    live = (~F.col("is_delete")) & (
+        F.col("seq") > F.coalesce(F.col("last_del"), F.lit(-(2**62)))
+    )
+    folded = keyed.groupBy("src", "dst").agg(
+        F.sum(F.when(live, F.col("weight"))).alias("ins_w"),
+        F.min(F.when(live, F.col("us"))).alias("t_first_new"),
+        F.max(F.when(live, F.col("us"))).alias("t_recent_new"),
+        F.max("last_del").isNotNull().alias("had_delete"),
+    )
+    if edges is None:
+        return folded.filter(
+            F.col("ins_w").isNotNull() & (F.col("ins_w") > 0)
+        ).select(
+            "src",
+            "dst",
+            F.col("ins_w").alias("wgt"),
+            F.col("t_first_new").alias("time_first"),
+            F.col("t_recent_new").alias("time_recent"),
+        )
+    old = edges.select("src", "dst", "wgt", "time_first", "time_recent")
+    merged = old.join(folded, ["src", "dst"], "full_outer")
+    survived_old = F.col("had_delete").isNull() | ~F.col("had_delete")
+    return (
+        merged.select(
+            "src",
+            "dst",
+            F.when(
+                survived_old,
+                F.coalesce("wgt", F.lit(0)) + F.coalesce("ins_w", F.lit(0)),
+            )
+            .otherwise(F.col("ins_w"))
+            .alias("wgt"),
+            F.when(survived_old, F.coalesce("time_first", "t_first_new"))
+            .otherwise(F.col("t_first_new"))
+            .alias("time_first"),
+            F.when(survived_old, F.greatest("time_recent", "t_recent_new"))
+            .otherwise(F.col("t_recent_new"))
+            .alias("time_recent"),
+        )
+        .filter(F.col("wgt").isNotNull() & (F.col("wgt") > 0))
+    )
+
+
+def modified_after(edges_timed: DataFrame, ts_micros: int) -> DataFrame:
+    """F6 ``MODIFIED_AFTER`` filter (``include/stinger.h:312-315``):
+    edges touched at/after the cutoff.  A plain predicate — pushes
+    down to the parquet scan when the timed edge table is stored."""
+    return edges_timed.filter(F.col("time_recent") >= ts_micros)
+
+
+def created_before(edges_timed: DataFrame, ts_micros: int) -> DataFrame:
+    """F6 ``CREATED_BEFORE`` filter."""
+    return edges_timed.filter(F.col("time_first") < ts_micros)
+
+
 # ---------------------------------------------------------------------------
 # M1-M5 primitives as batch operations
 # ---------------------------------------------------------------------------

@@ -1,0 +1,264 @@
+"""Graph-ops + text coverage queries: physmap (M8), adjacency export
+(F3/S13), CSR offsets (S13), timestamped merge + time-range scans
+(M6, F5/F6), quality scoring, winnowing fingerprints, and word-n-gram
+Jaccard dedup.  Each entry has a DuckDB oracle with identical column
+names/values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import datasets, oracles
+from .functions import dedup, textstats
+from .operators import physmap
+from .operators import updates as upd
+from .queries import register
+
+# ---------------------------------------------------------------------------
+# M8: physical-ID map (string names → dense vertex ids)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "physmap_supplier_ids",
+    """
+SELECT name, CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT) AS vid
+FROM (SELECT DISTINCT s_name AS name FROM supplier)
+""",
+)
+def q_physmap_supplier_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense deterministic id assignment for string vertex names —
+    the reference's physmap (``src/core/stinger-physmap.c:82-110``)
+    as a dimension table built with distributed ``zipWithIndex``."""
+    sup = datasets.load_table(spark, sf_dir, "supplier")
+    return physmap.build_physmap(sup.select(F.col("s_name").alias("name")))
+
+
+# ---------------------------------------------------------------------------
+# F3 / S13: gather-neighbors (adjacency export) and CSR offsets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "adjacency_lists",
+    oracles.with_edges(
+        """
+SELECT src AS id, COUNT(*) AS degree,
+       string_agg(dst::VARCHAR, ',' ORDER BY dst) AS neighbors
+FROM edges GROUP BY src
+"""
+    ),
+)
+def q_adjacency_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gather-successors (``stinger_gather_successors``,
+    ``include/stinger.h:197-223``) / edge-list→CSR conversion
+    (``stinger-utils.c:651-708``): per-vertex sorted neighbor list.
+    One partial-aggregating groupBy; the list is exported as a
+    comma-joined string for cross-engine comparison."""
+    g = datasets.part_supplier_graph(spark, sf_dir)
+    return g.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("degree"),
+        F.array_join(
+            F.expr("transform(sort_array(collect_list(dst)), x -> cast(x as string))"),
+            ",",
+        ).alias("neighbors"),
+    )
+
+
+@register(
+    "csr_offsets",
+    oracles.with_edges(
+        """
+SELECT id, degree,
+       CAST(COALESCE(SUM(degree) OVER (ORDER BY id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+FROM (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src)
+"""
+    ),
+)
+def q_csr_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSR offset array via prefix sum (``rmatter.c:23-69``,
+    ``stinger_to_sorted_csr`` ``stinger-utils.c:439-499``).  The
+    cumulative window is ordered by vertex id — inherently a global
+    sequence, used only for graph-file export (S3), not in any
+    iterative kernel hot path."""
+    g = datasets.part_supplier_graph(spark, sf_dir)
+    deg = g.edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    return deg.select(
+        "id",
+        "degree",
+        F.coalesce(F.sum("degree").over(w), F.lit(0)).cast("long").alias("off"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6 + F5/F6: timestamped merge and MODIFIED_AFTER scan
+# ---------------------------------------------------------------------------
+
+_GUARD = -(2**62)
+
+_TIMED_ORACLE = f"""
+WITH {oracles.ACTIONS_CTE.strip()},
+decoded AS (
+  SELECT seq,
+         CASE WHEN src < 0 THEN -src - 1 ELSE src END AS u,
+         CASE WHEN src < 0 THEN -dst - 1 ELSE dst END AS v,
+         weight, src < 0 AS is_del, epoch_us(ts) AS us
+  FROM actions
+),
+bidir AS (
+  SELECT seq, u AS src, v AS dst, weight, is_del, us FROM decoded WHERE u <> v
+  UNION ALL
+  SELECT seq, v AS src, u AS dst, weight, is_del, us FROM decoded WHERE u <> v
+),
+keyed AS (
+  SELECT *, MAX(CASE WHEN is_del THEN seq END)
+              OVER (PARTITION BY src, dst) AS last_del
+  FROM bidir
+),
+folded AS (
+  SELECT src, dst,
+         CAST(SUM(CASE WHEN NOT is_del AND seq > COALESCE(last_del, {_GUARD})
+                       THEN weight END) AS BIGINT) AS wgt,
+         MIN(CASE WHEN NOT is_del AND seq > COALESCE(last_del, {_GUARD})
+                  THEN us END) AS time_first,
+         MAX(CASE WHEN NOT is_del AND seq > COALESCE(last_del, {_GUARD})
+                  THEN us END) AS time_recent
+  FROM keyed GROUP BY 1, 2
+),
+thr AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS t FROM events)
+SELECT src, dst, wgt, time_first, time_recent
+FROM folded, thr
+WHERE wgt IS NOT NULL AND wgt > 0 AND time_recent >= t
+"""
+
+
+@register("edges_modified_after", _TIMED_ORACLE)
+def q_edges_modified_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a timestamped edge table from the action stream
+    (``time_first``/``time_recent`` per edge,
+    ``stinger-internal.h:52-58``) and scan edges MODIFIED_AFTER the
+    stream midpoint (``include/stinger.h:312-315``) — the reference's
+    filtered-iterator surface as pushdown-friendly predicates."""
+    acts = datasets.actions_stream(spark, sf_dir)
+    edges = upd.apply_actions_timed(None, acts)
+    lo, hi = (
+        datasets.load_table(spark, sf_dir, "events")
+        .agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts")))
+        .collect()[0]
+    )
+    return upd.modified_after(edges, (lo + hi) // 2)
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (Gopher/C4-style rule filter)
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(AVG(LEN(tok)), 6) AS avg_token_len,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+  FROM toks GROUP BY doc_id
+),
+s AS (
+  SELECT d.doc_id,
+         COALESCE(p.n_tokens, 0) AS n_tokens,
+         COALESCE(p.avg_token_len, 0e0) AS avg_token_len,
+         ROUND(COALESCE(p.n_distinct_tokens / (1e0 * p.n_tokens), 0e0), 6) AS dr
+  FROM documents d LEFT JOIN per p USING (doc_id)
+)
+SELECT doc_id,
+       ROUND(((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1e0 ELSE 0e0 END)
+            + (CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0
+                    THEN 1e0 ELSE 0e0 END)
+            + LEAST(dr * 2, 1e0)) / 3e0, 6) AS quality
+FROM s
+"""
+
+
+@register("quality_scores", _QUALITY_ORACLE)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return textstats.quality_score(docs)
+
+
+# ---------------------------------------------------------------------------
+# winnowing-style document fingerprint
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
+  FROM documents, UNNEST(generate_series(1, len(text) - 7)) AS t(i)
+  WHERE len(text) >= 8
+),
+h AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh
+),
+rk AS (
+  SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM h
+)
+SELECT doc_id, string_agg(h::VARCHAR, '-' ORDER BY h) AS fingerprint
+FROM rk WHERE rn <= 4 GROUP BY doc_id
+"""
+
+
+@register("doc_fingerprints", _FINGERPRINT_ORACLE)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-robust rolling-hash fingerprint: 4 smallest distinct
+    32-bit hashes of the document's 8-grams."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return textstats.fingerprint(docs, k=8, keep=4)
+
+
+# ---------------------------------------------------------------------------
+# word n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+_NGRAM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS ng
+  FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS s(i)
+),
+dfc AS (SELECT ng FROM (SELECT ng, COUNT(*) AS df FROM ng GROUP BY ng) WHERE df <= 20),
+rare AS (SELECT g.* FROM ng g JOIN dfc USING (ng)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM rare a JOIN rare b ON a.ng = b.ng AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ng GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN ng ga ON ga.doc_id = c.a_id
+  JOIN ng gb ON gb.doc_id = c.b_id AND gb.ng = ga.ng
+  GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id,
+       ROUND(i.inter / (1e0 * (za.sz + zb.sz - i.inter)), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a_id
+JOIN sizes zb ON zb.doc_id = i.b_id
+WHERE ROUND(i.inter / (1e0 * (za.sz + zb.sz - i.inter)), 6) >= 0.5
+"""
+
+
+@register("ngram_jaccard_pairs", _NGRAM_ORACLE)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard ≥ 0.5 with rare-n-gram inverted-index
+    blocking (no all-pairs cross product)."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=20)
