@@ -38,7 +38,9 @@ from .util import state_hint
 def connected_components(
     edges: DataFrame,
     max_iter: int = 100,
-    unroll: int = 2,
+    unroll: int = 4,  # chunk-end pointer jump collapses chains, so
+    # low-diameter graphs converge in 1-2 chunks; linear plan growth
+    # makes larger unrolls safe for high-diameter graphs
     pointer_jump: bool = True,
 ) -> DataFrame:
     """``(id, label)`` where ``label`` = min vertex id in the component.
@@ -46,19 +48,33 @@ def connected_components(
     ``edges`` must be symmetric (every edge present in both
     directions), as produced by :func:`graph.symmetrize`.
 
-    ``unroll`` rounds are composed into one lazy plan and materialized
-    with a single eager ``localCheckpoint`` (job scheduling is the
-    per-round floor; lineage must be truncated anyway to keep round
-    cost O(1)).  The convergence scalar is checked once per chunk —
-    labels only decrease, so an unchanged sum ⇔ fixpoint.
+    The propagation round references the evolving label state exactly
+    ONCE: self-loop edges are appended to the (constant) edge relation
+    so ``min over neighbors`` includes the vertex's own label, and the
+    round is a single ``join + groupBy.min`` with no merge-back join.
+    One self-reference per round ⇒ the unrolled lazy plan grows
+    **linearly** in ``unroll`` (a state-referenced-twice formulation
+    grows 2^k and stalls Catalyst beyond a handful of rounds).
+
+    Pointer jumping (``label[v] := label[label[v]]``,
+    ``static_components.c:30-37``) runs once per chunk on the
+    checkpointed labels, where the self-join costs O(1) plan size —
+    it collapses chains on high-diameter graphs without paying the
+    exponential in-chunk plan tax.
+
+    Convergence: labels only ever decrease, so an unchanged
+    ``SUM(label)`` ⇔ fixpoint — one scalar per chunk, aggregated as
+    ``DECIMAL(38,0)`` so it cannot overflow at 2^63-scale ids
+    (convergence-scalar pattern of ``tests/sqlite/test.c:180``).
     """
-    e = edges.select("src", "dst")
-    labels = (
-        e.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+    ids = edges.select(F.col("src").alias("id")).distinct()
+    # constant relation: edges + self-loops (min over it ⇒ least(own, nbrs))
+    e_self = (
+        edges.select("src", "dst")
+        .unionAll(ids.select(F.col("id").alias("src"), F.col("id").alias("dst")))
         .localCheckpoint()
     )
+    labels = ids.withColumn("label", F.col("id")).localCheckpoint()
     nv = labels.count()
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
@@ -69,27 +85,24 @@ def connected_components(
         k = min(unroll, max_iter - done)
         chunk_start = labels
         for _ in range(k):
-            # min neighbor label per vertex (edges symmetric ⇒ src covers all)
-            msgs = (
-                e.join(state_hint(labels, nv), e.dst == labels.id)
+            labels = (
+                e_self.join(state_hint(labels, nv), e_self.dst == labels.id)
                 .groupBy(F.col("src").alias("id"))
-                .agg(F.min("label").alias("nbr_label"))
+                .agg(F.min("label").alias("label"))
             )
-            labels = labels.join(state_hint(msgs, nv), "id", "left").select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            if pointer_jump:
-                # label[v] := label[label[v]]  (static_components.c:30-37)
-                parents = labels.select(
-                    F.col("id").alias("p_id"), F.col("label").alias("p_label")
-                )
-                labels = labels.join(
-                    state_hint(parents, nv), labels.label == parents.p_id, "left"
-                ).select("id", F.coalesce("p_label", "label").alias("label"))
         labels = labels.localCheckpoint()
+        if pointer_jump:
+            # one cheap jump on materialized labels: O(1) plan size here
+            parents = labels.select(
+                F.col("id").alias("p_id"), F.col("label").alias("p_label")
+            )
+            labels = (
+                labels.join(
+                    state_hint(parents, nv), labels.label == parents.p_id, "left"
+                )
+                .select("id", F.coalesce("p_label", "label").alias("label"))
+                .localCheckpoint()
+            )
         done += k
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
@@ -98,6 +111,7 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    e_self.unpersist()
     return labels
 
 

@@ -14,17 +14,21 @@ the reference, which likewise ignores dangling vertices).
 
 Spark-first design
 ------------------
-* Vertex state ``(id, degree, pr)`` is one O(nv) DataFrame; a round
-  is one ``edges ⋈ state`` join + partial-aggregated
-  ``groupBy(src).sum`` — the big edge side stays put (pre-partitioned
-  on ``src``), only the state shuffles, and Catalyst broadcasts the
-  state when it fits.
-* **Rounds are unrolled**: ``unroll`` rounds are composed lazily into
-  one plan, then materialized with a single eager ``localCheckpoint``
-  (which also truncates lineage — unbounded plan growth otherwise
-  makes round cost O(iteration)).  Driver-side job scheduling is the
-  per-round floor on a fast cluster, so fewer/bigger jobs win; the
-  shuffle structure per round is unchanged.
+* Vertex state is the single-column **pre-divided rank**
+  ``prd[v] = pr[v] / degree[v]`` so each round references the
+  evolving state exactly ONCE: messages aggregate ``sum(prd)`` over
+  neighbors, and the new state joins the messages against the
+  *constant* degree table — never back against the old state.  With
+  one self-reference per round the unrolled lazy plan grows
+  **linearly** in the unroll factor (state-referenced-twice designs
+  grow 2^k and stall Catalyst analysis beyond ~6 rounds).
+* A round is one ``edges ⋈ state`` broadcast join + partially
+  aggregated ``groupBy(src).sum`` — the big edge side never moves
+  (pre-partitioned on ``src``; see :meth:`Graph.canonical`), only the
+  O(nv) state shuffles/broadcasts.
+* ``unroll`` rounds compose into one lazy plan materialized by a
+  single eager ``localCheckpoint`` (truncates lineage; driver job
+  scheduling is the per-round floor, so fewer/bigger jobs win).
 * The L1 convergence delta is measured once per chunk against the
   chunk's starting vector (k-round delta ≥ the reference's 1-round
   delta, so stopping is conservative — never earlier than the
@@ -45,9 +49,9 @@ def pagerank(
     tol: float = 1e-8,
     max_iter: int = 100,
     num_iter: int | None = None,
-    unroll: int = 6,  # measured sweet spot: plan analysis cost grows
-    # ~2^unroll (state referenced twice per round), job overhead
-    # shrinks ~1/unroll; 6 wins on local[32], 10 already regresses
+    unroll: int = 10,  # linear plan growth ⇒ large unrolls pay off;
+    # measured on local[32] at sf0.1: 10 ≈ 2× faster than 5, 20 is
+    # marginally better still but delays the first convergence check
 ) -> DataFrame:
     """``(id, pr)`` PageRank over a symmetric edge table.
 
@@ -58,10 +62,24 @@ def pagerank(
     decremented, so epsilon is the only real exit there too).
     """
     e = edges.select("src", "dst")
-    deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    deg = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("degree"))
+        .localCheckpoint()
+    )
     nv = deg.count()
     base = (1.0 - damping) / nv
-    state = deg.withColumn("pr", F.lit(1.0 / nv)).localCheckpoint()
+    deg_b = state_hint(deg, nv)
+
+    # state: (id, prd) with prd = pr / degree
+    state = deg.select(
+        "id", (F.lit(1.0 / nv) / F.col("degree")).alias("prd")
+    ).localCheckpoint()
+
+    def to_pr(s: DataFrame) -> DataFrame:
+        return s.join(deg_b, "id").select(
+            "id", (F.col("prd") * F.col("degree")).alias("pr")
+        )
 
     total = num_iter if num_iter is not None else max_iter
     done = 0
@@ -71,31 +89,32 @@ def pagerank(
         for _ in range(k):
             # broadcast the O(nv) state so the big edge side never
             # moves; the groupBy then shuffles only partial aggregates
-            contribs = (
+            msgs = (
                 e.join(state_hint(state, nv), e.dst == state.id)
                 .groupBy(F.col("src").alias("id"))
-                .agg(F.sum(F.col("pr") / F.col("degree")).alias("mass"))
+                .agg(F.sum("prd").alias("mass"))
             )
-            state = (
-                state.join(state_hint(contribs, nv), "id", "left")
-                .select(
-                    "id",
-                    "degree",
-                    (
-                        F.lit(base)
-                        + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
-                    ).alias("pr"),
-                )
+            state = deg_b.join(state_hint(msgs, nv), "id", "left").select(
+                "id",
+                (
+                    (F.lit(base) + F.lit(damping) * F.coalesce("mass", F.lit(0.0)))
+                    / F.col("degree")
+                ).alias("prd"),
             )
         state = state.localCheckpoint()  # one job: materialize k rounds
         done += k
         if num_iter is None:
+            # L1 delta in pr space: |pr - pr0| = |prd - prd0| * degree
             delta = (
-                state.select("id", "pr")
-                .join(
-                    chunk_start.select("id", F.col("pr").alias("pr0")), "id"
+                state.join(
+                    chunk_start.select("id", F.col("prd").alias("prd0")), "id"
                 )
-                .agg(F.sum(F.abs(F.col("pr") - F.col("pr0"))).alias("d"))
+                .join(deg_b, "id")
+                .agg(
+                    F.sum(
+                        F.abs(F.col("prd") - F.col("prd0")) * F.col("degree")
+                    ).alias("d")
+                )
                 .collect()[0]["d"]
             )
             chunk_start.unpersist()
@@ -103,4 +122,6 @@ def pagerank(
                 break
         else:
             chunk_start.unpersist()
-    return state.select("id", "pr")
+    out = to_pr(state)
+    deg.unpersist()
+    return out
