@@ -262,3 +262,29 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking (no all-pairs cross product)."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=20)
+
+
+# ---------------------------------------------------------------------------
+# A10: BFS depth (eccentricity of the source vertex)
+# ---------------------------------------------------------------------------
+
+from .operators.bfs import bfs  # noqa: E402
+from .queries import _BFS_ORACLE  # noqa: E402
+
+_BFS_DEPTH_ORACLE = _BFS_ORACLE.replace(
+    "SELECT id, MIN(dist) AS dist FROM bfsr GROUP BY id",
+    "SELECT MAX(dist) AS depth FROM "
+    "(SELECT id, MIN(dist) AS dist FROM bfsr GROUP BY id)",
+)
+
+
+@register("bfs_depth", _BFS_DEPTH_ORACLE)
+def q_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max BFS level from the min-id source — the reference prints
+    this as the traversal depth (``tests/neo4j/.../App.java:210-215``,
+    A10 in SURVEY §2.5)."""
+    g = datasets.part_supplier_graph(spark, sf_dir).canonical()
+    source = g.edges.agg(F.min("src").alias("s")).collect()[0]["s"]
+    dist = bfs(g.edges, int(source), max_depth=32)
+    g.unpersist()
+    return dist.agg(F.max("dist").alias("depth"))

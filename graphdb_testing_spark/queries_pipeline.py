@@ -354,3 +354,101 @@ def q_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 25)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (the scale path: equi-join on coarse bucket, never
+# a cross join) — multi-probe over all Hamming-1 sign buckets
+# ---------------------------------------------------------------------------
+
+
+def _ivf_oracle(k: int = 10, dims: int = 8) -> str:
+    bucket = " + ".join(
+        f"CASE WHEN v[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(dims)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})" for j in range(dims)])
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bb AS (SELECT vec_id, v, {bucket} AS bucket FROM base),
+qs0 AS (SELECT vec_id AS query_id, v AS q, bucket FROM bb WHERE vec_id % 100 = 0),
+qs AS (SELECT query_id, q, UNNEST([{probes}]) AS bucket FROM qs0),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         ROUND(list_cosine_similarity(q.q, b.v), 6) AS sim
+  FROM bb b JOIN qs q USING (bucket) WHERE b.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("ivf_ann_topk", _ivf_oracle())
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed approximate top-10 (sign-bit IVF, Hamming-1
+    multi-probe) for the same query subset as ``ann_cosine_topk`` —
+    candidates come from an equi-join on the coarse bucket, which is
+    what survives a 100TB embedding table (the brute-force baseline
+    is a cross join)."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = simsearch.ivf_topk(emb, queries, k=10, bucket_dims=8, multiprobe=True)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary media column -> Arrow-batched feature
+# extraction (deterministic stub encoder; SURVEY "multimodal columns")
+# ---------------------------------------------------------------------------
+
+from .functions import multimodal  # noqa: E402
+
+
+def _media_oracle(dim: int = 16) -> str:
+    # _fake_feature with dim=16 is exactly one md5 over the first 64
+    # payload bytes; digest byte i => float32(i/255) (testdata text is
+    # pure ASCII, so VARCHAR substr == byte slice).
+    elems = ", ".join(
+        "printf('%.6f', ROUND(CAST(('0x' || substr(h, "
+        f"{2 * i + 1}, 2))::INT / 255.0 AS REAL)::DOUBLE, 6))"
+        for i in range(dim)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, 'image' AS modality,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(substr(text, 1, 64)) AS h
+  FROM documents
+)
+SELECT media_id, modality, n_bytes,
+       array_to_string([{elems}], ',') AS feature_csv
+FROM m
+"""
+
+
+@register("media_features", _media_oracle())
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns (text bytes standing in for encoded
+    media) through the mapInPandas feature-extraction stage; float32
+    features exported as fixed 6-decimal CSV for exact comparison."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_media(docs, modality="image")
+    feats = multimodal.extract_features(media, dim=16, decode_stub="fake")
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature",
+                lambda x: F.format_string(
+                    "%.6f", F.round(x.cast("double"), 6)
+                ),
+            ),
+        ).alias("feature_csv"),
+    )
