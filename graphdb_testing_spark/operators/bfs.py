@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import state_hint
+from .util import iter_partitions, state_hint
 
 
 def bfs(
@@ -35,7 +35,11 @@ def bfs(
     edge table; unreachable vertices are absent (reference leaves them
     at "infinity", i.e. not in the ``distance`` table)."""
     spark = edges.sparkSession
+    # narrow coalesce (no shuffle, no copy of the cached table): level
+    # cost on small graphs is task scheduling, so right-size to ~250k
+    # edge rows per task
     e = edges.select("src", "dst")
+    e = e.coalesce(iter_partitions(edges.count()))
     dist = spark.createDataFrame([(source, 0)], "id long, dist int").localCheckpoint()
     frontier = dist
     depth = 0

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import state_hint
+from .util import iter_partitions, state_hint
 
 
 def connected_components(
@@ -68,10 +68,13 @@ def connected_components(
     (convergence-scalar pattern of ``tests/sqlite/test.c:180``).
     """
     ids = edges.select(F.col("src").alias("id")).distinct()
-    # constant relation: edges + self-loops (min over it ⇒ least(own, nbrs))
+    # constant relation: edges + self-loops (min over it ⇒ least(own, nbrs)),
+    # right-sized so each iteration task owns ~250k edge rows
+    ne = edges.count()
     e_self = (
         edges.select("src", "dst")
         .unionAll(ids.select(F.col("id").alias("src"), F.col("id").alias("dst")))
+        .coalesce(iter_partitions(ne))
         .localCheckpoint()
     )
     labels = ids.withColumn("label", F.col("id")).localCheckpoint()

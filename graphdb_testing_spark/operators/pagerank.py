@@ -15,17 +15,23 @@ the reference, which likewise ignores dangling vertices).
 Spark-first design
 ------------------
 * Vertex state is the single-column **pre-divided rank**
-  ``prd[v] = pr[v] / degree[v]`` so each round references the
-  evolving state exactly ONCE: messages aggregate ``sum(prd)`` over
-  neighbors, and the new state joins the messages against the
-  *constant* degree table — never back against the old state.  With
-  one self-reference per round the unrolled lazy plan grows
-  **linearly** in the unroll factor (state-referenced-twice designs
-  grow 2^k and stall Catalyst analysis beyond ~6 rounds).
-* A round is one ``edges ⋈ state`` broadcast join + partially
-  aggregated ``groupBy(src).sum`` — the big edge side never moves
-  (pre-partitioned on ``src``; see :meth:`Graph.canonical`), only the
-  O(nv) state shuffles/broadcasts.
+  ``prd[v] = pr[v] / degree[v]`` and the *constant* edge relation
+  carries ``deg_src`` (degree of the source, attached once up
+  front).  A round is then a single ``edges ⋈ state`` join +
+  partially aggregated ``groupBy(src)`` that produces the next
+  ``prd`` directly — no merge-back join against old state or the
+  degree table.  One state reference per round ⇒ the unrolled lazy
+  plan grows **linearly** in the unroll factor; one join per round ⇒
+  one broadcast + one narrow shuffle per round, the measured floor
+  on local mode (the dropped second join halved round latency).
+* No left join is needed to re-instate message-less vertices: the
+  edge table is symmetric, so every vertex with degree ≥ 1 receives
+  at least one message, and degree-0 vertices don't exist in the
+  canonical edge relation.
+* The edge relation is coalesced to ``iter_partitions(ne)`` tasks
+  (~250k edge rows each) — per-round cost on small graphs is task
+  scheduling, not compute, and the same sizing formula yields
+  thousands of tasks at 100 TB.
 * ``unroll`` rounds compose into one lazy plan materialized by a
   single eager ``localCheckpoint`` (truncates lineage; driver job
   scheduling is the per-round floor, so fewer/bigger jobs win).
@@ -40,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import state_hint
+from .util import iter_partitions, state_hint
 
 
 def pagerank(
@@ -49,9 +55,8 @@ def pagerank(
     tol: float = 1e-8,
     max_iter: int = 100,
     num_iter: int | None = None,
-    unroll: int = 10,  # linear plan growth ⇒ large unrolls pay off;
-    # measured on local[32] at sf0.1: 10 ≈ 2× faster than 5, 20 is
-    # marginally better still but delays the first convergence check
+    unroll: int = 10,  # one broadcast + one shuffle per round; chunk
+    # cost is ~linear in unroll, so 10 mainly amortizes delta checks
 ) -> DataFrame:
     """``(id, pr)`` PageRank over a symmetric edge table.
 
@@ -71,45 +76,60 @@ def pagerank(
     base = (1.0 - damping) / nv
     deg_b = state_hint(deg, nv)
 
-    # state: (id, prd) with prd = pr / degree
-    state = deg.select(
-        "id", (F.lit(1.0 / nv) / F.col("degree")).alias("prd")
-    ).localCheckpoint()
+    # constant relation: edges + degree-of-source, right-sized so each
+    # task owns ~250k edge rows
+    e2 = (
+        e.join(deg_b.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", F.col("degree").alias("deg_src"))
+    )
+    ne = edges.count()
+    e2 = e2.coalesce(iter_partitions(ne)).localCheckpoint()
 
-    def to_pr(s: DataFrame) -> DataFrame:
-        return s.join(deg_b, "id").select(
-            "id", (F.col("prd") * F.col("degree")).alias("pr")
-        )
+    # state: (id, prd, degree) with prd = pr / degree; degree rides
+    # along (constant per vertex, re-emitted by each round's agg) so
+    # neither the delta check nor the final pr projection needs a
+    # degree join
+    state = deg.select(
+        "id", (F.lit(1.0 / nv) / F.col("degree")).alias("prd"), "degree"
+    ).localCheckpoint()
 
     total = num_iter if num_iter is not None else max_iter
     done = 0
+    chunks = 0
     while done < total:
         k = min(unroll, total - done)
         chunk_start = state
         for _ in range(k):
             # broadcast the O(nv) state so the big edge side never
-            # moves; the groupBy then shuffles only partial aggregates
-            msgs = (
-                e.join(state_hint(state, nv), e.dst == state.id)
+            # moves; the groupBy shuffles only partial aggregates and
+            # emits the next prd directly (deg_src is constant per
+            # group, so first() is exact)
+            state = (
+                e2.join(state_hint(state, nv), e2.dst == state.id)
                 .groupBy(F.col("src").alias("id"))
-                .agg(F.sum("prd").alias("mass"))
-            )
-            state = deg_b.join(state_hint(msgs, nv), "id", "left").select(
-                "id",
-                (
-                    (F.lit(base) + F.lit(damping) * F.coalesce("mass", F.lit(0.0)))
-                    / F.col("degree")
-                ).alias("prd"),
+                .agg(
+                    (
+                        (F.lit(base) + F.lit(damping) * F.sum("prd"))
+                        / F.first("deg_src")
+                    ).alias("prd"),
+                    F.first("deg_src").alias("degree"),
+                )
             )
         state = state.localCheckpoint()  # one job: materialize k rounds
         done += k
-        if num_iter is None:
+        chunks += 1
+        # the delta job costs as much as ~3 rounds and eps=1e-8 never
+        # fires in the first few dozen rounds, so test every 2nd chunk
+        # (late stop is conservative: extra rounds only tighten)
+        if num_iter is None and chunks % 2 == 0:
             # L1 delta in pr space: |pr - pr0| = |prd - prd0| * degree
             delta = (
                 state.join(
-                    chunk_start.select("id", F.col("prd").alias("prd0")), "id"
+                    state_hint(
+                        chunk_start.select("id", F.col("prd").alias("prd0")), nv
+                    ),
+                    "id",
                 )
-                .join(deg_b, "id")
                 .agg(
                     F.sum(
                         F.abs(F.col("prd") - F.col("prd0")) * F.col("degree")
@@ -122,6 +142,6 @@ def pagerank(
                 break
         else:
             chunk_start.unpersist()
-    out = to_pr(state)
-    deg.unpersist()
+    out = state.select("id", (F.col("prd") * F.col("degree")).alias("pr"))
+    e2.unpersist()
     return out

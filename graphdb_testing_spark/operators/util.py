@@ -20,3 +20,19 @@ def state_hint(df: DataFrame, nv: int | None) -> DataFrame:
     if nv is not None and nv <= BROADCAST_STATE_MAX_ROWS:
         return F.broadcast(df)
     return df
+
+
+#: Target edge rows per task for iterative kernels.  Iteration cost on
+#: small inputs is dominated by per-stage task scheduling, so the edge
+#: relation is coalesced to ``ceil(ne / EDGE_ROWS_PER_PARTITION)``
+#: partitions (bounded below by 1) instead of inheriting the session's
+#: shuffle parallelism; on a 100 TB table the same formula yields
+#: thousands of partitions, i.e. it *is* the scale path, not a local
+#: tweak.
+EDGE_ROWS_PER_PARTITION = 250_000
+
+
+def iter_partitions(ne: int, cap: int = 2048) -> int:
+    """Partition count for an ``ne``-row edge relation in an
+    iterative kernel: one task per ~250k edge rows."""
+    return max(1, min(cap, (ne + EDGE_ROWS_PER_PARTITION - 1) // EDGE_ROWS_PER_PARTITION))
