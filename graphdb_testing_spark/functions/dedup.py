@@ -121,7 +121,14 @@ def lsh_bands(
 
 def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
     """Distinct ``(a_id, b_id)`` pairs sharing ≥1 band bucket — the
-    equi-join that replaces the quadratic all-pairs comparison."""
+    equi-join that replaces the quadratic all-pairs comparison.
+
+    The band table is materialized first: Spark does not share common
+    subplans across a self-join, so joining the lazy band plan against
+    itself would re-shingle and re-hash the whole corpus once per side
+    (audited as 8 parquet scans of ``documents`` at 4 bands).
+    """
+    bands_df = bands_df.localCheckpoint()
     a = bands_df.select(F.col("doc_id").alias("a_id"), "band", "bkey")
     b = bands_df.select(F.col("doc_id").alias("b_id"), "band", "bkey")
     return (
@@ -170,11 +177,16 @@ def minhash_near_duplicates(
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → signature → band join →
-    exact-Jaccard verify ≥ threshold."""
-    sh = char_shingles(docs, k)
+    exact-Jaccard verify ≥ threshold.
+
+    Shingles are materialized once — they feed both the signature
+    aggregation and the exact-Jaccard verification, and recomputing
+    the explode-per-character shingle set is the dominant cost."""
+    sh = char_shingles(docs, k).localCheckpoint()
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, bands, num_hashes))
-    return jaccard_for_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
+    out = jaccard_for_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -216,7 +228,9 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     the full cross join; exact Hamming check via popcount arithmetic
     (``bit_count`` is JVM-side in Spark ≥ 3.4).
     """
-    sh = simhash(docs)
+    # materialize: the fingerprint table feeds both sides of the
+    # self-join (Spark re-executes unshared subplans per side)
+    sh = simhash(docs).localCheckpoint()
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
     blocked = a.join(
@@ -278,7 +292,9 @@ def ngram_jaccard_pairs(
     Jaccard is then verified exactly over the full n-gram sets of the
     candidates only.  Output: ``(a_id, b_id, jaccard)``.
     """
-    ng = word_ngrams(docs, n, id_col, text_col)
+    # materialize: the n-gram set feeds the DF counts, the inverted
+    # index, and the exact-Jaccard verification
+    ng = word_ngrams(docs, n, id_col, text_col).localCheckpoint()
     df_counts = ng.groupBy("ng").agg(F.count("*").alias("df"))
     rare = ng.join(
         df_counts.filter(F.col("df") <= max_df).select("ng"), "ng", "left_semi"

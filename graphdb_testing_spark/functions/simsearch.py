@@ -86,7 +86,7 @@ def embedding_near_duplicates(
     """
     base = with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("_norm").alias("n")
-    )
+    ).localCheckpoint()  # feeds both sides of the self-join
     a = base.select(
         F.col("id").alias("a_id"), F.col("v").alias("va"), F.col("n").alias("na")
     )
