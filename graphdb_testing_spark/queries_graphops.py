@@ -288,3 +288,34 @@ def q_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = bfs(g.edges, int(source), max_depth=32)
     g.unpersist()
     return dist.agg(F.max("dist").alias("depth"))
+
+
+# ---------------------------------------------------------------------------
+# A3 (global): graph-wide clustering coefficient
+# ---------------------------------------------------------------------------
+
+from .operators.triangles import clustering_coefficients  # noqa: E402
+from .queries import _TRI_ORACLE  # noqa: E402
+
+_GCC_ORACLE = _TRI_ORACLE.replace(
+    """SELECT a.id, COALESCE(2 * t.n, 0) AS ntri
+FROM (SELECT DISTINCT src AS id FROM user_edges) a""",
+    """SELECT ROUND(SUM(COALESCE(2 * t.n, 0))
+             / (1e0 * SUM(a.degree * (a.degree - 1))), 6) AS global_cc
+FROM (SELECT src AS id, COUNT(*) AS degree FROM user_edges GROUP BY src) a""",
+)
+
+
+@register("global_clustering_coefficient", _GCC_ORACLE)
+def q_global_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-wide clustering coefficient ``Σ ntri / Σ deg(deg-1)``
+    (``streaming_clustering_coefficients.c:268-273``)."""
+    g = datasets.user_graph(spark, sf_dir)
+    cc = clustering_coefficients(g.edges)
+    return cc.agg(
+        F.round(
+            F.sum("ntri")
+            / (F.sum(F.col("degree") * (F.col("degree") - 1)) * F.lit(1.0)),
+            6,
+        ).alias("global_cc")
+    )

@@ -261,3 +261,32 @@ def streaming_hourly_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def random_edge_stream(
+    spark: SparkSession,
+    nv: int,
+    rows_per_second: int = 1000,
+    seed: int = 0,
+):
+    """Uniform random edge-insertion stream over ``nv`` vertices (the
+    reference's random stream generator,
+    ``tests/stinger/src/stream/random_stream.c:14-60``).
+
+    Built on the ``rate`` source; endpoints are deterministic hashes
+    of the rate counter (so a given prefix of the stream is
+    reproducible, like the reference's seeded RNG).  Returns an
+    unbounded streaming DataFrame ``(seq, src, dst, weight, ts)`` —
+    compose with ``writeStream.foreachBatch(...)`` / the workflow
+    loop like any other action stream.
+    """
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    return rate.select(
+        F.col("value").alias("seq"),
+        F.pmod(F.xxhash64(F.col("value"), F.lit(seed)), F.lit(nv)).alias("src"),
+        F.pmod(F.xxhash64(F.col("value"), F.lit(seed + 1)), F.lit(nv)).alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+        F.col("timestamp").alias("ts"),
+    )

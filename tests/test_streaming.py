@@ -125,3 +125,41 @@ def test_streaming_hourly_counts_matches_batch(spark, tmp_path):
     # missing windows are only near the stream's end (watermark 2h)
     missing = len(bgot) - len(stream_rows)
     assert missing <= 5 * 3  # event types x trailing hours
+
+
+def test_random_edge_stream_deterministic(spark, tmp_path):
+    from graphdb_testing_spark.streaming.workflow import random_edge_stream
+
+    stream = random_edge_stream(spark, nv=100, rows_per_second=500)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rand_edges")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    for _ in range(20):
+        time.sleep(0.5)
+        if spark.table("rand_edges").count() > 0:
+            break
+    q.stop()
+    rows = spark.table("rand_edges").collect()
+    assert rows, "rate stream produced no rows"
+    assert all(0 <= r.src < 100 and 0 <= r.dst < 100 for r in rows)
+    # determinism: endpoints are a pure function of seq
+    from pyspark.sql import functions as F
+
+    recomputed = (
+        spark.createDataFrame([(r.seq,) for r in rows], "seq long")
+        .select(
+            "seq",
+            F.pmod(F.xxhash64(F.col("seq"), F.lit(0)), F.lit(100)).alias("src"),
+            F.pmod(F.xxhash64(F.col("seq"), F.lit(1)), F.lit(100)).alias("dst"),
+        )
+        .collect()
+    )
+    got = {(r.seq, r.src, r.dst) for r in rows}
+    exp = {(r.seq, r.src, r.dst) for r in recomputed}
+    assert got == exp
