@@ -6,20 +6,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: Vertex-state DataFrames at or below this row count are broadcast in
-#: iterative kernels.  Checkpointed state has no Catalyst size stats,
-#: so AQE never auto-broadcasts it — without the hint the BIG edge
-#: side reshuffles every round.  Above the threshold (billions of
-#: vertices at 100 TB scale) state joins fall back to shuffle joins
-#: against the edge table's persistent partitioning
-#: (:meth:`Graph.canonical`), which shuffles only the O(nv) state.
-BROADCAST_STATE_MAX_ROWS = 2_000_000
+#: iterative kernels; above it they get a shuffle-hash join hint.
+#: Measured crossover (local[32]): at nv=21k chained broadcast rounds
+#: run 100 PageRank iters in 19.8s vs 23.5s shuffled; at nv=952k the
+#: order flips hard (2.12s vs 1.37s per round) because every chained
+#: BroadcastExchange serializes through a driver round-trip while
+#: shuffle rounds pipeline.  The shuffle hint also matters: without it
+#: Catalyst picks sort-merge joins and re-sorts the edge relation
+#: every round.  At 100 TB (billions of vertices) the shuffle path is
+#: the only one that exists — broadcast is the small-graph fast path.
+BROADCAST_STATE_MAX_ROWS = 100_000
 
 
 def state_hint(df: DataFrame, nv: int | None) -> DataFrame:
-    """Broadcast-hint a vertex-state DataFrame when it is known-small."""
-    if nv is not None and nv <= BROADCAST_STATE_MAX_ROWS:
+    """Join-strategy hint for a vertex-state DataFrame: broadcast when
+    known-small, shuffled hash join otherwise (checkpointed state has
+    no Catalyst stats, so AQE cannot make this call on its own)."""
+    if nv is None:
+        return df  # size unknown and stats available — AQE decides
+    if nv <= BROADCAST_STATE_MAX_ROWS:
         return F.broadcast(df)
-    return df
+    return df.hint("shuffle_hash")
 
 
 #: Target edge rows per task for iterative kernels.  Iteration cost on

@@ -452,3 +452,58 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("feature_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gaps-and-islands): the batch shape of Spark's
+# session_window, exact down to tie-breaks
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM x
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+FROM s GROUP BY 1, 2
+"""
+
+
+@register("user_sessions", _SESSION_ORACLE)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session assignment with a 30-minute inactivity gap —
+    gaps-and-islands over ordered event times (lag + running sum, all
+    JVM-side window functions).  This is the deterministic batch twin
+    of Structured Streaming's ``session_window`` aggregation."""
+    from pyspark.sql import Window
+
+    ev = datasets.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "is_new",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq")).agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+    )

@@ -1,0 +1,97 @@
+"""Kernel benchmark on the reference's own graph scales.
+
+Generates the R-MAT graph the reference benchmarks (SCALE 10/15/20 =
+tiny/small/medium, edge factor 8), runs the four kernels with the
+reference's parameters, and prints one RSLT-shaped JSON line directly
+comparable with ``BASELINE.md`` rows (update count: 100K actions for
+tiny/small, 1M for medium, like ``run_tests.sh``).
+
+Usage::
+
+    python scripts/bench_rmat.py [tiny|small|medium]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graphdb_testing_spark.operators.bfs import bfs  # noqa: E402
+from graphdb_testing_spark.operators.components import (  # noqa: E402
+    connected_components,
+)
+from graphdb_testing_spark.operators.pagerank import pagerank  # noqa: E402
+from graphdb_testing_spark.operators.updates import apply_actions  # noqa: E402
+from graphdb_testing_spark.session import get_spark  # noqa: E402
+from graphdb_testing_spark.sources.rmat import (  # noqa: E402
+    rmat_actions,
+    rmat_graph,
+)
+
+SCALES = {"tiny": (10, 100_000), "small": (15, 100_000), "medium": (20, 1_000_000)}
+
+
+def main() -> None:
+    size = sys.argv[1] if len(sys.argv) > 1 else "small"
+    scale, na = SCALES[size]
+    spark = get_spark(
+        app_name=f"bench-rmat-{size}",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    t: dict[str, float] = {}
+    meta: dict[str, int] = {}
+
+    t0 = time.time()
+    edges = rmat_graph(spark, scale, 8).localCheckpoint()
+    meta["ne"] = edges.count()  # directed (symmetrized) edge count
+    meta["nv"] = edges.select("src").distinct().count()
+    t["build"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    labels = connected_components(edges)
+    meta["n_components"] = labels.select("label").distinct().count()
+    labels.unpersist()
+    t["sv"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dist = bfs(edges, 0)
+    meta["bfs_reached"] = dist.count()
+    dist.unpersist()
+    t["sssp"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pr = pagerank(edges)
+    pr.count()
+    pr.unpersist()
+    t["pr"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    acts = rmat_actions(spark, scale, na)
+    merged = apply_actions(edges, acts)
+    meta["edges_after_update"] = merged.count()
+    t["update"] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "type": "spark-graft",
+                "size": size,
+                "nv": meta["nv"],
+                "ne": meta["ne"],
+                "results": t,
+                "na": na,
+                "update_eps": round(na / t["update"], 1),
+                "meta": meta,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
