@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from .util import state_hint
 
 
-def _score_edges(edges: DataFrame) -> DataFrame:
+def _score_edges(edges: DataFrame, nv: int | None = None) -> DataFrame:
     """Edge modularity-gain scores (reference ``:52-98``).
 
     Volume and weighted degrees include contracted self-loops (the
@@ -37,12 +37,12 @@ def _score_edges(edges: DataFrame) -> DataFrame:
     wdeg = edges.groupBy(F.col("src").alias("id")).agg(F.sum("wgt").alias("wd"))
     return (
         edges.filter(F.col("src") != F.col("dst"))
-        .join(state_hint(wdeg.withColumnRenamed("id", "src"), None), "src")
+        .join(state_hint(wdeg.withColumnRenamed("id", "src"), nv), "src")
         .withColumnRenamed("wd", "w_src")
         .join(
             state_hint(
                 wdeg.withColumnRenamed("id", "dst").withColumnRenamed("wd", "w_dst"),
-                None,
+                nv,
             ),
             "dst",
         )
@@ -72,13 +72,14 @@ def community_agglomeration(
             "community", F.col("id")
         )
     ).localCheckpoint()
+    nv = mapping.count()
     cur = edges.select("src", "dst", "wgt").localCheckpoint()
 
     for _ in range(max_levels):
         # only positive modularity gain contracts — the agglomeration
         # stopping rule (merging the last two super-nodes always has
         # negative gain, so the loop terminates at a real clustering)
-        scored = _score_edges(cur).filter(F.col("score") > 0)
+        scored = _score_edges(cur, nv).filter(F.col("score") > 0)
         if min_score_filter:
             stats = scored.agg(F.avg("score").alias("m")).collect()[0]
             if stats["m"] is not None:
@@ -98,14 +99,18 @@ def community_agglomeration(
         n_matches = mutual.count()
         if n_matches == 0:
             break
-        # relabel: matched high vertex -> its partner (min id)
+        # relabel: matched high vertex -> its partner (min id).
+        # n_matches is known ≤ nv/2, so the checkpointed (stats-less)
+        # relabel table gets an explicit broadcast/shuffle hint —
+        # without it AQE falls back to shuffling the full edge table
+        # against it every level
         relabel = mutual.localCheckpoint()
 
         def apply_relabel(df: DataFrame, col: str) -> DataFrame:
             r = relabel.withColumnRenamed("id", col).withColumnRenamed(
                 "new_id", f"_n_{col}"
             )
-            return df.join(state_hint(r, None), col, "left").withColumn(
+            return df.join(state_hint(r, n_matches), col, "left").withColumn(
                 col, F.coalesce(f"_n_{col}", col)
             ).drop(f"_n_{col}")
 
@@ -119,7 +124,7 @@ def community_agglomeration(
             "new_id", "new_comm"
         )
         mapping = (
-            mapping.join(state_hint(r, None), "community", "left")
+            mapping.join(state_hint(r, n_matches), "community", "left")
             .select("id", F.coalesce("new_comm", "community").alias("community"))
             .localCheckpoint()
         )
