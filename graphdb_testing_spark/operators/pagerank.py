@@ -73,6 +73,8 @@ def pagerank(
         .localCheckpoint()
     )
     nv = deg.count()
+    if nv == 0:
+        return deg.select("id", F.lit(0.0).alias("pr"))
     base = (1.0 - damping) / nv
     deg_b = state_hint(deg, nv)
 

@@ -68,3 +68,19 @@ def test_community_weights_pull_pairs_together(spark):
     assert got[1] == got[2]
     assert got[3] == got[4]
     assert got[1] != got[3]
+
+
+def test_core_numbers_match_peeling(spark, bridged_cliques):
+    """Cross-implementation agreement: the h-index-fixpoint core
+    numbers must equal the peeling definition for every k."""
+    from pyspark.sql import functions as F
+
+    from graphdb_testing_spark.operators.kcore import core_numbers, kcore_vertices
+
+    cores = {r.id: r.core for r in core_numbers(bridged_cliques).collect()}
+    assert cores, "non-empty graph must yield core numbers"
+    max_core = max(cores.values())
+    for k in range(1, max_core + 2):
+        peeled = {r.id for r in kcore_vertices(bridged_cliques, k).collect()}
+        via_core = {v for v, c in cores.items() if c >= k}
+        assert peeled == via_core, f"k={k}: peel={peeled} core={via_core}"

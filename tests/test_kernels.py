@@ -61,3 +61,14 @@ def test_pagerank_fixed_iterations_deterministic(spark, bowtie_graph):
     # symmetric roles: 0,1,3,4 identical by symmetry; 2 is the hub
     assert a[0] == pytest.approx(a[4], abs=1e-12)
     assert a[2] > a[0]
+
+
+def test_kernels_empty_graph(spark):
+    from graphdb_testing_spark.operators.components import connected_components
+    from graphdb_testing_spark.operators.pagerank import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
+    pr = pagerank(empty)
+    assert pr.count() == 0
+    assert [f.name for f in pr.schema.fields] == ["id", "pr"]
