@@ -119,3 +119,24 @@ def fingerprint(
             ],
         ).alias("fingerprint")
     )
+
+
+#: GPT-2-ish pre-tokenizer shape: letter runs, digit runs, single
+#: punctuation marks.  Kept to a class-only regex so Java (Spark) and
+#: RE2-style (DuckDB) engines match byte-for-byte.
+BPE_PIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, n_pieces, n_distinct_pieces)`` — token counting with
+    a BPE-style pre-tokenizer regex (the cost model for LLM training
+    data), all JVM-side (``regexp_extract_all``)."""
+    # column API, not F.expr: a SQL string literal would eat the \s
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PIECE_RE), F.lit(0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_distinct_pieces"),
+    )

@@ -507,3 +507,25 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("start_us"),
         F.max(F.unix_micros("ts")).alias("end_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style token counting (training-data cost model)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_token_counts",
+    r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_pieces,
+       CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_distinct_pieces
+FROM documents
+""",
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE-ish piece counts (letter runs / digit runs /
+    punctuation) — the whitespace-free token-count signal a training
+    pipeline budgets by."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return textstats.bpe_token_counts(docs)
