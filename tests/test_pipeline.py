@@ -153,3 +153,13 @@ def test_frame_sampling(spark, docs):
     # duration = len(text)*10 ms -> len/10 + 1 frames at 100ms
     n_chars = len("the quick brown fox jumps over the lazy dog again and again")
     assert one.count() == (n_chars * 10 - 1) // 100 + 1
+
+
+def test_resize_rewrites_metadata_keeps_payload(spark, docs):
+    media = multimodal.synthetic_media(docs, modality="image")
+    out = multimodal.resize_images(media, 32, 24)
+    row = out.filter(F.col("media_id") == 1).collect()[0]
+    assert row.meta.width == 32 and row.meta.height == 24
+    assert row.meta.codec == "synthetic"
+    orig = media.filter(F.col("media_id") == 1).collect()[0]
+    assert bytes(row.content) == bytes(orig.content)
