@@ -1,0 +1,264 @@
+"""Temporal-join + windowed-analytics queries and DuckDB oracles.
+
+Covers the operators a training-data pipeline layers on top of the
+reference's time-filtered scans (``include/stinger.h:312-315``):
+point-in-time (as-of) join, interval/range join, multi-granularity
+rollups, and per-group top-k.  Registered into the shared registry on
+import, like :mod:`queries_pipeline`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import datasets
+from .functions import dedup
+from .operators.components import connected_components
+from .operators.temporal import asof_join, range_join
+from .queries import register
+
+# ---------------------------------------------------------------------------
+# as-of (point-in-time) join: latest strictly-prior purchase per event
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_latest_purchase",
+    """
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       p.event_id AS last_purchase_id, p.value AS last_purchase_value
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT p.event_id, p.value FROM events p
+  WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+    AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
+  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+) p ON true
+""",
+)
+def q_asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event, the user's most recent strictly-prior purchase
+    (ties broken by event id) — the point-in-time feature-join shape.
+    One shuffle on ``user_id``; the oracle's LATERAL probe is the
+    O(n·m) formulation of the same semantics."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("last_purchase_id"),
+        F.col("value").alias("last_purchase_value"),
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        value_cols=["last_purchase_id", "last_purchase_value"],
+        tiebreak=("event_id", "last_purchase_id"),
+        strict=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "last_purchase_id",
+        "last_purchase_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval/range join: activity within 10 minutes after a same-user error
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "error_followup_events",
+    """
+SELECT er.event_id AS error_id, er.user_id,
+       COUNT(e.event_id) AS n_follow,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events er
+LEFT JOIN events e
+  ON e.user_id = er.user_id AND e.event_type <> 'error'
+ AND e.ts >= er.ts AND e.ts <= er.ts + INTERVAL 10 MINUTE
+WHERE er.event_type = 'error'
+GROUP BY 1, 2
+""",
+)
+def q_error_followup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: count + value of the same user's non-error
+    events in the closed 10-minute window after it.  Implemented with
+    the bucketed :func:`range_join` (equi-join on (user, bucket), then
+    the exact containment filter) — no nested-loop join at any scale."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("win_end"),
+    )
+    pts = ev.filter(F.col("event_type") != "error").select(
+        "user_id", "ts", "value", F.col("event_id").alias("pt_id")
+    )
+    matches = range_join(
+        pts,
+        errors,
+        on=["user_id"],
+        point_time="ts",
+        start="err_ts",
+        end="win_end",
+        bucket_us=600_000_000,
+    )
+    agg = matches.groupBy("error_id").agg(
+        F.count("*").alias("n_follow"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return (
+        errors.select("error_id", "user_id")
+        .join(agg, "error_id", "left")
+        .select(
+            "error_id",
+            "user_id",
+            F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup GROUP resolution: LSH pairs → connected components → canonical id
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_THRESHOLD = 0.5
+
+
+def _near_dup_groups_oracle() -> str:
+    from .queries_pipeline import _minhash_oracle
+
+    return f"""
+WITH RECURSIVE cand AS (
+{_minhash_oracle()}
+),
+pairs AS (SELECT a_id, b_id FROM cand WHERE jaccard >= {_NEAR_DUP_THRESHOLD}),
+pedges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM pedges
+  UNION
+  SELECT e.dst, r.label FROM pedges e JOIN reach r ON e.src = r.id
+),
+labels AS (SELECT id, MIN(label) AS label FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS group_id
+FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+"""
+
+
+@register("near_dup_groups", _near_dup_groups_oracle())
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup group assignment: MinHash-LSH candidates →
+    exact-Jaccard ≥ 0.5 → connected components over the near-dup pair
+    graph → every document labeled with its group's min doc_id
+    (singletons label themselves).  Composes the pipeline half
+    (:mod:`functions.dedup`) with the graph half
+    (:func:`operators.components.connected_components`) — the shape of
+    fleet-scale corpus dedup."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=_NEAR_DUP_THRESHOLD)
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    labels = connected_components(edges)
+    out = (
+        docs.select("doc_id")
+        .join(labels, docs.doc_id == labels.id, "left")
+        .select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias("group_id")
+        )
+    )
+    labels.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# multi-granularity rollup (hypertable-style day/type cube slice)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rollup",
+    """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+       event_type,
+       CAST(GROUPING(date_trunc('day', ts)) * 2 + GROUPING(event_type) AS BIGINT)
+         AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+""",
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (day, event_type) → day → grand total in
+    one pass — Spark's ROLLUP grouping sets are map-side-combined like
+    any hash aggregate, so the three granularities cost one shuffle."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    return (
+        ev.rollup(day.alias("day"), F.col("event_type"))
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("day").cast("long").alias("day_epoch"),
+            "event_type",
+            "gid",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-group top-k (window ranking)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_orders_per_priority",
+    """
+SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+           AS rk
+  FROM orders
+)
+WHERE rk <= 3
+""",
+)
+def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price within each priority class —
+    the canonical per-group top-k; Spark pushes the rank filter into
+    a partial ``WindowGroupLimit`` before the shuffle."""
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    )
