@@ -72,6 +72,44 @@ def bfs(
     return dist
 
 
+def sssp_weighted(
+    edges: DataFrame,
+    source: int,
+    rounds: int = 6,
+) -> DataFrame:
+    """``(id, dist)`` — bounded-round Bellman-Ford over the weighted
+    symmetric edge table (``wgt`` as edge length).
+
+    Extends the reference's unweighted BFS kernel (its weights are
+    multiplicities, never distances — SURVEY.md §2.4) to true weighted
+    shortest paths.  Runs exactly ``rounds`` relaxations so a
+    fixed-unroll SQL oracle computes the identical partial fixpoint;
+    with ``rounds >= graph diameter`` this is the full solution.  Each
+    round is one join + min-aggregate; state is re-materialized per
+    round, with the measured broadcast-below/shuffle-above policy
+    (:func:`~graphdb_testing_spark.operators.util.state_hint`).
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", "wgt")
+    e = e.coalesce(iter_partitions(edges.count()))
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "id long, dist long"
+    ).localCheckpoint()
+    reached = 1
+    for _ in range(rounds):
+        relaxed = e.join(state_hint(dist, reached), e.src == F.col("id")).select(
+            F.col("dst").alias("id"), (F.col("dist") + F.col("wgt")).alias("dist")
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        reached = dist.count()  # cheap on the materialized checkpoint
+    return dist
+
+
 def bfs_levels(dist: DataFrame) -> DataFrame:
     """``(dist, frontier_size)`` — the per-level sizes the reference
     prints (``tests/sqlite/test.c:226-227``)."""

@@ -23,11 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def triangles_per_vertex(edges: DataFrame) -> DataFrame:
-    """``(id, ntri)`` with the reference's 2×-per-triangle convention.
-
-    Vertices in no triangle get ``ntri = 0`` (the reference
-    initializes the array to zero).
+def _oriented_triangles(edges: DataFrame) -> DataFrame:
+    """``(a, u, v)`` — every triangle exactly once, apex ``a`` first.
 
     Scale design: edges are **degree-oriented** (low ``(degree, id)``
     endpoint → high) before the wedge join — the standard
@@ -64,7 +61,17 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     w2 = oriented.select(F.col("a"), F.col("b").alias("v"), F.col("bkey").alias("vkey"))
     wedges = w1.join(w2, "a").filter(F.col("ukey") < F.col("vkey"))
     closing = oriented.select(F.col("a").alias("u"), F.col("b").alias("v"))
-    tri = wedges.join(closing, ["u", "v"]).select("a", "u", "v")
+    return wedges.join(closing, ["u", "v"]).select("a", "u", "v")
+
+
+def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+    """``(id, ntri)`` with the reference's 2×-per-triangle convention.
+
+    Vertices in no triangle get ``ntri = 0`` (the reference
+    initializes the array to zero).  See :func:`_oriented_triangles`
+    for the scale design.
+    """
+    tri = _oriented_triangles(edges)
     # single pass: explode each triangle to its 3 corners (a 3-way
     # union of projections would re-execute the wedge join 3 times)
     corners = tri.select(F.explode(F.array("a", "u", "v")).alias("id"))
@@ -72,6 +79,51 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     all_ids = edges.select(F.col("src").alias("id")).distinct()
     return all_ids.join(counts, "id", "left").select(
         "id", F.coalesce("ntri", F.lit(0)).alias("ntri")
+    )
+
+
+def edge_embeddedness(edges: DataFrame) -> DataFrame:
+    """``(src, dst, common_neighbors, jaccard)`` per canonical
+    (``src < dst``) edge: the number of shared neighbors of the two
+    endpoints and the Jaccard similarity of their neighborhoods —
+    the per-edge triangle *support*, a standard link-strength /
+    link-prediction feature.
+
+    Built on the same degree-oriented triangle enumeration as
+    :func:`triangles_per_vertex` (each triangle supports its three
+    edges), so the wedge join stays ``Σ outdeg²`` instead of the naive
+    ``Σ deg²`` common-neighbor self-join.
+    """
+    tri = _oriented_triangles(edges)
+    side = lambda x, y: F.struct(  # noqa: E731
+        F.least(x, y).alias("s"), F.greatest(x, y).alias("d")
+    )
+    support = (
+        tri.select(
+            F.explode(
+                F.array(side("a", "u"), side("a", "v"), side("u", "v"))
+            ).alias("e")
+        )
+        .groupBy(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+        .agg(F.count("*").cast("long").alias("common_neighbors"))
+    )
+    canon = edges.filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    return (
+        canon.join(support, ["src", "dst"], "left")
+        .na.fill({"common_neighbors": 0})
+        .join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+        .select(
+            "src",
+            "dst",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("sdeg") + F.col("ddeg") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 

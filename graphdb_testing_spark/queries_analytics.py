@@ -9,8 +9,10 @@ from pyspark.sql import functions as F
 
 from . import datasets, oracles
 from .operators.betweenness import betweenness
+from .operators.bfs import sssp_weighted
 from .operators.community import community_agglomeration
 from .operators.kcore import core_numbers
+from .operators.triangles import edge_embeddedness
 from .queries import register
 
 _N_ROOTS = 4
@@ -85,6 +87,74 @@ def q_betweenness_4roots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return betweenness(g.edges, roots, max_depth=_LEVELS - 1)
+
+
+_SSSP_ROUNDS = 6
+_SSSP_SOURCE = 0
+
+
+def _sssp_weighted_oracle(rounds: int = _SSSP_ROUNDS, source: int = _SSSP_SOURCE) -> str:
+    """Bellman-Ford unrolled to a fixed round count in plain SQL —
+    identical partial fixpoint to the engine's bounded-round loop."""
+    ctes = [
+        f"d0(id, dist) AS (SELECT CAST({source} AS BIGINT) AS id,"
+        " CAST(0 AS BIGINT) AS dist)"
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + e.wgt AS dist
+    FROM user_edges e JOIN d{i - 1} d ON e.src = d.id
+  ) GROUP BY id)"""
+        )
+    return oracles.with_user_edges(
+        f"SELECT id, dist FROM d{rounds}", extra_ctes=",\n".join(ctes)
+    )
+
+
+@register("sssp_weighted_6round", _sssp_weighted_oracle())
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths from user 0 over the co-participation
+    graph, 6 Bellman-Ford rounds (weight = edge length; extends the
+    reference's unweighted BFS kernel)."""
+    g = datasets.user_graph(spark, sf_dir)
+    return sssp_weighted(g.edges, _SSSP_SOURCE, rounds=_SSSP_ROUNDS)
+
+
+_EMBED_ORACLE = oracles.with_user_edges(
+    body="""
+SELECT h.src, h.dst, COALESCE(cn.common_neighbors, 0) AS common_neighbors,
+       ROUND(COALESCE(cn.common_neighbors, 0)
+             / (1e0 * (da.deg + db.deg - COALESCE(cn.common_neighbors, 0))), 6)
+         AS jaccard
+FROM half h
+LEFT JOIN cn ON cn.src = h.src AND cn.dst = h.dst
+JOIN deg da ON da.id = h.src
+JOIN deg db ON db.id = h.dst
+""",
+    extra_ctes="""
+half AS (SELECT src, dst FROM user_edges WHERE src < dst),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM user_edges GROUP BY 1),
+cn AS (
+  SELECT a.src AS src, b.src AS dst, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+  FROM user_edges a JOIN user_edges b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+""",
+)
+
+
+@register("edge_embeddedness", _EMBED_ORACLE)
+def q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge common-neighbor count + neighborhood Jaccard on the
+    user graph — link-strength features via the degree-oriented
+    triangle enumeration (the oracle uses the naive common-neighbor
+    self-join, an independent formulation)."""
+    g = datasets.user_graph(spark, sf_dir)
+    return edge_embeddedness(g.edges)
 
 
 @register("community_agglomeration")  # iterative matching: rows-only check

@@ -43,3 +43,19 @@ def test_kcore_path(spark, path_graph):
     # a path is 1-core everywhere; 2-core empty
     assert kcore_vertices(path_graph, 1).count() == 7
     assert kcore_vertices(path_graph, 2).count() == 0
+
+
+def test_edge_embeddedness_triangle_with_pendant(spark):
+    from tests.conftest import edges_df
+
+    from graphdb_testing_spark.operators.triangles import edge_embeddedness
+
+    g = edges_df(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    rows = {(r.src, r.dst): r for r in edge_embeddedness(g).collect()}
+    assert rows[(0, 1)].common_neighbors == 1
+    assert rows[(0, 1)].jaccard == pytest.approx(1 / 3)
+    assert rows[(0, 2)].common_neighbors == 1
+    assert rows[(0, 2)].jaccard == pytest.approx(0.25)
+    assert rows[(2, 3)].common_neighbors == 0
+    assert rows[(2, 3)].jaccard == 0.0
+    assert len(rows) == 4

@@ -72,3 +72,24 @@ def test_kernels_empty_graph(spark):
     pr = pagerank(empty)
     assert pr.count() == 0
     assert [f.name for f in pr.schema.fields] == ["id", "pr"]
+
+
+def test_sssp_weighted_path(spark):
+    from tests.conftest import edges_df
+
+    from graphdb_testing_spark.operators.bfs import sssp_weighted
+
+    # 0 -2- 1 -3- 2, plus a heavy shortcut 0 -10- 2
+    g = edges_df(spark, [(0, 1), (1, 2), (0, 2)], weights=[2, 3, 10])
+    dist = {r.id: r.dist for r in sssp_weighted(g, 0, rounds=4).collect()}
+    assert dist == {0: 0, 1: 2, 2: 5}  # via 1, not the weight-10 edge
+
+
+def test_sssp_weighted_bounded_rounds(spark):
+    from tests.conftest import edges_df
+
+    from graphdb_testing_spark.operators.bfs import sssp_weighted
+
+    g = edges_df(spark, [(0, 1), (1, 2)], weights=[2, 3])
+    dist = {r.id: r.dist for r in sssp_weighted(g, 0, rounds=1).collect()}
+    assert dist == {0: 0, 1: 2}  # vertex 2 unreached after one round
