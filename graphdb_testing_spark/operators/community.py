@@ -79,13 +79,18 @@ def community_agglomeration(
         # only positive modularity gain contracts — the agglomeration
         # stopping rule (merging the last two super-nodes always has
         # negative gain, so the loop terminates at a real clustering)
-        scored = _score_edges(cur, nv).filter(F.col("score") > 0)
+        # scored feeds BOTH the mean threshold and the argmax —
+        # materialize once instead of re-running the score join per use
+        scored = _score_edges(cur, nv).filter(F.col("score") > 0).localCheckpoint()
         if min_score_filter:
             stats = scored.agg(F.avg("score").alias("m")).collect()[0]
             if stats["m"] is not None:
                 scored = scored.filter(F.col("score") >= stats["m"])
-        best = scored.groupBy("src").agg(
-            F.max_by("dst", F.struct(F.col("score"), -F.col("dst"))).alias("best")
+        # best is self-joined for mutuality — keep it materialized too
+        best = (
+            scored.groupBy("src")
+            .agg(F.max_by("dst", F.struct(F.col("score"), -F.col("dst"))).alias("best"))
+            .localCheckpoint()
         )
         rev = best.select(
             F.col("src").alias("dst"), F.col("best").alias("best_rev")

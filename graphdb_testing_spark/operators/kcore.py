@@ -89,14 +89,28 @@ def core_numbers(edges: DataFrame, max_rounds: int = 100, k_max: int | None = No
         .localCheckpoint()
     )
     nv = state.count()
+    # cores only decrease, so Σcore strictly drops on any change — a
+    # single-table aggregate over the cached state replaces a
+    # join-based changed-flag test (one fewer stage per round)
+    prev_sum = state.agg(F.sum("core")).collect()[0][0]
     for _ in range(max_rounds):
         nbr = e.join(
             state_hint(state.withColumnRenamed("id", "dst"), nv), "dst"
         ).select(F.col("src").alias("id"), F.col("core").alias("c_nbr"))
-        w = Window.partitionBy("id").orderBy(F.desc("c_nbr"))
+        # histogram h-index: pre-aggregate to (id, value, multiplicity)
+        # so the map side combines before the shuffle and the per-id
+        # sort runs over distinct neighbor values, not every edge row;
+        # h = max over values v of min(v, #neighbors with c >= v),
+        # with the running count taken at each distinct value.
+        hist = nbr.groupBy("id", "c_nbr").agg(F.count("*").alias("cnt"))
+        w = (
+            Window.partitionBy("id")
+            .orderBy(F.desc("c_nbr"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
         hidx = (
-            nbr.withColumn("rn", F.row_number().over(w))
-            .select("id", F.least(F.col("c_nbr"), F.col("rn")).alias("h"))
+            hist.withColumn("cum", F.sum("cnt").over(w))
+            .select("id", F.least(F.col("c_nbr"), F.col("cum")).alias("h"))
             .groupBy("id")
             .agg(F.max("h").alias("new_core"))
         )
@@ -110,16 +124,10 @@ def core_numbers(edges: DataFrame, max_rounds: int = 100, k_max: int | None = No
             )
             .localCheckpoint()
         )
-        changed = (
-            new_state.join(
-                state.withColumnRenamed("core", "old_core"), "id"
-            )
-            .filter(F.col("core") != F.col("old_core"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_state.agg(F.sum("core")).collect()[0][0]
         state.unpersist()
         state = new_state
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return state.select("id", F.col("core").cast("int").alias("core"))
