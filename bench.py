@@ -34,6 +34,7 @@ from graphdb_testing_spark.operators.triangles import (  # noqa: E402
     triangles_per_vertex,
 )
 from graphdb_testing_spark.operators.updates import apply_actions  # noqa: E402
+from graphdb_testing_spark import queries_temporal  # noqa: E402,F401 (registers)
 from graphdb_testing_spark.queries import all_queries  # noqa: E402
 from graphdb_testing_spark.session import get_spark  # noqa: E402
 
@@ -114,6 +115,21 @@ def main() -> None:
     # q1: relational aggregation layer
     q1 = all_queries()["q1_pricing_summary"]
     timed("q1", lambda: q1(spark, sf_dir).collect())
+
+    # dedup: MinHash+LSH near-duplicate pairs over documents (the
+    # training-data pipeline headline; shingle explode + band join)
+    def _dedup():
+        from graphdb_testing_spark.functions.dedup import minhash_near_duplicates
+
+        docs = datasets.load_table(spark, sf_dir, "documents")
+        meta["near_dup_pairs"] = minhash_near_duplicates(docs).count()
+
+    timed("dedup", _dedup)
+
+    # asof: point-in-time join over the event stream (one shuffle +
+    # window; feature-join shape)
+    asof = all_queries()["asof_latest_purchase"]
+    timed("asof", lambda: asof(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 4)
     print(
