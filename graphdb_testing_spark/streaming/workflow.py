@@ -290,3 +290,108 @@ def random_edge_stream(
         F.lit(1).cast("long").alias("weight"),
         F.col("timestamp").alias("ts"),
     )
+
+
+def streaming_sessions(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: int = 30,
+    query_name: str = "sessions",
+    max_files_per_trigger: int | None = None,
+):
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` — the engine's analog of the
+    reference's pluggable stateful algorithms (``stinger_alg_t``,
+    ``stinger-workflow.h:87-126``), expressed on Structured Streaming.
+
+    State per user: ``(session_seq, n_events, start_us, last_us)`` of
+    the open session.  Each micro-batch assigns the user's new events
+    to sessions (30-min inactivity gap, same semantics as the batch
+    ``user_sessions`` query down to tie-breaks) and **emits sessions
+    that closed**; the still-open session stays in state for the next
+    batch.  In-batch assignment is vectorized pandas (gap diff +
+    cumsum), not a per-row Python loop; Arrow moves the batches.
+
+    Returns the started query (memory sink, ``availableNow``); read
+    emitted closed sessions from the ``query_name`` temp table.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def assign(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            seq, n, start, last = state.get
+        else:
+            seq, n, start, last = 0, 0, None, None
+        closed: list[tuple[int, int, int, int, int]] = []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            us = us.to_numpy()
+            # vectorized gaps-and-islands: first event continues the
+            # open session unless the gap from `last` exceeds the cap
+            prev = pd.Series(us).shift()
+            if last is not None:
+                prev.iloc[0] = last
+            is_new = (prev.isna() | ((us - prev) > gap_us)).to_numpy()
+            if last is not None and is_new[0]:
+                # the carried open session closed at the batch boundary
+                closed.append((user_id, seq, n, start, last))
+            continues = last is not None and not is_new[0]
+            # when continuing, cumsum[0] == 0 so sid[0] lands on `seq`
+            sid = seq + is_new.cumsum()
+            df = pd.DataFrame({"sid": sid, "us": us})
+            g = df.groupby("sid")["us"].agg(["count", "min", "max"])
+            last_sid = int(g.index.max())
+            for s, row in g.iterrows():
+                cnt, mn, mx = int(row["count"]), int(row["min"]), int(row["max"])
+                if continues and s == seq:
+                    # merge the carried open session's stats
+                    cnt += n
+                    mn = start
+                if s < last_sid:
+                    closed.append((user_id, int(s), cnt, mn, mx))
+                else:
+                    seq, n, start, last = int(s), cnt, mn, mx
+        state.update((int(seq), int(n), int(start) if start is not None else 0,
+                      int(last) if last is not None else 0))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_seq", "n_events", "start_us", "end_us"],
+            )
+
+    reader = spark.readStream.schema(
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = (
+        reader.parquet(events_path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "event_id", "ts")
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        assign,
+        outputStructType=(
+            "user_id long, session_seq long, n_events long,"
+            " start_us long, end_us long"
+        ),
+        stateStructType="session_seq long, n_events long, start_us long, last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

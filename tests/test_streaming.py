@@ -163,3 +163,77 @@ def test_random_edge_stream_deterministic(spark, tmp_path):
     got = {(r.seq, r.src, r.dst) for r in rows}
     exp = {(r.seq, r.src, r.dst) for r in recomputed}
     assert got == exp
+
+
+def test_streaming_sessions_match_batch_closed_sessions(spark, tmp_path):
+    import shutil
+
+    from graphdb_testing_spark import queries_pipeline  # noqa: F401 (registers)
+    from graphdb_testing_spark.queries import all_queries
+    from graphdb_testing_spark.streaming.workflow import streaming_sessions
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "sess_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", stream_dir / "part-0.parquet")
+    q = streaming_sessions(spark, str(stream_dir), query_name="t_sessions")
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.start_us, r.end_us)
+        for r in spark.sql("select * from t_sessions").collect()
+    }
+    assert len(got) > 0
+    # batch twin: every session except each user's last (still open in
+    # the stateful operator) must be emitted with identical stats
+    batch = all_queries()["user_sessions"](spark, sf).collect()
+    last_per_user = {}
+    for r in batch:
+        last_per_user[r.user_id] = max(
+            last_per_user.get(r.user_id, 0), r.session_seq
+        )
+    expected = {
+        (r.user_id, r.session_seq): (r.n_events, r.start_us, r.end_us)
+        for r in batch
+        if r.session_seq < last_per_user[r.user_id]
+    }
+    assert got == expected
+
+
+def test_streaming_sessions_state_carries_across_batches(spark, tmp_path):
+
+
+    from graphdb_testing_spark import queries_pipeline as _qp  # noqa: F401
+    from graphdb_testing_spark.queries import all_queries
+    from graphdb_testing_spark.streaming.workflow import streaming_sessions
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "sess_stream2"
+    stream_dir.mkdir()
+    # two event-time-ordered files -> two micro-batches; open sessions
+    # spanning the file boundary must merge via the carried state.
+    # pyarrow keeps the TIMESTAMP(NANOS) physical type the stream
+    # schema expects (a SQL COPY would rewrite it as micros)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/events.parquet").sort_by([("ts", "ascending")])
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), f"{stream_dir}/part-0.parquet")
+    pq.write_table(t.slice(half), f"{stream_dir}/part-1.parquet")
+    q = streaming_sessions(
+        spark, str(stream_dir), query_name="t_sessions2", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.start_us, r.end_us)
+        for r in spark.sql("select * from t_sessions2").collect()
+    }
+    batch = all_queries()["user_sessions"](spark, sf).collect()
+    last_per_user = {}
+    for r in batch:
+        last_per_user[r.user_id] = max(last_per_user.get(r.user_id, 0), r.session_seq)
+    expected = {
+        (r.user_id, r.session_seq): (r.n_events, r.start_us, r.end_us)
+        for r in batch
+        if r.session_seq < last_per_user[r.user_id]
+    }
+    assert got == expected
