@@ -129,3 +129,48 @@ def test_histogram_and_result_store(spark, tmp_path, path_graph):
     assert spark.sql("select count(*) from result_degree").collect()[0][0] == 7
     store.dump(str(tmp_path), batch=0)
     assert spark.read.parquet(str(tmp_path / "degree.0.parquet")).count() == 7
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from graphdb_testing_spark.sources.bucketed import (
+        drop_bucketed,
+        load_bucketed,
+        save_edges_bucketed,
+    )
+
+    # managed table in the default warehouse (static conf can't move
+    # per-test); DROP TABLE below removes the files
+    edges = spark.createDataFrame(
+        [(i % 50, (i * 7) % 50, 1) for i in range(500)],
+        "src long, dst long, wgt long",
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle path: with broadcast allowed the small test
+        # table would be broadcast and the bucket co-location untested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        save_edges_bucketed(edges, "e_bucketed", buckets=4)
+        t = load_bucketed(spark, "e_bucketed")
+        # self-join on the bucket key: both sides read co-located
+        joined = t.alias("a").join(t.alias("b"), "src")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        tree = buf.getvalue().split("\n\n")[0]
+        assert "Exchange" not in tree, tree
+        assert re.search(r"SelectedBucketsCount|Bucketed: true", buf.getvalue())
+        # values round-trip
+        assert t.count() == 500
+        got = joined.count()
+        from pyspark.sql import functions as F
+
+        per_src = edges.groupBy("src").agg(F.count("*").alias("n"))
+        expect = per_src.select(F.sum(F.col("n") * F.col("n"))).collect()[0][0]
+        assert got == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        drop_bucketed(spark, "e_bucketed")
