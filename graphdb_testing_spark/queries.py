@@ -201,6 +201,56 @@ def q_pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("pr", 6).alias("pr"))
 
 
+def _ppr_oracle(iters: int = 5, n_seeds: int = 3) -> str:
+    ctes = [
+        f"srcs AS (SELECT src AS id FROM edges GROUP BY src"
+        f" ORDER BY src LIMIT {n_seeds})",
+        "deg AS (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src)",
+        f"""pr0 AS (
+  SELECT d.id, d.degree,
+         CASE WHEN s.id IS NOT NULL THEN 1e0 / {n_seeds} ELSE 0e0 END AS pr
+  FROM deg d LEFT JOIN srcs s ON d.id = s.id)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT d.id, d.degree,
+         CASE WHEN s.id IS NOT NULL THEN 0.15e0 / {n_seeds} ELSE 0e0 END
+           + 0.85e0 * COALESCE(m.mass, 0e0) AS pr
+  FROM deg d
+  LEFT JOIN srcs s ON d.id = s.id
+  LEFT JOIN (
+    SELECT e.src AS id, SUM(p.pr / p.degree) AS mass
+    FROM edges e JOIN pr{i - 1} p ON e.dst = p.id GROUP BY e.src
+  ) m ON d.id = m.id)"""
+        )
+    return oracles.with_edges(
+        body=f"SELECT id, ROUND(pr, 6) AS pr FROM pr{iters}",
+        extra_ctes=",\n".join(ctes),
+    )
+
+
+@register("personalized_pagerank", _ppr_oracle(5))
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the 3 smallest vertex ids (seed set
+    shared deterministically with the SQL oracle), 5 rounds — ranking
+    relative to a seed set, the random-walk-with-restart primitive."""
+    from .operators.pagerank import personalized_pagerank
+
+    g = datasets.part_supplier_graph(spark, sf_dir).canonical()
+    seeds = [
+        r.id
+        for r in g.edges.select(F.col("src").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(3)
+        .collect()
+    ]
+    pr = personalized_pagerank(g.edges, seeds, num_iter=5)
+    g.unpersist()
+    return pr.select("id", F.round("pr", 6).alias("pr"))
+
+
 # ---------------------------------------------------------------------------
 # triangles / clustering coefficients (A2, A3) — user graph
 # ---------------------------------------------------------------------------

@@ -93,3 +93,28 @@ def test_sssp_weighted_bounded_rounds(spark):
     g = edges_df(spark, [(0, 1), (1, 2)], weights=[2, 3])
     dist = {r.id: r.dist for r in sssp_weighted(g, 0, rounds=1).collect()}
     assert dist == {0: 0, 1: 2}  # vertex 2 unreached after one round
+
+
+def test_personalized_pagerank_mass_returns_to_seeds(spark, bridged_cliques):
+    from pyspark.sql import functions as F
+
+    from graphdb_testing_spark.operators.pagerank import personalized_pagerank
+
+    pr = personalized_pagerank(bridged_cliques, [0], num_iter=30)
+    rows = {r.id: r.pr for r in pr.collect()}
+    # mass concentrates around the seed; total stays ~1 on this
+    # connected graph (no dangling vertices)
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
+    assert rows[0] == max(rows.values())
+    far = max(rows, key=lambda v: rows[v] if v != 0 else -1)
+    assert rows[0] > rows[far]
+
+
+def test_personalized_pagerank_unreachable_is_zero(spark, path_graph):
+    from graphdb_testing_spark.operators.pagerank import personalized_pagerank
+
+    # path_graph has a disjoint 10-11 edge; seed in the 0-4 component
+    pr = personalized_pagerank(path_graph, [0], num_iter=20)
+    rows = {r.id: r.pr for r in pr.collect()}
+    assert rows[10] == 0.0 and rows[11] == 0.0
+    assert rows[0] > 0.2
