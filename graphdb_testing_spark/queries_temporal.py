@@ -185,6 +185,61 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dedup decision: near-dup groups + quality → keep the best document
+# ---------------------------------------------------------------------------
+
+
+def _keep_best_oracle() -> str:
+    from .queries_graphops import _QUALITY_ORACLE
+
+    return f"""
+WITH g AS (
+{_near_dup_groups_oracle()}
+),
+q AS (
+{_QUALITY_ORACLE}
+),
+ranked AS (
+  SELECT g.doc_id, g.group_id, q.quality,
+         FIRST_VALUE(g.doc_id) OVER (PARTITION BY g.group_id
+                                     ORDER BY q.quality DESC, g.doc_id)
+           AS keep_id
+  FROM g JOIN q USING (doc_id)
+)
+SELECT doc_id, group_id, quality, keep_id,
+       CAST(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM ranked
+"""
+
+
+@register("dedup_keep_best", _keep_best_oracle())
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-dedup decision: near-dup groups (LSH → CC) joined
+    with heuristic quality scores; each group keeps its highest-quality
+    document (ties → smallest doc_id).  ``kept = 1`` rows are the
+    surviving corpus."""
+    from .functions import textstats
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    groups = q_near_dup_groups(spark, sf_dir)
+    quality = textstats.quality_score(docs)
+    joined = groups.join(quality, "doc_id")
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("keep_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "group_id",
+            "quality",
+            "keep_id",
+            (F.col("doc_id") == F.col("keep_id")).cast("long").alias("kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # multi-granularity rollup (hypertable-style day/type cube slice)
 # ---------------------------------------------------------------------------
 
