@@ -67,7 +67,12 @@ def kcore_vertices(
     return active
 
 
-def core_numbers(edges: DataFrame, max_rounds: int = 100, k_max: int | None = None) -> DataFrame:
+def core_numbers(
+    edges: DataFrame,
+    max_rounds: int = 100,
+    k_max: int | None = None,
+    unroll: int = 4,
+) -> DataFrame:
     """``(id, core)`` — max k such that the vertex survives k-core
     peeling (the reference outputs the max-k labels plus per-k counts,
     ``static_kcore.c:12-57``).
@@ -75,12 +80,26 @@ def core_numbers(edges: DataFrame, max_rounds: int = 100, k_max: int | None = No
     Algorithm: iterated neighborhood h-index (Lü et al. 2016) — init
     ``c(v) = degree(v)``; each round ``c'(v) = h-index of neighbors'
     c values``; the fixpoint is exactly the core number.  Rounds are
-    O(graph radius)-ish in practice, each one join + one window — far
-    cheaper than peeling k levels sequentially (a 100-core graph
-    costs ~100 peel fixpoints the telescope way, ~10 rounds this
-    way).  ``k_max`` is accepted for API compatibility and ignored.
+    O(graph radius)-ish in practice — far cheaper than peeling k
+    levels sequentially (a 100-core graph costs ~100 peel fixpoints
+    the telescope way, ~10 rounds this way).
+
+    Spark-first design: with ``c0 = degree`` the iteration is already
+    pointwise non-increasing (the h-index is ≤ the neighbor count and
+    monotone in its inputs), so no ``least(old, new)`` merge-back
+    join is needed — a round is ONE broadcast join + histogram
+    aggregate + per-id window, referencing the state exactly once.
+    That keeps the lazy plan linear in depth, so ``unroll`` rounds
+    compose into a single checkpointed job, PageRank-style; the
+    Σcore convergence test runs once per chunk (conservative — extra
+    rounds past the fixpoint change nothing).  The h-index itself is
+    one shuffle: ``collect_list`` the neighbor values per vertex,
+    sort descending, and count positions with ``cs[i] ≥ i+1`` via a
+    JVM-side higher-order ``filter`` — no second window shuffle, and
+    the array is bounded by the max degree.  ``k_max`` is accepted
+    for API compatibility and ignored.
     """
-    from pyspark.sql import Window
+    from .util import iter_partitions
 
     e = edges.select("src", "dst")
     state = (
@@ -89,45 +108,40 @@ def core_numbers(edges: DataFrame, max_rounds: int = 100, k_max: int | None = No
         .localCheckpoint()
     )
     nv = state.count()
+    ne = e.count()
+    # right-size and materialize the constant edge relation once —
+    # every round re-reads it (~250k edge rows per task)
+    e = e.coalesce(iter_partitions(ne)).localCheckpoint()
     # cores only decrease, so Σcore strictly drops on any change — a
     # single-table aggregate over the cached state replaces a
-    # join-based changed-flag test (one fewer stage per round)
+    # join-based changed-flag test
     prev_sum = state.agg(F.sum("core")).collect()[0][0]
-    for _ in range(max_rounds):
-        nbr = e.join(
-            state_hint(state.withColumnRenamed("id", "dst"), nv), "dst"
-        ).select(F.col("src").alias("id"), F.col("core").alias("c_nbr"))
-        # histogram h-index: pre-aggregate to (id, value, multiplicity)
-        # so the map side combines before the shuffle and the per-id
-        # sort runs over distinct neighbor values, not every edge row;
-        # h = max over values v of min(v, #neighbors with c >= v),
-        # with the running count taken at each distinct value.
-        hist = nbr.groupBy("id", "c_nbr").agg(F.count("*").alias("cnt"))
-        w = (
-            Window.partitionBy("id")
-            .orderBy(F.desc("c_nbr"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        hidx = (
-            hist.withColumn("cum", F.sum("cnt").over(w))
-            .select("id", F.least(F.col("c_nbr"), F.col("cum")).alias("h"))
-            .groupBy("id")
-            .agg(F.max("h").alias("new_core"))
-        )
-        new_state = (
-            state.join(state_hint(hidx, nv), "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("core"), F.coalesce("new_core", F.lit(0))
-                ).alias("core"),
+    done = 0
+    while done < max_rounds:
+        k = min(unroll, max_rounds - done)
+        old = state
+        for _ in range(k):
+            nbr = e.join(
+                state_hint(state.withColumnRenamed("id", "dst"), nv), "dst"
+            ).select(F.col("src").alias("id"), F.col("core").alias("c_nbr"))
+            # h-index per vertex: h = |{i : cs[i] >= i+1}| over the
+            # descending-sorted neighbor values (1-based i)
+            state = (
+                nbr.groupBy("id")
+                .agg(F.sort_array(F.collect_list("c_nbr"), asc=False).alias("cs"))
+                .select(
+                    "id",
+                    F.size(
+                        F.filter("cs", lambda c, i: c >= i + F.lit(1))
+                    ).cast("long").alias("core"),
+                )
             )
-            .localCheckpoint()
-        )
-        new_sum = new_state.agg(F.sum("core")).collect()[0][0]
-        state.unpersist()
-        state = new_state
+        state = state.localCheckpoint()  # one job: materialize k rounds
+        new_sum = state.agg(F.sum("core")).collect()[0][0]
+        old.unpersist()
+        done += k
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    e.unpersist()
     return state.select("id", F.col("core").cast("int").alias("core"))

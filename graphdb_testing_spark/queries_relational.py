@@ -1,0 +1,156 @@
+"""Relational coverage: prefix sums, semi/anti joins, distinct counts.
+
+Rounds out the SURVEY.md §2.6/§2.7 aggregation and join inventory on
+the relational tables: running totals (the window-function analog of
+the reference's ``prefix_sum``, ``rmatter/src/rmatter.c:23-69``),
+existence/absence joins (``has_typed_successor`` semi-join and
+deletion anti-join shapes, ``include/stinger.h:214-216``), and
+COUNT(DISTINCT) group-bys (``tests/sqlite/test.c:180``).
+
+Registered into the shared registry on import, like
+:mod:`queries_pipeline`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import datasets
+from .queries import register
+
+# ---------------------------------------------------------------------------
+# prefix sum: daily revenue + running cumulative total
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_revenue_running",
+    """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day_epoch,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT day_epoch,
+       CAST(rev AS DOUBLE) AS day_revenue,
+       CAST(SUM(rev) OVER (ORDER BY day_epoch) AS DOUBLE) AS cum_revenue
+FROM daily
+""",
+)
+def q_daily_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue with a running cumulative total — the
+    window-function form of the reference's parallel ``prefix_sum``
+    (``rmatter.c:23-69``).  The unpartitioned ordered window runs over
+    the *daily aggregate* (one row per date — a few thousand rows at
+    any scale), never the raw fact table, so the single-partition
+    window stage stays trivially small.  Sums stay DECIMAL through
+    both the group-by and the window (exact, order-independent) and
+    cast to DOUBLE only on output."""
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("long").alias("day_epoch")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("day_epoch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day_epoch",
+        F.col("rev").cast("double").alias("day_revenue"),
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# anti-join: customers with no orders, per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_without_orders",
+    """
+SELECT n.n_name AS nation, COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+GROUP BY n.n_name
+""",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation count of customers with no order since 1998 — the
+    absence/anti-join shape (same plan as the deletion anti-join,
+    ``operators/updates.py`` M3).  The date filter is pushed to the
+    orders scan before the anti-join, which shuffles on ``custkey``;
+    the nation dim is broadcast.  (Lapsed-since-1998 rather than
+    never-ordered: every synthetic customer has some order, so the
+    unfiltered variant is vacuously empty.)"""
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    orders = (
+        datasets.load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    nat = datasets.load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi-join: orders with at least one returned lineitem, per priority
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "returned_orders_by_priority",
+    """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def q_returned_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having ≥1 returned lineitem, counted per priority — the
+    existence/semi-join shape (``has_typed_successor``,
+    ``include/stinger.h:214-216``; TPC-H Q4's EXISTS).  The return
+    filter is pushed to the lineitem scan before the semi-join."""
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    returned = (
+        datasets.load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT) group-by: unique users per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_users_by_type",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (COUNT(DISTINCT) group-by,
+    ``tests/sqlite/test.c:180``).  Catalyst expands this to the
+    two-level partial-distinct aggregate; at 100 TB the same query
+    swaps to ``approx_count_distinct`` (HLL) when ±2% is acceptable."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
