@@ -219,3 +219,68 @@ def personalized_pagerank(
     out = state.select("id", (F.col("prd") * F.col("degree")).alias("pr"))
     e2.unpersist()
     return out
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    num_iter: int = 5,
+    weight_col: str = "wgt",
+) -> DataFrame:
+    """``(id, pr)`` — PageRank distributing each vertex's rank over
+    its out-edges *proportionally to edge weight*::
+
+        pr'[v] = (1-d)/nv + d · Σ_{u ∈ N(v)} pr[u] · w(u,v) / wdeg(u)
+
+    where ``wdeg(u) = Σ_x w(u,x)``.  The canonical graphs carry
+    weight = edge multiplicity (``rmatter.c:270-291``), so this is
+    the reference semantics of the NetworkX/SciPy backends, which
+    pass the weighted matrix to the library solver
+    (``tests/networkx/test_scipy.py:69``; the unweighted kernels
+    elsewhere are the degenerate w≡1 case).
+
+    Same fused one-join round as :func:`pagerank`: state is the
+    weight-pre-divided rank ``prd = pr / wdeg``; the constant edge
+    relation carries ``wgt`` and ``wdeg_src``, so a round is one
+    state join + one partial-aggregated ``groupBy(src)``.  Fixed
+    ``num_iter`` rounds (unrolled-CTE oracle parity).
+    """
+    e = edges.select("src", "dst", F.col(weight_col).alias("wgt"))
+    wdeg = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.sum("wgt").cast("double").alias("wdeg"))
+        .localCheckpoint()
+    )
+    nv = wdeg.count()
+    if nv == 0:
+        return wdeg.select("id", F.lit(0.0).alias("pr"))
+    base = (1.0 - damping) / nv
+    e2 = (
+        e.join(state_hint(wdeg, nv).withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", "wgt", F.col("wdeg").alias("wdeg_src"))
+        .coalesce(iter_partitions(edges.count()))
+        .localCheckpoint()
+    )
+    state = wdeg.select(
+        "id", (F.lit(1.0 / nv) / F.col("wdeg")).alias("prd"), "wdeg"
+    ).localCheckpoint()
+    for i in range(num_iter):
+        state = (
+            e2.join(state_hint(state, nv), e2.dst == state.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(
+                (
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.sum(F.col("prd") * F.col("wgt"))
+                    )
+                    / F.first("wdeg_src")
+                ).alias("prd"),
+                F.first("wdeg_src").alias("wdeg"),
+            )
+        )
+        if (i + 1) % 5 == 0 or i == num_iter - 1:
+            state = state.localCheckpoint()
+    out = state.select("id", (F.col("prd") * F.col("wdeg")).alias("pr"))
+    e2.unpersist()
+    return out

@@ -174,3 +174,45 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the fixed-round k=3 variant has the exact SQL oracle)."""
     g = datasets.user_graph(spark, sf_dir)
     return core_numbers(g.edges)
+
+
+# ---------------------------------------------------------------------------
+# weighted PageRank — rank distributed proportionally to edge weight
+# ---------------------------------------------------------------------------
+
+
+def _wpr_oracle(iters: int = 5) -> str:
+    ctes = [
+        "deg AS (SELECT src AS id, CAST(SUM(wgt) AS DOUBLE) AS wdeg"
+        " FROM edges GROUP BY src)",
+        "nv AS (SELECT COUNT(*) AS n FROM deg)",
+        "pr0 AS (SELECT id, wdeg, 1e0 / (SELECT n FROM nv) AS pr FROM deg)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT d.id, d.wdeg,
+         0.15e0 / (SELECT n FROM nv) + 0.85e0 * COALESCE(m.mass, 0e0) AS pr
+  FROM deg d LEFT JOIN (
+    SELECT e.src AS id, SUM((p.pr / p.wdeg) * e.wgt) AS mass
+    FROM edges e JOIN pr{i - 1} p ON e.dst = p.id GROUP BY e.src
+  ) m ON d.id = m.id)"""
+        )
+    return oracles.with_edges(
+        body=f"SELECT id, ROUND(pr, 6) AS pr FROM pr{iters}",
+        extra_ctes=",\n".join(ctes),
+    )
+
+
+@register("weighted_pagerank_5iter", _wpr_oracle(5))
+def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 rounds of weight-proportional PageRank on the part–supplier
+    graph (weight = co-occurrence multiplicity, the semantics the
+    reference's NetworkX/SciPy backends apply via the weighted
+    adjacency matrix, ``tests/networkx/test_scipy.py:69``)."""
+    from .operators.pagerank import weighted_pagerank
+
+    g = datasets.part_supplier_graph(spark, sf_dir).canonical()
+    pr = weighted_pagerank(g.edges, num_iter=5)
+    g.unpersist()
+    return pr.select("id", F.round("pr", 6).alias("pr"))

@@ -118,3 +118,24 @@ def test_personalized_pagerank_unreachable_is_zero(spark, path_graph):
     rows = {r.id: r.pr for r in pr.collect()}
     assert rows[10] == 0.0 and rows[11] == 0.0
     assert rows[0] > 0.2
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark, bridged_cliques):
+    from graphdb_testing_spark.operators.pagerank import weighted_pagerank
+
+    pr_u = {r.id: r.pr for r in pagerank(bridged_cliques, num_iter=8).collect()}
+    pr_w = {r.id: r.pr for r in weighted_pagerank(bridged_cliques, num_iter=8).collect()}
+    assert set(pr_u) == set(pr_w)
+    for v in pr_u:
+        assert abs(pr_u[v] - pr_w[v]) < 1e-12
+
+
+def test_weighted_pagerank_weight_pulls_rank(spark):
+    from tests.conftest import edges_df
+    from graphdb_testing_spark.operators.pagerank import weighted_pagerank
+
+    # star 0-1, 0-2 with heavy weight toward 1: vertex 1 outranks 2
+    g = edges_df(spark, [(0, 1), (0, 2)], weights=[9, 1])
+    pr = {r.id: r.pr for r in weighted_pagerank(g, num_iter=20).collect()}
+    assert pr[1] > pr[2]
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
