@@ -35,8 +35,18 @@ def betweenness(
     (the reference treats the symmetric edge relation as a directed
     graph both ways, as we do).
     """
+    from .util import iter_partitions
+
     spark = edges.sparkSession
     e = edges.select("src", "dst")
+    # constant relation, re-read every level of both sweeps:
+    # right-size (~250k edge rows/task) and materialize once
+    ne = e.count()
+    e = e.coalesce(iter_partitions(ne)).localCheckpoint()
+    # per-root state is bounded by nv rows per root; checkpointed
+    # state carries no Catalyst stats, so hint sizes explicitly
+    nv = e.select("src").distinct().count()
+    est = nv * len(roots)
 
     frontier = spark.createDataFrame(
         [(int(r), int(r), 0, 1.0) for r in roots],
@@ -48,10 +58,10 @@ def betweenness(
     while depth < max_depth:
         depth += 1
         nxt = (
-            e.join(state_hint(frontier, len(roots) * 100_000), e.src == frontier.id)
+            e.join(state_hint(frontier, est), e.src == frontier.id)
             .groupBy("root", F.col("dst").alias("id"))
             .agg(F.sum("sigma").alias("sigma"))
-            .join(visited, ["root", "id"], "left_anti")
+            .join(state_hint(visited, est), ["root", "id"], "left_anti")
             .withColumn("dist", F.lit(depth).cast("int"))
             .select("root", "id", "dist", "sigma")
             .localCheckpoint()
@@ -75,9 +85,9 @@ def betweenness(
             F.col("delta").alias("c_delta"),
         )
         contrib = (
-            parents.join(e, parents.id == e.src)
+            state_hint(parents, est).join(e, parents.id == e.src)
             .join(
-                state_hint(c, None),
+                state_hint(c, est),
                 (F.col("dst") == F.col("c_id")) & (F.col("root") == F.col("c_root")),
             )
             .groupBy("root", "id")
