@@ -154,3 +154,32 @@ def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles: median / p90 of event value per type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_value_quantiles",
+    """
+SELECT event_type,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median and p90 of event value per type
+    (``percentile`` — Catalyst's exact sort-based aggregate; DuckDB's
+    ``quantile_cont`` uses the same linear interpolation).  At 100 TB
+    the same query swaps to ``approx_percentile`` (t-digest sketch,
+    mergeable map-side) when sketch accuracy suffices."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.9)"), 6).alias("p90"),
+        F.count("*").alias("n"),
+    )

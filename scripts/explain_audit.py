@@ -89,6 +89,8 @@ def main() -> None:
         queries_analytics,
         queries_graphops,
         queries_pipeline,
+        queries_relational,
+        queries_temporal,
     )
     from graphdb_testing_spark.queries import all_queries
 
@@ -100,6 +102,18 @@ def main() -> None:
     audit("minhash_lsh_candidates", qs["minhash_lsh_candidates"](spark, sf_dir))
     audit("ann_cosine_topk", qs["ann_cosine_topk"](spark, sf_dir))
     audit("ivf_ann_topk", qs["ivf_ann_topk"](spark, sf_dir))
+    audit(
+        "customers_without_orders",
+        qs["customers_without_orders"](spark, sf_dir),
+        expect_pushdown=True,
+    )
+    audit(
+        "returned_orders_by_priority",
+        qs["returned_orders_by_priority"](spark, sf_dir),
+        expect_pushdown=True,
+    )
+    audit("daily_revenue_running", qs["daily_revenue_running"](spark, sf_dir))
+    audit("event_value_quantiles", qs["event_value_quantiles"](spark, sf_dir))
 
     # one iterative-kernel round body: edges join state should be a
     # broadcast hash join with no edge-side exchange

@@ -1,0 +1,126 @@
+"""Property-based invariant tests (SURVEY.md §5) over random graphs.
+
+Each property is an invariant every reference backend implicitly
+guarantees: symmetry of the canonical edge relation, CC label = min
+id of the component, the BFS edge triangle inequality
+(``|d(u)-d(v)| ≤ 1`` across any edge), and PageRank mass
+conservation on symmetric graphs.  Few examples, small graphs — each
+example pays a full Spark job chain.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from graphdb_testing_spark.graph import symmetrize
+from graphdb_testing_spark.operators.bfs import bfs
+from graphdb_testing_spark.operators.components import connected_components
+from graphdb_testing_spark.operators.pagerank import pagerank
+
+pairs_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=30,
+)
+
+_settings = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _directed(spark, pairs):
+    return spark.createDataFrame(
+        [(int(u), int(v)) for u, v in pairs], "src long, dst long"
+    )
+
+
+def _components(pairs):
+    """Ground-truth union-find on the undirected pair list."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        if u != v:
+            parent[find(u)] = find(v)
+    groups: dict[int, set[int]] = {}
+    for u, v in pairs:
+        if u == v:
+            continue
+        for x in (u, v):
+            groups.setdefault(find(x), set()).add(x)
+    return list(groups.values())
+
+
+@given(pairs=pairs_strategy)
+@_settings
+def test_symmetrize_laws(spark, pairs):
+    e = symmetrize(_directed(spark, pairs))
+    rows = e.collect()
+    seen = {(r.src, r.dst): r.wgt for r in rows}
+    # no self-loops, unique pairs, symmetric with equal weight
+    assert all(s != d for s, d in seen)
+    assert len(seen) == len(rows)
+    for (s, d), w in seen.items():
+        assert seen.get((d, s)) == w
+    # weight = multiplicity over both orientations of the input
+    from collections import Counter
+
+    multi = Counter()
+    for u, v in pairs:
+        if u != v:
+            multi[(u, v)] += 1
+            multi[(v, u)] += 1
+    assert dict(multi) == seen
+
+
+@given(pairs=pairs_strategy)
+@_settings
+def test_cc_label_is_component_min(spark, pairs):
+    truth = _components(pairs)
+    if not truth:
+        return
+    e = symmetrize(_directed(spark, pairs))
+    labels = {r.id: r.label for r in connected_components(e).collect()}
+    for comp in truth:
+        want = min(comp)
+        for v in comp:
+            assert labels[v] == want
+
+
+@given(pairs=pairs_strategy)
+@_settings
+def test_bfs_edge_triangle_inequality(spark, pairs):
+    real = [(u, v) for u, v in pairs if u != v]
+    if not real:
+        return
+    e = symmetrize(_directed(spark, pairs))
+    source = min(min(u, v) for u, v in real)
+    dist = {r.id: r.dist for r in bfs(e, source).collect()}
+    assert dist[source] == 0
+    for u, v in real:
+        if u in dist and v in dist:
+            assert abs(dist[u] - dist[v]) <= 1
+        else:
+            # an edge endpoint is reachable iff the other one is
+            assert u not in dist and v not in dist
+
+
+@given(pairs=pairs_strategy)
+@_settings
+def test_pagerank_mass_conservation(spark, pairs):
+    if not any(u != v for u, v in pairs):
+        return
+    e = symmetrize(_directed(spark, pairs))
+    total = pagerank(e, num_iter=10).agg(F.sum("pr").alias("s")).collect()[0]["s"]
+    # symmetric graph, no dangling vertices: total rank mass stays 1
+    assert abs(total - 1.0) < 1e-9
