@@ -395,3 +395,65 @@ def streaming_sessions(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_click_purchase_join(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "2 hours",
+    query_name: str = "click_purchase",
+):
+    """Stream-stream event-time interval join: each purchase matched
+    to the same user's clicks in the preceding hour (attribution
+    shape).  Both sides are watermarked so the join state is bounded
+    — Spark retires buffered click rows once the purchase-side
+    watermark passes ``c_ts + 1 hour``; without the time-range bound
+    the state would grow forever at 100 TB/day.
+
+    The reference has no stream-stream correlation (its closest
+    surface is per-batch incremental maintenance); this is the engine
+    extension for event-stream feature pipelines.  Returns the
+    started query (memory sink, ``availableNow``); rows are
+    ``(purchase_id, user_id, p_ts, click_id, c_ts)``.
+    """
+    schema = (
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def _side(etype: str, prefix: str):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(events_path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", watermark)
+        )
+
+    purchases = _side("purchase", "p")
+    clicks = _side("click", "c")
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts <= p_ts"
+            " AND c_ts >= p_ts - INTERVAL 1 HOUR"
+        ),
+    ).select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("p_user").alias("user_id"),
+        "p_ts",
+        F.col("c_id").alias("click_id"),
+        "c_ts",
+    )
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

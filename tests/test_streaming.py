@@ -237,3 +237,45 @@ def test_streaming_sessions_state_carries_across_batches(spark, tmp_path):
         if r.session_seq < last_per_user[r.user_id]
     }
     assert got == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    import shutil
+
+    from graphdb_testing_spark.datasets import load_table
+    from graphdb_testing_spark.streaming.workflow import (
+        streaming_click_purchase_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "ev_join_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", stream_dir / "part-0.parquet")
+    q = streaming_click_purchase_join(spark, str(stream_dir), query_name="t_csj")
+    q.awaitTermination()
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("select * from t_csj").collect()
+    }
+    ev = load_table(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = {
+        (r.p_id, r.c_id)
+        for r in p.join(
+            c,
+            F.expr(
+                "p_user = c_user AND c_ts <= p_ts"
+                " AND c_ts >= p_ts - INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    }
+    # inner stream-stream join in append mode emits every match
+    assert len(want) > 0
+    assert got == want
