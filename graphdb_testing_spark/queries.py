@@ -162,6 +162,25 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist
 
 
+@register(
+    "bfs_frontier_sizes",
+    _BFS_ORACLE.replace(
+        "SELECT id, MIN(dist) AS dist FROM bfsr GROUP BY id",
+        "SELECT dist, COUNT(*) AS frontier FROM "
+        "(SELECT id, MIN(dist) AS dist FROM bfsr GROUP BY id) GROUP BY dist",
+    ),
+)
+def q_bfs_frontier_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertices reached per BFS level — the per-level frontier sizes
+    the reference prints as its BFS invariant
+    (``tests/sqlite/test.c:226-227``)."""
+    g = datasets.part_supplier_graph(spark, sf_dir).canonical()
+    source = g.edges.agg(F.min("src").alias("s")).collect()[0]["s"]
+    dist = bfs(g.edges, int(source), max_depth=32)
+    g.unpersist()
+    return dist.groupBy("dist").agg(F.count("*").alias("frontier"))
+
+
 # ---------------------------------------------------------------------------
 # PageRank (kernel 4) — fixed 5 iterations, unrolled in SQL
 # ---------------------------------------------------------------------------
