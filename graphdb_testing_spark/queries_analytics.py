@@ -216,3 +216,37 @@ def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = weighted_pagerank(g.edges, num_iter=5)
     g.unpersist()
     return pr.select("id", F.round("pr", 6).alias("pr"))
+
+
+# ---------------------------------------------------------------------------
+# bounded-round core numbers — the h-index iteration, unrolled in SQL
+# ---------------------------------------------------------------------------
+
+
+def _core_numbers_oracle(rounds: int) -> str:
+    ctes = ["c0 AS (SELECT src AS id, COUNT(*) AS core FROM user_edges GROUP BY src)"]
+    for i in range(1, rounds + 1):
+        # h-index of the neighbor multiset: sort desc, count positions
+        # with value >= position (tie order irrelevant to the count)
+        ctes.append(
+            f"""c{i} AS (
+  SELECT id, COUNT(*) FILTER (WHERE c >= rn) AS core FROM (
+    SELECT e.src AS id, p.core AS c,
+           ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY p.core DESC) AS rn
+    FROM user_edges e JOIN c{i - 1} p ON e.dst = p.id
+  ) GROUP BY id)"""
+        )
+    return oracles.with_user_edges(
+        body=f"SELECT id, CAST(core AS INT) AS core FROM c{rounds}",
+        extra_ctes=",\n".join(ctes),
+    )
+
+
+@register("core_numbers_8round", _core_numbers_oracle(8))
+def q_core_numbers_8round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 bounded h-index rounds of the core-number iteration (monotone
+    non-increasing from the degree init, so early fixpoint convergence
+    on either side yields the identical value) — the oracle-checked
+    twin of the rows-only fixpoint `core_numbers` query."""
+    g = datasets.user_graph(spark, sf_dir)
+    return core_numbers(g.edges, max_rounds=8)
