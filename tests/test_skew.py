@@ -85,3 +85,22 @@ def test_salted_aggregate_identical(spark, skewed):
 def test_salted_aggregate_rejects_nondecomposable(spark, skewed):
     with pytest.raises(ValueError):
         salted_aggregate(skewed, ["k"], [("v", "avg", "a")])
+
+
+def test_approx_sketches_track_exact(spark):
+    """The documented 100 TB swap-ins (HLL count-distinct, t-digest
+    percentile) stay within sketch tolerance of the exact aggregates
+    they replace."""
+    from graphdb_testing_spark.datasets import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact_d"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_d"),
+        F.expr("percentile(CAST(value AS DOUBLE), 0.9)").alias("exact_p90"),
+        F.expr("approx_percentile(CAST(value AS DOUBLE), 0.9, 1000)").alias(
+            "approx_p90"
+        ),
+    ).collect()[0]
+    assert abs(row.approx_d - row.exact_d) <= 0.05 * row.exact_d
+    assert abs(row.approx_p90 - row.exact_p90) <= 0.05 * abs(row.exact_p90)
