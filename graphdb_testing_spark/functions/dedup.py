@@ -221,29 +221,61 @@ def simhash(
     return sums.select("doc_id", fingerprint.cast("long").alias("simhash"))
 
 
-def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs whose SimHashes differ in ≤ ``max_hamming`` of 32 bits.
+def simhash_near_duplicates(
+    docs: DataFrame, max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Pairs whose SimHashes differ in ≤ ``max_hamming`` of ``bits`` bits.
 
-    Blocked by the top 16 bits (a SimHash pigeonhole prefix) to avoid
-    the full cross join; exact Hamming check via popcount arithmetic
-    (``bit_count`` is JVM-side in Spark ≥ 3.4).
+    100%-recall pigeonhole blocking: the fingerprint is partitioned into
+    ``max_hamming + 1`` disjoint contiguous bit blocks; any pair within
+    the Hamming budget has too few differing bits to touch every block,
+    so it agrees *exactly* on at least one block.  Candidates come from
+    per-block equi-joins (banded LSH shape — a shuffle join on
+    ``(block, value)``, never an all-pairs cross), then the exact
+    popcount filter (``bit_count`` is JVM-side in Spark ≥ 3.4) removes
+    false positives.  Scale note: block width ``bits/(h+1)`` governs
+    bucket sizes; at corpus scale add more fingerprint bits rather than
+    shrinking blocks below ~8 bits.
     """
+    nblocks = max_hamming + 1
+    bounds = [round(i * bits / nblocks) for i in range(nblocks + 1)]
     # materialize: the fingerprint table feeds both sides of the
     # self-join (Spark re-executes unshared subplans per side)
-    sh = simhash(docs).localCheckpoint()
-    a = sh.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
-    blocked = a.join(
-        b,
-        ((F.col("ha") / (1 << 16)).cast("long") == (F.col("hb") / (1 << 16)).cast("long"))
-        & (F.col("a_id") < F.col("b_id")),
+    sh = simhash(docs, bits=bits).localCheckpoint()
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        (
+                            (F.col("simhash") / (1 << lo)).cast("long")
+                            % (1 << (hi - lo))
+                        ).alias("val"),
+                    )
+                    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:]))
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.block").alias("block"), F.col("bv.val").alias("val"))
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"), "block", "val"
     )
-    hamming = F.bit_count(
-        F.col("ha").cast("long").bitwiseXOR(F.col("hb").cast("long"))
+    b = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"), "block", "val"
     )
-    return blocked.select(
-        "a_id", "b_id", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    cand = (
+        a.join(b, ["block", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("a_id", "b_id", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -361,9 +361,9 @@ _APPLY_ACTIONS_ORACLE = oracles.with_user_edges(
 SELECT src, dst, wgt FROM (
   SELECT COALESCE(b.src, d.src) AS src,
          COALESCE(b.dst, d.dst) AS dst,
-         CASE WHEN d.src IS NULL THEN b.wgt
+         CAST(CASE WHEN d.src IS NULL THEN b.wgt
               WHEN NOT d.had_delete THEN COALESCE(b.wgt, 0) + COALESCE(d.ins_w, 0)
-              ELSE d.ins_w END AS wgt
+              ELSE d.ins_w END AS BIGINT) AS wgt
   FROM user_edges b FULL OUTER JOIN delta d ON b.src = d.src AND b.dst = d.dst
 ) WHERE wgt IS NOT NULL AND wgt > 0
 """,
@@ -388,9 +388,9 @@ with_del AS (
 ),
 delta AS (
   SELECT src, dst,
-         SUM(CASE WHEN NOT is_delete
+         CAST(SUM(CASE WHEN NOT is_delete
                    AND seq > COALESCE(last_del, -4611686018427387904)
-                  THEN weight END) AS ins_w,
+                  THEN weight END) AS BIGINT) AS ins_w,
          MAX(last_del) IS NOT NULL AS had_delete
   FROM with_del GROUP BY src, dst
 )""",

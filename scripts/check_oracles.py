@@ -77,6 +77,18 @@ def main() -> int:
                 )
             except AssertionError as exc:
                 status = f"VALUE MISMATCH: {str(exc)[:400]}"
+            else:
+                # The driver's value-hash is dtype-sensitive (a DuckDB
+                # HUGEINT column hashes differently from Spark's int64
+                # even when the values are equal), so flag dtype drift
+                # that check_dtype=False would hide.
+                bad = [
+                    (c, str(a[c].dtype), str(b[c].dtype))
+                    for c in a.columns
+                    if str(a[c].dtype) != str(b[c].dtype)
+                ]
+                if bad:
+                    status = f"DTYPE MISMATCH (spark,duck): {bad}"
         tag = "ok        " if status == "ok" else "FAIL      "
         print(
             f"[{tag}] {name}: {len(a)} rows (spark {t_spark:.1f}s, duck {t_duck:.1f}s)"
