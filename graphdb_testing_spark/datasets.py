@@ -31,8 +31,13 @@ TABLES = (
     "embeddings",
 )
 
-#: vertex-id namespace offset for suppliers in the part–supplier graph
-SUPPLIER_OFFSET = 1_000_000
+#: vertex-id namespace offset for suppliers in the part–supplier graph.
+#: A high bit (2^40) rather than a decimal constant: partkey max is
+#: 200k·sf, so a 1e6 offset would collide with partkeys at TPC-H
+#: sf >= 5 and silently merge part/supplier vertices.  2^40 is beyond
+#: any TPC-H key range yet far below int64 overflow even after
+#: symmetrize/hash arithmetic.
+SUPPLIER_OFFSET = 1 << 40
 
 
 #: columns stored as parquet TIMESTAMP(NANOS) — Spark's vectorized
@@ -77,7 +82,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def part_supplier_graph(spark: SparkSession, sf_dir: str) -> Graph:
     """Bipartite part–supplier co-occurrence graph.
 
-    Vertices: partkeys (namespace 0) and ``suppkey + 1_000_000``
+    Vertices: partkeys (namespace 0) and ``suppkey + 2^40``
     (namespace 1).  Symmetric, dedup'd, weight = co-occurrence count —
     mirrors the generator's weight-as-multiplicity canonical form
     (reference ``rmatter/src/rmatter.c:270-291``).  Matches

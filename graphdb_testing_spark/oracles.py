@@ -22,7 +22,7 @@ from __future__ import annotations
 #: :func:`datasets.part_supplier_graph`.
 EDGES_CTE = """
 directed AS (
-  SELECT l_partkey AS src, l_suppkey + 1000000 AS dst, COUNT(*) AS wgt
+  SELECT l_partkey AS src, l_suppkey + 1099511627776 AS dst, COUNT(*) AS wgt
   FROM lineitem GROUP BY 1, 2
 ),
 edges AS (

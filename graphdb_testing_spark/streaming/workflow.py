@@ -328,10 +328,16 @@ def streaming_sessions(
         else:
             seq, n, start, last = 0, 0, None, None
         closed: list[tuple[int, int, int, int, int]] = []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # applyInPandasWithState gives NO ordering guarantee across the
+        # Arrow chunks of one group, so a later chunk can carry earlier
+        # timestamps.  Concatenate every chunk for the key and sort ONCE
+        # before the gaps-and-islands pass — group state is per-user and
+        # a user's events per micro-batch are bounded, so this fits.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
             us = us.to_numpy()
             # vectorized gaps-and-islands: first event continues the
