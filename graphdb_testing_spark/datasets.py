@@ -40,12 +40,19 @@ TABLES = (
 SUPPLIER_OFFSET = 1 << 40
 
 
-#: columns stored as parquet TIMESTAMP(NANOS) — Spark's vectorized
-#: reader rejects nanos, so they are read as raw int64 via
-#: ``spark.sql.legacy.parquet.nanosAsLong`` and converted to
-#: microsecond timestamps (integer ``div 1000`` — double division
-#: would lose precision at 1e18 ns).  DuckDB truncates ns→µs the same
-#: way, so values compare bit-for-bit against the oracle.
+#: timestamp columns whose parquet encoding has varied across driver
+#: testdata generations, normalized to TIMESTAMP_LTZ (UTC session) on
+#: load:
+#:
+#: * TIMESTAMP(NANOS) — Spark's vectorized reader rejects nanos, so
+#:   they surface as raw int64 under
+#:   ``spark.sql.legacy.parquet.nanosAsLong`` and are converted via
+#:   integer ``div 1000`` (double division would lose precision at
+#:   1e18 ns); DuckDB truncates ns→µs the same way.
+#: * TIMESTAMP(MICROS) with isAdjustedToUTC=false — surfaces as
+#:   TIMESTAMP_NTZ; cast to TIMESTAMP_LTZ is value-preserving because
+#:   the session timezone is pinned UTC, and LTZ is what
+#:   ``unix_micros``/window functions expect.
 TIMESTAMP_NANO_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -67,6 +74,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in TIMESTAMP_NANO_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -131,6 +140,59 @@ def user_graph(spark: SparkSession, sf_dir: str) -> Graph:
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "wgt")
     )
     return Graph(edges=sym)
+
+
+def typed_user_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """User co-participation graph with a typed edge relation.
+
+    Same construction as :func:`user_graph`, but each co-occurrence
+    keeps the event type that produced it: ``etype`` = 0-based dense
+    rank of ``event_type`` (alphabetical — deterministic on both
+    engines, mirroring the reference's small-int edge-type ids,
+    ``tests/stinger/include/stinger-defs.h:25``).  Edges are
+    per-(src, dst, etype) — the same vertex pair may carry several
+    typed edges, exactly the reference's typed adjacency.  Matches
+    :data:`oracles.TYPED_EDGES_CTE`.
+    """
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    from pyspark.sql import Window
+
+    # handful of event types → the global-order window is a no-op
+    # partition at any scale (the dim is tiny; the join broadcasts)
+    tmap = (
+        ev.select(F.col("event_type").alias("t_event_type"))
+        .distinct()
+        .withColumn(
+            "etype",
+            (F.dense_rank().over(Window.orderBy("t_event_type")) - 1).cast("long"),
+        )
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .join(F.broadcast(tmap), F.col("a.event_type") == F.col("t_event_type"))
+        .groupBy(
+            F.col("a.user_id").alias("src"),
+            F.col("b.user_id").alias("dst"),
+            "etype",
+        )
+        .agg(F.count("*").alias("wgt"))
+    )
+    sym = pairs.unionAll(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "etype", "wgt"
+        )
+    )
+    return Graph(edges=sym.select("src", "dst", "wgt", "etype"))
 
 
 def actions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

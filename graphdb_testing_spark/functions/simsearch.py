@@ -81,8 +81,11 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold: ``(a_id, b_id, sim)``.
 
-    All-pairs is acceptable at test scale; at 100 TB route through
-    :func:`ivf_topk`-style bucketing first.
+    **Exact baseline — quadratic by construction** (self-join on
+    ``a_id < b_id`` is a cross product with a filter).  Use only as
+    ground truth at test scale; the scale path is
+    :func:`embedding_near_duplicates_bucketed`, whose candidate set
+    comes from a sign-bucket equi-join instead.
     """
     base = with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("_norm").alias("n")
@@ -169,6 +172,76 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "sim")
+    )
+
+
+def embedding_near_duplicates_bucketed(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    bucket_dims: int = 8,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs via sign-bucket blocking — the 100 TB
+    shape of :func:`embedding_near_duplicates`.
+
+    One side carries its exact bucket; the other explodes to its
+    bucket plus every Hamming-1 neighbor (``multiprobe``), so the
+    candidate set is an **equi-join on the bucket id** — work is
+    Σ|bucket|² over buckets instead of n², and the probe list is a
+    fixed ``bucket_dims + 1`` fan-out.  Pairs whose sign patterns on
+    the first ``bucket_dims`` components differ in ≥ 2 bits are
+    missed — recall against the exact variant is measured in
+    ``tests/test_pipeline.py``.  Exact cosine + threshold applied
+    within candidates; output matches the exact variant's schema
+    ``(a_id, b_id, sim)``.
+
+    Recall is a function of the threshold: a pair at cosine ``t``
+    agrees on each sign bit with probability ``1 − acos(t)/π``, so at
+    true near-dup thresholds (0.9+ → ~0.90/bit) Hamming-1 blocking
+    recovers nearly all pairs, while at weak-similarity thresholds
+    (0.4 → ~0.63/bit, measured 22% recall on the near-orthogonal
+    driver embeddings) no LSH scheme can block efficiently — that
+    regime is a similarity *join*, not dedup, and needs the exact
+    variant or an IVF with trained centroids.
+    """
+    bb = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col("_norm").alias("n"),
+        sign_bucket(vec_col, bucket_dims).alias("bucket"),
+    ).localCheckpoint()  # feeds both sides of the bucket join
+    a = bb.select(
+        F.col("id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+        "bucket",
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                for j in range(bucket_dims)
+            ],
+        )
+        # probe buckets are pairwise distinct, so a qualifying pair is
+        # produced at most once — no dedup pass needed
+        a = a.withColumn("bucket", F.explode(probes))
+    b = bb.select(
+        F.col("id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+        "bucket",
+    )
+    _den = F.col("na") * F.col("nb")
+    sim = F.round(F.when(_den > 0, _dot("va", "vb") / _den).otherwise(F.lit(0.0)), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
     )
 
 

@@ -192,6 +192,18 @@ class Graph:
             return self.edges
         return self.edges.filter(F.col("etype") == etype)
 
+    def remove_edges_of_type(self, etype: int) -> "Graph":
+        """``stinger_remove_all_edges_of_type`` analog (reference
+        ``src/core/stinger.c:1065-1090``, M4) — an anti-filter that
+        Catalyst pushes into the scan; returns a new Graph (immutable
+        relations, like every mutation here)."""
+        if "etype" not in self.edges.columns:
+            return self
+        return Graph(
+            edges=self.edges.filter(F.col("etype") != etype),
+            vertices=self.vertices,
+        )
+
     def neighbors_of(self, vertex: int) -> DataFrame:
         """``STINGER_FORALL_EDGES_OF_VTX`` analog
         (``stinger-traversal.h:61-77``)."""

@@ -51,8 +51,14 @@ def _score_edges(edges: DataFrame, nv: int | None = None) -> DataFrame:
             "dst",
             "wgt",
             (
+                # float(vol) * float(vol), NOT float(vol) ** 2: C pow()
+                # is not guaranteed correctly rounded for x**2, while
+                # x*x is a single IEEE op — the SQL oracle squares with
+                # vol*vol, and the two must be bit-identical for the
+                # score comparisons (>0, argmax) to agree.
                 F.col("wgt") / F.lit(vol / 2.0)
-                - F.lit(2.0) * F.col("w_src") * F.col("w_dst") / F.lit(float(vol) ** 2)
+                - F.lit(2.0) * F.col("w_src") * F.col("w_dst")
+                / F.lit(float(vol) * float(vol))
             ).alias("score"),
         )
     )

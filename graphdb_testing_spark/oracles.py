@@ -50,6 +50,37 @@ user_edges AS (
 )
 """
 
+#: Typed user co-participation graph (etype = alphabetical dense rank
+#: of event_type).  Lockstep with :func:`datasets.typed_user_graph`.
+TYPED_EDGES_CTE = """
+tmap AS (
+  SELECT event_type, DENSE_RANK() OVER (ORDER BY event_type) - 1 AS etype
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+tpairs AS (
+  SELECT a.user_id AS src, b.user_id AS dst, t.etype, COUNT(*) AS wgt
+  FROM events a JOIN events b
+    ON a.event_type = b.event_type
+   AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+   AND a.user_id < b.user_id
+  JOIN tmap t ON t.event_type = a.event_type
+  GROUP BY 1, 2, 3
+),
+typed_edges AS (
+  SELECT src, dst, wgt, etype FROM tpairs
+  UNION ALL
+  SELECT dst, src, wgt, etype FROM tpairs
+)
+"""
+
+
+def with_typed_edges(body: str, extra_ctes: str = "") -> str:
+    ctes = TYPED_EDGES_CTE.strip()
+    if extra_ctes:
+        ctes += ",\n" + extra_ctes.strip()
+    return f"WITH {ctes}\n{body}"
+
+
 #: FIXTURES.md §2.3 — complement-encoded action stream.  Lockstep with
 #: :func:`datasets.actions_stream`.
 ACTIONS_CTE = """

@@ -187,14 +187,103 @@ def _core_numbers_oracle(rounds: int) -> str:
     )
 
 
-@register("community_agglomeration")  # iterative matching: rows-only check
+_COMMUNITY_LEVELS = 6
+
+
+def _community_oracle(levels: int = _COMMUNITY_LEVELS) -> str:
+    """The full agglomeration unrolled in SQL — one CTE block per
+    level: score → positive-gain filter → per-vertex argmax →
+    mutual-best match → relabel → contract.
+
+    Hash-matching works because every floating-point input is an exact
+    integer (wgt sums), the score expression is written with the exact
+    same operator shape/order as the engine
+    (``operators/community.py:_score_edges``), and the argmax
+    tie-break (score DESC, dst ASC) mirrors the engine's
+    ``max_by(dst, (score, -dst))`` — so the two engines make
+    bit-identical merge decisions every level.  A level with no
+    mutual match leaves the relabel CTE empty, which makes every
+    later level a no-op — the unrolled form subsumes the engine's
+    early exit.  ``AS MATERIALIZED`` for the same reason as the
+    core-number oracle: DuckDB inlines plain CTEs and a 6-deep
+    window/join chain explodes its optimizer.
+    """
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT src, dst, wgt FROM user_edges)",
+        "map0 AS MATERIALIZED ("
+        "SELECT DISTINCT src AS id, src AS community FROM user_edges)",
+    ]
+    for i in range(1, levels + 1):
+        p = i - 1
+        ctes.append(
+            f"vol{i} AS MATERIALIZED (SELECT SUM(wgt) AS v FROM e{p})"
+        )
+        ctes.append(
+            f"""scored{i} AS MATERIALIZED (
+  SELECT e.src, e.dst,
+         CAST(e.wgt AS DOUBLE) / ((SELECT v FROM vol{i}) / 2e0)
+           - 2e0 * wa.wd * wb.wd
+             / (CAST((SELECT v FROM vol{i}) AS DOUBLE)
+                * CAST((SELECT v FROM vol{i}) AS DOUBLE)) AS score
+  FROM e{p} e
+  JOIN (SELECT src AS id, SUM(wgt) AS wd FROM e{p} GROUP BY src) wa
+    ON wa.id = e.src
+  JOIN (SELECT src AS id, SUM(wgt) AS wd FROM e{p} GROUP BY src) wb
+    ON wb.id = e.dst
+  WHERE e.src <> e.dst)"""
+        )
+        ctes.append(
+            f"""best{i} AS MATERIALIZED (
+  SELECT src, dst AS best FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY score DESC, dst ASC) AS rn
+    FROM scored{i} WHERE score > 0e0) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""relabel{i} AS MATERIALIZED (
+  SELECT a.best AS id, a.src AS new_id
+  FROM best{i} a JOIN best{i} b ON a.best = b.src AND b.best = a.src
+  WHERE a.src < a.best)"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT COALESCE(rs.new_id, e.src) AS src,
+         COALESCE(rd.new_id, e.dst) AS dst, SUM(e.wgt) AS wgt
+  FROM e{p} e
+  LEFT JOIN relabel{i} rs ON rs.id = e.src
+  LEFT JOIN relabel{i} rd ON rd.id = e.dst
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""map{i} AS MATERIALIZED (
+  SELECT m.id, COALESCE(r.new_id, m.community) AS community
+  FROM map{p} m LEFT JOIN relabel{i} r ON r.id = m.community)"""
+        )
+    return oracles.with_user_edges(
+        body=f"SELECT id, community FROM map{levels}",
+        extra_ctes=",\n".join(ctes),
+    )
+
+
+@register("community_agglomeration", _community_oracle())
 def q_community_agglomeration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multicontract community detection on the user graph
-    (reference ``static_multicontract_clustering.c``); driver records
-    the rows-only check — the mutual-best matching fixpoint is not
-    SQL-expressible."""
+    (reference ``static_multicontract_clustering.c:52-130``).
+
+    The registered variant disables the mean-score candidate filter
+    (``min_score_filter=False``): the mean is an FP sum whose
+    summation order differs across engines, so near-tie candidate
+    classification would not be bit-stable — positive-gain
+    mutual-best matching alone is fully deterministic and lets the
+    driver hash-check the whole fixpoint against the unrolled SQL
+    oracle.  The mean-filter path (the reference's ``:100-130``
+    threshold) is covered by pytest (``test_advanced_analytics.py``).
+    """
     g = datasets.user_graph(spark, sf_dir)
-    return community_agglomeration(g.edges, max_levels=6)
+    return community_agglomeration(
+        g.edges, max_levels=_COMMUNITY_LEVELS, min_score_filter=False
+    )
 
 
 _CORE_FIXPOINT_ROUNDS = 28  # measured h-index fixpoint depth: 3 @ sf0.001,

@@ -319,3 +319,44 @@ def q_global_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFra
             6,
         ).alias("global_cc")
     )
+
+
+# ---------------------------------------------------------------------------
+# F1 / M4: typed edge scans over the typed user graph (etype column
+# exercised end-to-end — reference stinger-defs.h:25 per-type edge
+# lists; remove-all-of-type stinger.c:1065-1090)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "typed_edges_scan",
+    oracles.with_typed_edges(
+        "SELECT src, dst, wgt, etype FROM typed_edges WHERE etype = 1"
+    ),
+)
+def q_typed_edges_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 full edge scan restricted to one edge type
+    (``Graph.edges_of_type`` — the ``FORALL_EDGES(S, type)`` analog);
+    the filter prunes at the scan, no shuffle."""
+    g = datasets.typed_user_graph(spark, sf_dir)
+    return g.edges_of_type(1)
+
+
+@register(
+    "remove_edge_type_counts",
+    oracles.with_typed_edges(
+        """
+SELECT etype, COUNT(*) AS n_edges, CAST(SUM(wgt) AS BIGINT) AS total_wgt
+FROM typed_edges WHERE etype <> 0 GROUP BY etype
+"""
+    ),
+)
+def q_remove_edge_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 ``remove_all_edges_of_type(0)`` followed by a per-type
+    aggregate over the surviving edges — proves the typed mutation
+    path end-to-end (anti-filter + scan, both pushed down)."""
+    g = datasets.typed_user_graph(spark, sf_dir).remove_edges_of_type(0)
+    return g.edges.groupBy("etype").agg(
+        F.count("*").alias("n_edges"),
+        F.sum("wgt").cast("long").alias("total_wgt"),
+    )

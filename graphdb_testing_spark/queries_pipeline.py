@@ -247,9 +247,43 @@ WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4 — the
     synthetic embeddings are near-orthogonal, so higher thresholds
-    are empty)."""
+    are empty).  **Exact quadratic baseline**: ground truth for the
+    bucketed variant below; at production scale use
+    ``embedding_near_dup_bucketed``."""
     emb = datasets.load_table(spark, sf_dir, "embeddings")
     return simsearch.embedding_near_duplicates(emb, threshold=0.4)
+
+
+def _near_dup_bucketed_oracle(threshold: float = 0.4, dims: int = 8) -> str:
+    bucket = " + ".join(
+        f"CASE WHEN v[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(dims)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})" for j in range(dims)])
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bb AS (SELECT vec_id, v, {bucket} AS bucket FROM base),
+pa AS (SELECT vec_id AS a_id, v AS va, UNNEST([{probes}]) AS bucket FROM bb),
+scored AS (
+  SELECT pa.a_id, b.vec_id AS b_id,
+         ROUND(list_cosine_similarity(pa.va, b.v), 6) AS sim
+  FROM pa JOIN bb b USING (bucket) WHERE pa.a_id < b.vec_id
+)
+SELECT a_id, b_id, sim FROM scored WHERE sim >= {threshold}
+"""
+
+
+@register("embedding_near_dup_bucketed", _near_dup_bucketed_oracle())
+def q_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket-blocked near-duplicate pairs — the scale path for
+    ``embedding_near_dup_pairs``: candidates come from an equi-join
+    on an 8-bit sign bucket (one side multiprobed to Hamming-1), so
+    the plan has no cross join and the shuffle is bounded by
+    Σ|bucket|².  Recall vs the exact variant is asserted in
+    ``tests/test_pipeline.py``."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return simsearch.embedding_near_duplicates_bucketed(
+        emb, threshold=0.4, bucket_dims=8, multiprobe=True
+    )
 
 
 # ---------------------------------------------------------------------------

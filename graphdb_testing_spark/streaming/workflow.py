@@ -91,11 +91,23 @@ class IncrementalComponents(BatchAlg):
                 .withColumn("label", F.col("id"))
             )
             labels = labels.unionByName(new_ids).localCheckpoint()
+            # Scale discipline: the merge loop must never touch (let
+            # alone broadcast) the full O(nv) label table.  Only the
+            # delta's endpoints can trigger merges, and merging is a
+            # pure label-level operation — so restrict the loop to the
+            # labels of touched vertices (O(|delta|)), and apply ONE
+            # composed original-label → final-label remap to the full
+            # table afterwards.  At 1000 executors the big table is
+            # read twice (semi-join + final remap join), never
+            # collected or broadcast.
+            touched = delta.select(F.col("u").alias("id")).distinct()
+            sub = labels.join(touched, "id", "left_semi").localCheckpoint()
+            orig = sub  # id → pre-merge label, anchors the composed remap
             for _ in range(20):
-                l_u = labels.withColumnRenamed("id", "u").withColumnRenamed(
+                l_u = sub.withColumnRenamed("id", "u").withColumnRenamed(
                     "label", "lu"
                 )
-                l_v = labels.withColumnRenamed("id", "v").withColumnRenamed(
+                l_v = sub.withColumnRenamed("id", "v").withColumnRenamed(
                     "label", "lv"
                 )
                 moves = (
@@ -114,10 +126,10 @@ class IncrementalComponents(BatchAlg):
                     .groupBy("from_label")
                     .agg(F.min("to_label").alias("to_label"))
                 )
-                labels = (
-                    labels.join(
+                sub = (
+                    sub.join(
                         F.broadcast(remap),
-                        labels.label == remap.from_label,
+                        sub.label == remap.from_label,
                         "left",
                     )
                     .select(
@@ -126,6 +138,27 @@ class IncrementalComponents(BatchAlg):
                     )
                     .localCheckpoint()
                 )
+            # Label-level remaps hit every vertex sharing a label
+            # identically, so (pre-merge label → post-merge label) is a
+            # well-defined function; the loop ran to fixpoint, so it
+            # has no chains.  |remap| ≤ |delta| — broadcastable by
+            # construction.
+            final_remap = (
+                orig.withColumnRenamed("label", "from_label")
+                .join(sub.withColumnRenamed("label", "to_label"), "id")
+                .select("from_label", "to_label")
+                .filter(F.col("from_label") != F.col("to_label"))
+                .distinct()
+            )
+            labels = (
+                labels.join(
+                    F.broadcast(final_remap),
+                    labels.label == final_remap.from_label,
+                    "left",
+                )
+                .select("id", F.coalesce("to_label", "label").alias("label"))
+                .localCheckpoint()
+            )
             self.labels = labels
         store.publish(self.name, self.labels)
 
@@ -228,6 +261,36 @@ def run_structured_stream(
     return state["edges"]
 
 
+def _events_stream(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming reader for an events-shaped parquet directory that
+    tolerates both ``ts`` encodings the driver has shipped:
+    TIMESTAMP(NANOS) surfacing as int64 under
+    ``spark.sql.legacy.parquet.nanosAsLong`` (round-1 testdata), and
+    native TIMESTAMP(MICROS) (current testdata).  Streaming readers
+    need an explicit schema, so the encoding is sniffed from the
+    batch reader's view of the same files — one footer read, no data
+    scan.
+    """
+    ts_is_long = dict(spark.read.parquet(events_path).dtypes).get("ts") == "bigint"
+    ts_field = "ts long" if ts_is_long else "ts timestamp"
+    reader = spark.readStream.schema(
+        f"event_id long, {ts_field}, user_id long, event_type string,"
+        " value double, props string"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(events_path)
+    if ts_is_long:
+        # int64 nanos → µs timestamp; integer div (double would lose
+        # precision at 1e18 ns)
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
 def streaming_hourly_counts(
     spark: SparkSession,
     events_path: str,
@@ -241,14 +304,7 @@ def streaming_hourly_counts(
     Returns the started query (memory sink, ``availableNow``); read
     results from the ``query_name`` temp table after termination.
     """
-    ev = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string,"
-            " value double, props string"
-        )
-        .parquet(events_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = _events_stream(spark, events_path)
     agg = (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
@@ -373,17 +429,9 @@ def streaming_sessions(
                 columns=["user_id", "session_seq", "n_events", "start_us", "end_us"],
             )
 
-    reader = spark.readStream.schema(
-        "event_id long, ts long, user_id long, event_type string,"
-        " value double, props string"
-    )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    ev = (
-        reader.parquet(events_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("user_id", "event_id", "ts")
-    )
+    ev = _events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    ).select("user_id", "event_id", "ts")
     out = ev.groupBy("user_id").applyInPandasWithState(
         assign,
         outputStructType=(
@@ -422,16 +470,9 @@ def streaming_click_purchase_join(
     started query (memory sink, ``availableNow``); rows are
     ``(purchase_id, user_id, p_ts, click_id, c_ts)``.
     """
-    schema = (
-        "event_id long, ts long, user_id long, event_type string,"
-        " value double, props string"
-    )
-
     def _side(etype: str, prefix: str):
         return (
-            spark.readStream.schema(schema)
-            .parquet(events_path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _events_stream(spark, events_path)
             .filter(F.col("event_type") == etype)
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),

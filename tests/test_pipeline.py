@@ -141,6 +141,38 @@ def test_embedding_near_dups_include_self_similar(spark, embeddings):
     assert all(r.sim >= 0.99 for r in out.collect())
 
 
+def test_bucketed_near_dups_recall_and_precision(spark, embeddings):
+    exact = {
+        (r.a_id, r.b_id): r.sim
+        for r in simsearch.embedding_near_duplicates(
+            embeddings, threshold=0.6
+        ).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id): r.sim
+        for r in simsearch.embedding_near_duplicates_bucketed(
+            embeddings, threshold=0.6, bucket_dims=8
+        ).collect()
+    }
+    # blocking only ever drops candidates: every reported pair must be
+    # in the exact set with the identical sim (perfect precision)...
+    assert set(approx) <= set(exact)
+    assert all(exact[p] == s for p, s in approx.items())
+    # ...and Hamming-1 multiprobe keeps recall high here: pairs at
+    # cosine >= 0.6 rarely differ in >= 2 of the 8 leading sign bits
+    assert len(exact) > 0
+    recall = len(approx) / len(exact)
+    assert recall >= 0.7
+
+
+def test_bucketed_near_dups_plan_has_no_cross_join(spark, embeddings):
+    plan = simsearch.embedding_near_duplicates_bucketed(
+        embeddings, threshold=0.6
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_hyperplane_lsh_signature_deterministic(spark, embeddings):
     a = {r.vec_id: r.sig for r in simsearch.hyperplane_lsh_signature(
         embeddings, num_planes=8, dim=8).collect()}
