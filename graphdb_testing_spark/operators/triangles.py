@@ -93,6 +93,17 @@ def edge_embeddedness(edges: DataFrame) -> DataFrame:
     :func:`triangles_per_vertex` (each triangle supports its three
     edges), so the wedge join stays ``Σ outdeg²`` instead of the naive
     ``Σ deg²`` common-neighbor self-join.
+
+    **Jaccard convention — inclusive endpoints**:
+    ``common / (deg(u) + deg(v) - common)``, where each endpoint's
+    neighborhood still contains the other endpoint (the edge u–v
+    exists, so u ∈ N(v) and v ∈ N(u)) — i.e. the union term is 2
+    larger than the open-neighborhood Jaccard
+    ``|N(u)∩N(v)| / |N(u)∪N(v) \\ {u,v}|``.  This inclusive form is
+    deliberate: it equals triangle support over edge degree-union (the
+    embeddedness normalization of Marlow et al.), is bounded in
+    [0, 1), and the DuckDB oracle (``queries_analytics.py``) computes
+    the identical expression.
     """
     tri = _oriented_triangles(edges)
     side = lambda x, y: F.struct(  # noqa: E731

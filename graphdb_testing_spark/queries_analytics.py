@@ -152,7 +152,9 @@ def q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge common-neighbor count + neighborhood Jaccard on the
     user graph — link-strength features via the degree-oriented
     triangle enumeration (the oracle uses the naive common-neighbor
-    self-join, an independent formulation)."""
+    self-join, an independent formulation).  Jaccard uses the
+    inclusive-endpoint convention ``common/(deg_u+deg_v-common)`` on
+    both sides — see :func:`operators.triangles.edge_embeddedness`."""
     g = datasets.user_graph(spark, sf_dir)
     return edge_embeddedness(g.edges)
 

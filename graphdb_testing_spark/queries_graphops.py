@@ -80,17 +80,24 @@ FROM (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src)
 )
 def q_csr_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSR offset array via prefix sum (``rmatter.c:23-69``,
-    ``stinger_to_sorted_csr`` ``stinger-utils.c:439-499``).  The
-    cumulative window is ordered by vertex id — inherently a global
-    sequence, used only for graph-file export (S3), not in any
-    iterative kernel hot path."""
+    ``stinger_to_sorted_csr`` ``stinger-utils.c:439-499``) — computed
+    with the two-level range-partitioned scan
+    (:func:`operators.prefix.range_prefix_sum`), so the only global
+    window runs over one row per range partition instead of a
+    single-task sort of all vertices."""
+    from .operators import prefix
+
     g = datasets.part_supplier_graph(spark, sf_dir)
-    deg = g.edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
-    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
-    return deg.select(
-        "id",
-        "degree",
-        F.coalesce(F.sum("degree").over(w), F.lit(0)).cast("long").alias("off"),
+    # materialize the (small, O(nv)) degree table once: range
+    # repartitioning samples its input, which would otherwise re-run
+    # the whole co-occurrence derivation a second time
+    deg = (
+        g.edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("degree"))
+        .localCheckpoint()
+    )
+    return prefix.range_prefix_sum(deg, "id", "degree", "off").select(
+        "id", "degree", "off"
     )
 
 

@@ -28,12 +28,31 @@ from pyspark.sql import DataFrame, SparkSession
 ENDIAN_CHECK = 0x1234ABCD
 
 
+#: ``write_graph_file`` materializes the edge list on the driver — by
+#: design (the ``.g`` format is a single little-endian binary blob the
+#: reference mmaps; parallel writers can't produce it).  Guard against
+#: accidental use on large graphs: past this row count the driver
+#: would need >~4 GB just for Row objects — export Parquet
+#: (``save_graph``) instead, the canonical format at scale.
+MAX_DRIVER_EXPORT_ROWS = 50_000_000
+
+
 def write_graph_file(edges: DataFrame, path: str) -> tuple[int, int]:
     """Export a symmetric edge DataFrame to a ``.g`` CSR file.
 
     Vertices are ``0..max_id``; rows must be the directed (symmetric)
     edge set.  Returns ``(nv, ne)``.
+
+    Driver-side by design (single binary blob): refuses row counts
+    past :data:`MAX_DRIVER_EXPORT_ROWS` — at that size the reference's
+    own toolchain reads Parquet via ``save_graph`` anyway.
     """
+    n = edges.count()
+    if n > MAX_DRIVER_EXPORT_ROWS:
+        raise ValueError(
+            f".g export is a driver-side collect ({n} rows > "
+            f"{MAX_DRIVER_EXPORT_ROWS}); use save_graph (Parquet) at this scale"
+        )
     rows = edges.select("src", "dst", "wgt").orderBy("src", "dst").collect()
     if rows:
         src = np.fromiter((r.src for r in rows), dtype=np.int64, count=len(rows))

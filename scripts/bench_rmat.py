@@ -35,6 +35,42 @@ from graphdb_testing_spark.sources.rmat import (  # noqa: E402
 
 SCALES = {"tiny": (10, 100_000), "small": (15, 100_000), "medium": (20, 1_000_000)}
 
+#: Expected kernel invariants per size (seeded R-MAT → fully
+#: deterministic).  The bench doubles as a scale regression gate: a
+#: kernel that silently breaks (wrong component count, unreached BFS
+#: frontier, leaked PageRank mass, bad merge) fails loudly here, not
+#: just slowly.  Values pinned from verified runs (CC/BFS
+#: cross-checked against the DuckDB recursive-CTE oracle at tiny).
+EXPECTED: dict[str, dict[str, int]] = {
+    "tiny": {
+        "nv": 1009,
+        "ne": 12162,
+        "n_components": 3,
+        "bfs_reached": 1005,
+        "edges_after_update": 180828,
+    },
+    "small": {
+        "nv": 31000,
+        "ne": 475872,
+        "n_components": 71,
+        "bfs_reached": 30853,
+        "edges_after_update": 663426,
+    },
+    "medium": {},
+}
+
+
+def check_invariants(size: str, meta: dict, pr_sum: float) -> list[str]:
+    errs = []
+    # Σpr = 1 is analytic (mass conservation incl. dangling handling)
+    if abs(pr_sum - 1.0) > 1e-6:
+        errs.append(f"pagerank mass leaked: sum(pr)={pr_sum!r}")
+    for key, want in EXPECTED.get(size, {}).items():
+        got = meta.get(key)
+        if got != want:
+            errs.append(f"{key}: got {got}, expected {want}")
+    return errs
+
 
 def main() -> None:
     size = sys.argv[1] if len(sys.argv) > 1 else "small"
@@ -67,7 +103,7 @@ def main() -> None:
 
     t0 = time.time()
     pr = pagerank(edges)
-    pr.count()
+    pr_sum = pr.agg(F.sum("pr").alias("s")).collect()[0]["s"]
     pr.unpersist()
     t["pr"] = round(time.time() - t0, 3)
 
@@ -77,6 +113,8 @@ def main() -> None:
     meta["edges_after_update"] = merged.count()
     t["update"] = round(time.time() - t0, 3)
 
+    meta["pr_sum"] = pr_sum
+    errs = check_invariants(size, meta, pr_sum)
     print(
         json.dumps(
             {
@@ -88,9 +126,12 @@ def main() -> None:
                 "na": na,
                 "update_eps": round(na / t["update"], 1),
                 "meta": meta,
+                "invariants": "FAIL: " + "; ".join(errs) if errs else "ok",
             }
         )
     )
+    if errs:
+        raise SystemExit(f"kernel invariant regression ({size}): {errs}")
 
 
 if __name__ == "__main__":

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from graphdb_testing_spark.functions import dedup
@@ -126,3 +127,43 @@ def test_ngram_jaccard_rare_blocking_drops_common_only_pairs(spark):
     )
     out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_df=2)
     assert out.count() == 0
+
+
+def test_range_prefix_sum_matches_global_window(spark):
+    """Two-level range-partitioned exclusive scan == the single-task
+    global-window scan it replaces (operators/prefix.py)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphdb_testing_spark.operators.prefix import range_prefix_sum
+
+    rng = random.Random(11)
+    ids = rng.sample(range(10_000), 400)
+    df = spark.createDataFrame(
+        [(i, rng.randint(1, 9)) for i in ids], "id long, degree long"
+    )
+    got = {
+        r.id: r.off
+        for r in range_prefix_sum(df, "id", "degree", num_partitions=7).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.id: r.off
+        for r in df.select(
+            "id", F.coalesce(F.sum("degree").over(w), F.lit(0)).alias("off")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_write_graph_file_refuses_oversized_collect(spark, tmp_path, monkeypatch):
+    from graphdb_testing_spark.sources import csr
+
+    monkeypatch.setattr(csr, "MAX_DRIVER_EXPORT_ROWS", 3)
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 0, 1), (1, 2, 1), (2, 1, 1)], "src long, dst long, wgt long"
+    )
+    with pytest.raises(ValueError, match="driver-side collect"):
+        csr.write_graph_file(edges, str(tmp_path / "g.g"))

@@ -63,6 +63,40 @@ def test_pagerank_fixed_iterations_deterministic(spark, bowtie_graph):
     assert a[2] > a[0]
 
 
+def test_pagerank_convergent_matches_networkx(spark):
+    """The eps-exit path against the reference's own library
+    semantics (``tests/networkx/test_python.py:125`` validates the
+    engine under test against ``networkx.pagerank``): L∞ ≤ 1e-6 on a
+    SCALE-10 R-MAT graph."""
+    nx = pytest.importorskip("networkx")
+    from graphdb_testing_spark.sources import rmat
+
+    g = rmat.rmat_graph(spark, scale=10, edge_factor=8, seed=7)
+    rows = g.collect()
+    G = nx.DiGraph()
+    G.add_edges_from((r.src, r.dst) for r in rows)
+    try:
+        expected = nx.pagerank(
+            G, alpha=0.85, tol=1e-12, max_iter=1000, weight=None
+        )
+    except ModuleNotFoundError:
+        # nx 3.x public pagerank delegates to scipy; this container has
+        # networkx but not scipy — use nx's own pure-Python power
+        # iteration (identical semantics, same module)
+        from networkx.algorithms.link_analysis.pagerank_alg import (
+            _pagerank_python,
+        )
+
+        expected = _pagerank_python(
+            G, alpha=0.85, tol=1e-12, max_iter=1000, weight=None
+        )
+    got = {r.id: r.pr for r in pagerank(g, tol=1e-8).collect()}
+    assert set(got) == set(expected)
+    linf = max(abs(got[k] - expected[k]) for k in expected)
+    assert linf <= 1e-6
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
 def test_kernels_empty_graph(spark):
     from graphdb_testing_spark.operators.components import connected_components
     from graphdb_testing_spark.operators.pagerank import pagerank
