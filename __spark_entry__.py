@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from graphdb_testing_spark import datasets
 from graphdb_testing_spark import queries as q
 from graphdb_testing_spark import queries_analytics  # noqa: F401  (registers)
+from graphdb_testing_spark import queries_curation  # noqa: F401  (registers)
 from graphdb_testing_spark import queries_graphops  # noqa: F401  (registers)
 from graphdb_testing_spark import queries_pipeline  # noqa: F401  (registers)
 from graphdb_testing_spark import queries_relational  # noqa: F401  (registers)

@@ -1,0 +1,222 @@
+"""Training-data curation operators over the ``documents`` table:
+benchmark decontamination, deterministic stratified sampling,
+context-window chunking, and repetition scoring.
+
+These are the corpus-hygiene steps a large-scale LLM training-data
+pipeline runs after dedup (``functions/dedup.py``) and quality
+scoring (``functions/textstats.py``).  All of them are pure JVM-side
+column arithmetic — token n-grams via ``split`` + higher-order
+``transform``/``slice``, sampling via a portable md5-prefix hash —
+so every operator has an exact DuckDB oracle and no Python UDFs.
+
+Scale design (100 TB corpus, 1000 executors):
+
+* Decontamination shuffles only the *n-gram digest* relation (one
+  64-bit-ish md5 prefix per gram), never document text; the benchmark
+  side is tiny (an eval suite is MBs, not TBs) and is broadcast.
+* Sampling is stateless per row — no shuffle at all, and the decision
+  is a pure function of (salt, doc_id), so re-runs and retries pick
+  identical rows (idempotent under task replay, the property
+  ``sample()``/``rand()`` does NOT give under AQE re-execution).
+* Chunking fans out rows but never shuffles; downstream writers see
+  deterministic ``(doc_id, chunk_id)`` keys for exactly-once sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# word n-grams as a column expression (shared by decontaminate / repetition)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(text_col: str, n: int) -> Column:
+    """Array of space-joined word ``n``-grams of ``split(text, ' ')``.
+
+    Higher-order-function form (``transform`` over ``sequence``) —
+    stays inside whole-stage codegen, no UDF.  Documents shorter than
+    ``n`` words yield an empty array.
+    """
+    w = f"split({text_col}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"transform(sequence(1, size({w}) - {n - 1}), "
+        f"i -> array_join(slice({w}, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+
+
+def _hash32(col: Column) -> Column:
+    """Portable 32-bit hash: ``conv(substr(md5(x),1,8),16,10)`` —
+    lockstep with DuckDB ``('0x' || substr(md5(x),1,8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, n_shared_grams, contaminated)`` per *training* doc.
+
+    A training document is contaminated when it shares at least one
+    word ``n``-gram with any benchmark document — the standard
+    n-gram-overlap decontamination rule used before pretraining so the
+    model is not evaluated on memorized eval data.
+
+    Scale shape: both sides are reduced to ``DISTINCT (doc_id,
+    gram_hash)`` digests before the join, so shuffle volume is one
+    long per gram, independent of document size.  The benchmark digest
+    (an eval suite — small by construction) is broadcast; the join is
+    a broadcast semi-probe followed by a count per training doc, i.e.
+    one map-side-combined aggregation over the training corpus and NO
+    all-to-all shuffle of text.
+    """
+    tg = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    ).select("doc_id", _hash32(F.col("gram")).alias("gh")).distinct()
+    bg = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .select(_hash32(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    hits = (
+        tg.join(F.broadcast(bg), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff
+    ``hash32(salt|doc_id) < rate(stratum) * 2^32``.
+
+    Unlike ``DataFrame.sample`` the decision is a pure function of
+    ``(salt, doc_id)`` — stable across retries, AQE re-execution, and
+    cluster size, and *nested*: the ``rate=0.25`` sample is an exact
+    subset of the ``rate=0.5`` sample with the same salt, which is how
+    corpus ablations stay comparable.  No shuffle: a scan-time filter.
+    """
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    h = _hash32(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    return docs.withColumn("_rate", rate).filter(
+        h < (F.col("_rate") * F.lit(float(2**32))).cast("long")
+    ).drop("_rate")
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, chunk_id, chunk_text, n_tokens)`` — fixed-size
+    sliding word windows (stride ``chunk_tokens - overlap``), the
+    standard pre-tokenization chunking for context-window packing and
+    RAG indexing.
+
+    The final partial window is kept (a document yields
+    ``ceil((n_words - overlap) / stride)`` chunks, min 1) so no text
+    is dropped.  Pure fan-out: ``sequence`` + ``transform`` + explode,
+    no shuffle; ``(doc_id, chunk_id)`` is a deterministic key.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = f"split({text_col}, ' ')"
+    starts = (
+        f"sequence(1, greatest(1, size({w}) - {overlap}), {stride})"
+    )
+    chunks = F.expr(
+        f"transform({starts}, i -> struct("
+        f"cast((i - 1) div {stride} as bigint) as chunk_id, "
+        f"array_join(slice({w}, i, {chunk_tokens}), ' ') as chunk_text, "
+        f"cast(size(slice({w}, i, {chunk_tokens})) as bigint) as n_tokens))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition scoring
+# ---------------------------------------------------------------------------
+
+
+def repetition_scores(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, total_ngrams, distinct_ngrams, dup_ngram_ratio)`` —
+    the duplicated-n-gram-fraction quality signal (Gopher/MassiveText
+    repetition filters): ``1 - distinct/total`` over word ``n``-grams,
+    0.0 for documents shorter than ``n`` words.
+
+    One explode + one map-side-combined aggregate per document; the
+    rounded ratio keeps the float comparable across engines.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    )
+    scored = grams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("total_ngrams"),
+        F.countDistinct("gram").cast("long").alias("distinct_ngrams"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+            F.coalesce("distinct_ngrams", F.lit(0)).alias("distinct_ngrams"),
+            F.round(
+                F.when(
+                    F.col("total_ngrams").isNull() | (F.col("total_ngrams") == 0), 0.0
+                ).otherwise(1 - F.col("distinct_ngrams") / F.col("total_ngrams")),
+                6,
+            ).alias("dup_ngram_ratio"),
+        )
+    )

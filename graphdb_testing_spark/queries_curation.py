@@ -1,0 +1,129 @@
+"""Corpus-curation queries (decontamination / sampling / chunking /
+repetition) + DuckDB oracles.
+
+Lockstep idioms with the oracle: Spark ``slice(w, i, n)`` ≡ DuckDB
+``w[i:i+n-1]`` (both 1-based, both clamp past the end); Spark
+``sequence(1, stop, step)`` ≡ DuckDB ``generate_series(1, stop,
+step)`` (both stop-inclusive); the portable 32-bit hash is
+``conv(substr(md5(x),1,8),16,10)`` ≡ ``('0x' ||
+substr(md5(x),1,8))::BIGINT``.  Sampling rates are dyadic (0.5, 0.25,
+0.125) so ``rate * 2^32`` is exact in float64 and the FLOOR on both
+sides agrees bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import datasets
+from .functions import curation
+from .queries import register
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train = source<>'src0', benchmark = 'src0')
+# ---------------------------------------------------------------------------
+
+_GRAMS_CTE = """
+words AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, source, array_to_string(w[i:i+{hi}], ' ') AS gram
+  FROM words, UNNEST(generate_series(1, len(w) - {hi})) AS t(i)
+  WHERE len(w) >= {n}
+)
+"""
+
+_DECONTAM_ORACLE = (
+    "WITH "
+    + _GRAMS_CTE.format(n=8, hi=7)
+    + """,
+tg AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gh
+       FROM grams WHERE source <> 'src0'),
+bg AS (SELECT DISTINCT ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gh
+       FROM grams WHERE source = 'src0'),
+hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+         FROM tg JOIN bg USING (gh) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_shared_grams, 0) AS n_shared_grams,
+       COALESCE(h.n_shared_grams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.source <> 'src0'
+"""
+)
+
+
+@register("decontamination", _DECONTAM_ORACLE)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return curation.decontaminate(
+        docs.filter(docs.source != "src0"),
+        docs.filter(docs.source == "src0"),
+        n=8,
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (dyadic rates — exact both engines)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_ORACLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('sample-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < CAST(FLOOR((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+                    ELSE 0.125 END) * 4294967296.0) AS BIGINT)
+"""
+
+
+@register("stratified_sample", _SAMPLE_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return curation.stratified_sample(
+        docs, rates={"en": 0.5, "zh": 0.25}, default_rate=0.125
+    ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking (chunk 16 words, overlap 4 → stride 12)
+# ---------------------------------------------------------------------------
+
+_CHUNKS_ORACLE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST((i - 1) // 12 AS BIGINT) AS chunk_id,
+       array_to_string(w[i:i+15], ' ') AS chunk_text,
+       CAST(len(w[i:i+15]) AS BIGINT) AS n_tokens
+FROM words, UNNEST(generate_series(1, greatest(1, len(w) - 4), 12)) AS t(i)
+"""
+
+
+@register("document_chunks", _CHUNKS_ORACLE)
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return curation.chunk_documents(docs, chunk_tokens=16, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# repetition scoring (duplicated 3-gram fraction)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = (
+    "WITH "
+    + _GRAMS_CTE.format(n=3, hi=2)
+    + """,
+s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+             CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams
+      FROM grams GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(s.total_ngrams, 0) AS total_ngrams,
+       COALESCE(s.distinct_ngrams, 0) AS distinct_ngrams,
+       ROUND(CASE WHEN COALESCE(s.total_ngrams, 0) = 0 THEN 0.0
+             ELSE 1 - s.distinct_ngrams / CAST(s.total_ngrams AS DOUBLE)
+             END, 6) AS dup_ngram_ratio
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+)
+
+
+@register("repetition_scores", _REPETITION_ORACLE)
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return curation.repetition_scores(docs, n=3)

@@ -1,0 +1,75 @@
+"""Corpus-curation operators: decontamination, deterministic
+stratified sampling, chunking, repetition scoring."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphdb_testing_spark.functions import curation
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # benchmark doc (the "eval set")
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "bench"),
+        # training doc embedding the benchmark 8-gram verbatim -> contaminated
+        (2, "intro words alpha beta gamma delta epsilon zeta eta theta outro", "en", "train"),
+        # training doc with no 8-gram overlap
+        (3, "one two three four five six seven eight nine ten eleven twelve", "en", "train"),
+        # short training doc (< 8 words) -> zero grams, never contaminated
+        (4, "tiny doc here", "zh", "train"),
+        # repetitive doc: every trigram is 'spam spam spam'
+        (5, "spam spam spam spam spam spam spam spam", "de", "train"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_decontaminate_flags_overlap(spark, corpus):
+    train = corpus.filter(corpus.source == "train")
+    bench = corpus.filter(corpus.source == "bench")
+    out = {r.doc_id: r for r in curation.decontaminate(train, bench, n=8).collect()}
+    assert set(out) == {2, 3, 4, 5}
+    assert out[2].contaminated and out[2].n_shared_grams == 1  # the verbatim 8-gram
+    assert not out[3].contaminated and out[3].n_shared_grams == 0
+    assert not out[4].contaminated  # too short to produce a gram
+    assert not out[5].contaminated
+
+
+def test_stratified_sample_deterministic_and_nested(spark, corpus):
+    half = curation.stratified_sample(corpus, rates={}, default_rate=0.5)
+    quarter = curation.stratified_sample(corpus, rates={}, default_rate=0.25)
+    half_ids = {r.doc_id for r in half.collect()}
+    quarter_ids = {r.doc_id for r in quarter.collect()}
+    # nested: lower rate is an exact subset of the higher rate
+    assert quarter_ids <= half_ids
+    # deterministic: a re-run picks identical rows
+    assert {r.doc_id for r in curation.stratified_sample(
+        corpus, rates={}, default_rate=0.5).collect()} == half_ids
+    # per-stratum rate=1.0 keeps every row of that stratum
+    all_en = curation.stratified_sample(corpus, rates={"en": 1.0}, default_rate=0.0)
+    assert {r.doc_id for r in all_en.collect()} == {1, 2, 3}
+
+
+def test_chunk_documents_reassembles(spark, corpus):
+    chunks = curation.chunk_documents(corpus, chunk_tokens=4, overlap=1).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc in corpus.collect():
+        words = doc.text.split(" ")
+        got = sorted(by_doc[doc.doc_id], key=lambda r: r.chunk_id)
+        # stride = 3: chunk i starts at word 3*i; overlap word repeats
+        rebuilt = got[0].chunk_text.split(" ")
+        for c in got[1:]:
+            rebuilt.extend(c.chunk_text.split(" ")[1:])  # drop 1-word overlap
+        assert rebuilt == words, doc.doc_id
+        assert all(r.n_tokens == len(r.chunk_text.split(" ")) for r in got)
+
+
+def test_repetition_scores(spark, corpus):
+    out = {r.doc_id: r for r in curation.repetition_scores(corpus, n=3).collect()}
+    assert out[5].distinct_ngrams == 1 and out[5].total_ngrams == 6
+    assert out[5].dup_ngram_ratio == pytest.approx(1 - 1 / 6, abs=1e-6)
+    assert out[1].dup_ngram_ratio == 0.0  # all-distinct words
+    assert out[4].total_ngrams == 1 and out[4].dup_ngram_ratio == 0.0
