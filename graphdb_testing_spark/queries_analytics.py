@@ -357,3 +357,117 @@ def q_core_numbers_8round(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of the rows-only fixpoint `core_numbers` query."""
     g = datasets.user_graph(spark, sf_dir)
     return core_numbers(g.edges, max_rounds=8)
+
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction (non-adjacent pairs, integer-micro scores)
+# ---------------------------------------------------------------------------
+
+_AA_ORACLE = oracles.with_user_edges(
+    body="""
+SELECT u, v, common_neighbors, aa_score_micro
+FROM scored
+WHERE NOT EXISTS (SELECT 1 FROM nbrs e WHERE e.src = scored.u AND e.dst = scored.v)
+  AND common_neighbors >= 2
+""",
+    extra_ctes="""
+nbrs AS (SELECT DISTINCT src, dst FROM user_edges),
+deg AS (SELECT src AS w, CAST(COUNT(*) AS BIGINT) AS deg FROM nbrs GROUP BY 1),
+terms AS (
+  SELECT w, deg, CAST(ROUND(1000000.0 / ln(deg)) AS BIGINT) AS term
+  FROM deg WHERE deg >= 2
+),
+wedges AS (
+  SELECT a.dst AS u, b.dst AS v, a.src AS w
+  FROM nbrs a JOIN nbrs b ON a.src = b.src AND a.dst < b.dst
+),
+scored AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM(t.term) AS BIGINT) AS aa_score_micro
+  FROM wedges JOIN terms t ON t.w = wedges.w
+  GROUP BY u, v
+)""",
+)
+
+
+@register("adamic_adar_linkpred", _AA_ORACLE)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar scores for non-adjacent user pairs sharing ≥2
+    common neighbors — the similarity-based link predictor, scored in
+    order-independent integer micros (`operators/linkpred.py`)."""
+    from .operators.linkpred import adamic_adar
+
+    g = datasets.user_graph(spark, sf_dir)
+    return adamic_adar(g.edges).filter(F.col("common_neighbors") >= 2)
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (Pearson correlation of endpoint degrees)
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = oracles.with_user_edges(
+    body="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       ROUND(corr(ds.deg, dd.deg), 6) AS assortativity
+FROM nbrs e JOIN deg ds ON ds.id = e.src JOIN deg dd ON dd.id = e.dst
+""",
+    extra_ctes="""
+nbrs AS (SELECT DISTINCT src, dst FROM user_edges),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM nbrs GROUP BY 1)""",
+)
+
+
+@register("degree_assortativity", _ASSORT_ORACLE)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the user graph: Pearson correlation of
+    (deg(src), deg(dst)) over the symmetric distinct edge list —
+    Newman 2002's mixing coefficient, one aggregate, no iteration."""
+    g = datasets.user_graph(spark, sf_dir)
+    nbrs = g.edges.select("src", "dst").distinct()
+    deg = nbrs.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    return (
+        nbrs.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.round(F.corr("sdeg", "ddeg"), 6).alias("assortativity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# label propagation (3 synchronous rounds, deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    ctes = ["nbrs AS (SELECT DISTINCT src, dst FROM user_edges)",
+            "l0 AS (SELECT DISTINCT src AS id, src AS label FROM nbrs)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""l{r} AS (
+  SELECT id, label FROM (
+    SELECT e.dst AS id, l.label, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY e.dst
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM nbrs e JOIN l{r - 1} l ON l.id = e.src
+    GROUP BY e.dst, l.label
+  ) WHERE rn = 1)"""
+        )
+    return oracles.with_user_edges(
+        body=f"SELECT id, label FROM l{rounds}",
+        extra_ctes=",\n".join(ctes),
+    )
+
+
+@register("label_propagation_3round", _lpa_oracle(3))
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 synchronous LPA rounds on the user graph (most frequent
+    neighbor label, ties to the smallest label — the deterministic
+    distributed schedule, `operators/labelprop.py`)."""
+    from .operators.labelprop import label_propagation
+
+    g = datasets.user_graph(spark, sf_dir)
+    return label_propagation(g.edges, rounds=3)
