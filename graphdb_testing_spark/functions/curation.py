@@ -220,3 +220,91 @@ def repetition_scores(
             ).alias("dup_ngram_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# composite keep/drop decision
+# ---------------------------------------------------------------------------
+
+
+def curation_decision(
+    docs: DataFrame,
+    min_chars: int = 100,
+    min_distinct_ratio: float = 0.4,
+    max_dup_ngram_ratio: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, keep, drop_reasons)`` — the end-of-pipeline corpus
+    filter composing the individual signals: exact-duplicate removal
+    (keep only each md5 group's min-id canonical), minimum length,
+    type/token diversity, and the duplicated-3-gram repetition cap.
+
+    ``drop_reasons`` is the comma-joined, alphabetically-ordered list
+    of failed checks (``dup``, ``low_diversity``, ``repetitive``,
+    ``short``) — empty string when kept.  Deterministic by
+    construction, so filter ablations diff cleanly between runs.
+
+    One narrow shuffle per signal (md5 group, token aggregate, 3-gram
+    aggregate), then a single per-doc join — no text is shuffled more
+    than once, and every signal is partial-aggregatable.
+    """
+    from pyspark.sql import Window
+
+    canonical = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (
+            F.col(id_col)
+            == F.min(id_col).over(Window.partitionBy(F.md5(F.col(text_col))))
+        ).alias("is_canonical"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    diversity = toks.groupBy("doc_id").agg(
+        (F.countDistinct("tok") / F.count("*")).alias("distinct_ratio")
+    )
+    rep = repetition_scores(docs, n=3, id_col=id_col, text_col=text_col).select(
+        "doc_id", "dup_ngram_ratio"
+    )
+    flagged = (
+        canonical.join(diversity, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            (~F.col("is_canonical")).alias("f_dup"),
+            (F.coalesce("distinct_ratio", F.lit(0.0)) < min_distinct_ratio).alias(
+                "f_low_diversity"
+            ),
+            (F.coalesce("dup_ngram_ratio", F.lit(0.0)) > max_dup_ngram_ratio).alias(
+                "f_repetitive"
+            ),
+            (F.col("n_chars") < min_chars).alias("f_short"),
+        )
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(
+                F.when(F.col("f_dup"), "dup"),
+                F.when(F.col("f_low_diversity"), "low_diversity"),
+                F.when(F.col("f_repetitive"), "repetitive"),
+                F.when(F.col("f_short"), "short"),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return flagged.select(
+        "doc_id",
+        (
+            ~(
+                F.col("f_dup")
+                | F.col("f_low_diversity")
+                | F.col("f_repetitive")
+                | F.col("f_short")
+            )
+        ).alias("keep"),
+        reasons.alias("drop_reasons"),
+    )

@@ -127,3 +127,58 @@ FROM documents d LEFT JOIN s USING (doc_id)
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = datasets.load_table(spark, sf_dir, "documents")
     return curation.repetition_scores(docs, n=3)
+
+
+# ---------------------------------------------------------------------------
+# composite keep/drop decision (dup + length + diversity + repetition)
+# ---------------------------------------------------------------------------
+
+_DECISION_ORACLE = (
+    "WITH "
+    + _GRAMS_CTE.format(n=3, hi=2)
+    + """,
+canon AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical,
+         CAST(LEN(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+div AS (
+  SELECT doc_id, COUNT(DISTINCT tok) / (1e0 * COUNT(*)) AS distinct_ratio
+  FROM toks GROUP BY doc_id
+),
+rep AS (
+  SELECT doc_id,
+         ROUND(1 - COUNT(DISTINCT gram) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS dup_ngram_ratio
+  FROM grams GROUP BY doc_id
+),
+flags AS (
+  SELECT c.doc_id,
+         NOT c.is_canonical AS f_dup,
+         COALESCE(d.distinct_ratio, 0e0) < 0.4e0 AS f_low_diversity,
+         COALESCE(r.dup_ngram_ratio, 0e0) > 0.3e0 AS f_repetitive,
+         c.n_chars < 100 AS f_short
+  FROM canon c LEFT JOIN div d USING (doc_id) LEFT JOIN rep r USING (doc_id)
+)
+SELECT doc_id,
+       NOT (f_dup OR f_low_diversity OR f_repetitive OR f_short) AS keep,
+       concat_ws(',',
+         CASE WHEN f_dup THEN 'dup' END,
+         CASE WHEN f_low_diversity THEN 'low_diversity' END,
+         CASE WHEN f_repetitive THEN 'repetitive' END,
+         CASE WHEN f_short THEN 'short' END) AS drop_reasons
+FROM flags
+"""
+)
+
+
+@register("curation_decision", _DECISION_ORACLE)
+def q_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return curation.curation_decision(docs)

@@ -183,3 +183,82 @@ def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.9)"), 6).alias("p90"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event debounce: drop same-(user, type) events within 60s of the
+# previous occurrence — the stream-dedup / rate-limit shape
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_debounce",
+    """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM (
+  SELECT event_id, user_id, event_type, ts,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+) WHERE prev_us IS NULL OR epoch_us(ts) - prev_us > 60000000
+""",
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: keep an event only if the previous event of the same
+    (user, type) is more than 60s older — lag over an ordered
+    per-key window, the batch twin of a streaming rate limiter.
+    Partitioned by (user, type): state is one timestamp per key, the
+    same keyspace a `applyInPandasWithState` port would shard on."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    return (
+        ev.withColumn("prev_us", prev_us)
+        .filter(
+            F.col("prev_us").isNull()
+            | (F.unix_micros("ts") - F.col("prev_us") > 60_000_000)
+        )
+        .select(
+            "event_id", "user_id", "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention: users bucketed by first-seen week × active week
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    """
+WITH firstw AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT epoch_us(f.cohort_week) AS cohort_week_us,
+       epoch_us(a.active_week) AS active_week_us,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM firstw f JOIN active a USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: distinct users per (first-seen week,
+    active week) — two map-side-combined aggregates and one join on
+    user_id; the classic product-analytics rollup."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firstw = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("active_week")).distinct()
+    return (
+        firstw.join(active, "user_id")
+        .groupBy(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            F.unix_micros("active_week").alias("active_week_us"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

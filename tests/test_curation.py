@@ -73,3 +73,22 @@ def test_repetition_scores(spark, corpus):
     assert out[5].dup_ngram_ratio == pytest.approx(1 - 1 / 6, abs=1e-6)
     assert out[1].dup_ngram_ratio == 0.0  # all-distinct words
     assert out[4].total_ngrams == 1 and out[4].dup_ngram_ratio == 0.0
+
+
+def test_curation_decision_flags(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup of 1
+        (3, "spam spam spam spam spam spam spam spam"),  # repetitive + low diversity
+        (4, "ok"),  # short
+        (5, "one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curation.curation_decision(
+        docs, min_chars=10, min_distinct_ratio=0.4, max_dup_ngram_ratio=0.3
+    ).collect()}
+    assert out[1].keep and out[1].drop_reasons == ""
+    assert not out[2].keep and out[2].drop_reasons == "dup"
+    assert not out[3].keep and out[3].drop_reasons == "low_diversity,repetitive"
+    assert not out[4].keep and out[4].drop_reasons == "short"
+    assert out[5].keep
