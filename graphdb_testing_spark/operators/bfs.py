@@ -120,3 +120,46 @@ def eccentricity(dist: DataFrame) -> int:
     """Max BFS depth from the source (reference
     ``tests/neo4j/.../App.java:210-215``)."""
     return dist.agg(F.max("dist").alias("m")).collect()[0]["m"]
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    roots: list[int],
+    max_depth: int = 100,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """``(root, id, dist)`` hop distances from every root at once.
+
+    All roots advance in ONE (root, id)-keyed frontier — O(diameter)
+    Spark jobs total, not O(roots × diameter), the same batching the
+    Brandes operator uses (`betweenness.py`).  State is ≤ |roots| × nv
+    rows, shuffled on the compound key; the edge table never moves."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst")
+    e = e.coalesce(iter_partitions(edges.count()))
+    dist = spark.createDataFrame(
+        [(int(r), int(r), 0) for r in roots], "root long, id long, dist int"
+    ).localCheckpoint()
+    frontier = dist
+    reached = len(roots)
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        nxt = (
+            e.join(state_hint(frontier, reached), e.src == frontier.id)
+            .select("root", F.col("dst").alias("id"))
+            .distinct()
+            .join(state_hint(dist, reached), ["root", "id"], "left_anti")
+            .withColumn("dist", F.lit(depth).cast("int"))
+            .localCheckpoint()
+        )
+        n = nxt.count()
+        if n == 0:
+            nxt.unpersist()
+            break
+        reached += n
+        dist = dist.unionAll(nxt)
+        if depth % checkpoint_every == 0:
+            dist = dist.localCheckpoint()
+        frontier = nxt
+    return dist

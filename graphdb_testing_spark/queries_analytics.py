@@ -471,3 +471,82 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = datasets.user_graph(spark, sf_dir)
     return label_propagation(g.edges, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# closeness / harmonic centrality from sampled roots
+# ---------------------------------------------------------------------------
+
+
+def _closeness_oracle(n_roots: int = _N_ROOTS, levels: int = _LEVELS) -> str:
+    """Multi-root BFS unrolled to ``levels`` (valid while every root's
+    eccentricity < levels, same bound as the Brandes oracle); the
+    harmonic sum is quantized to integer micros per term so the
+    aggregate is order-independent."""
+    ctes = [
+        f"roots AS (SELECT src AS root FROM user_edges GROUP BY src"
+        f" ORDER BY src LIMIT {n_roots})",
+        "l0 AS (SELECT root, root AS id FROM roots)",
+        "v0 AS (SELECT root, id FROM l0)",
+    ]
+    for i in range(1, levels):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT f.root, f.id FROM (
+    SELECT DISTINCT l.root, e.dst AS id
+    FROM user_edges e JOIN l{i - 1} l ON e.src = l.id
+  ) f LEFT JOIN v{i - 1} v ON v.root = f.root AND v.id = f.id
+  WHERE v.id IS NULL)"""
+        )
+        ctes.append(
+            f"v{i} AS (SELECT root, id FROM v{i - 1}"
+            f" UNION ALL SELECT root, id FROM l{i})"
+        )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT root, id, {i} AS dist FROM l{i}" for i in range(1, levels)
+    )
+    body = f"""
+SELECT root, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(dist) AS BIGINT) AS total_dist,
+       ROUND(COUNT(*) / CAST(SUM(dist) AS DOUBLE), 6) AS closeness,
+       CAST(SUM(CAST(ROUND(1000000.0 / dist) AS BIGINT)) AS BIGINT)
+         AS harmonic_micros
+FROM (
+  {union}
+) GROUP BY root
+"""
+    return oracles.with_user_edges(body, extra_ctes=",\n".join(ctes))
+
+
+@register("closeness_4roots", _closeness_oracle())
+def q_closeness_4roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact closeness + harmonic centrality of the 4 smallest-id
+    roots (sampled-source centrality, the standard scale approach):
+    one multi-root BFS, then one aggregate per root.  Harmonic terms
+    are integer micros — order-independent across partitions."""
+    from .operators.bfs import multi_source_bfs
+
+    g = datasets.user_graph(spark, sf_dir)
+    roots = [
+        r.id
+        for r in g.edges.select(F.col("src").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(_N_ROOTS)
+        .collect()
+    ]
+    dist = multi_source_bfs(g.edges, roots, max_depth=_LEVELS - 1)
+    return (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("root")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum("dist").cast("long").alias("total_dist"),
+            F.round(F.count("*") / F.sum("dist").cast("double"), 6).alias(
+                "closeness"
+            ),
+            F.sum(
+                F.round(F.lit(1000000.0) / F.col("dist")).cast("long")
+            ).cast("long").alias("harmonic_micros"),
+        )
+    )
