@@ -93,21 +93,29 @@ def main() -> None:
 
     timed("pr", _pr)
 
-    # update: merge the full action stream (M13); metric seconds here,
-    # actions/sec derivable from meta
+    # update: merge the full action stream (M13).  The reference times
+    # batch insertions into an ALREADY-BUILT graph (tests/stinger/
+    # main.c:165-204 starts the timer after stinger_set_initial_edges),
+    # so the action decode+count and base-graph build stay outside the
+    # timed section; the timer covers the merge itself.
+    acts = datasets.actions_stream(spark, sf_dir).localCheckpoint()
+    meta["na"] = acts.count()
+    ug = datasets.user_graph(spark, sf_dir)
+    # localCheckpoint (not count) — the derivation (events self-join)
+    # must actually be materialized, or the timer re-runs it
+    ug_edges = ug.edges.localCheckpoint()
+    ug_edges.count()
+
     def _update():
-        acts = datasets.actions_stream(spark, sf_dir)
-        meta["na"] = acts.count()
-        ug = datasets.user_graph(spark, sf_dir)
-        merged = apply_actions(ug.edges, acts)
+        merged = apply_actions(ug_edges, acts)
         meta["edges_after_update"] = merged.count()
 
     timed("update", _update)
 
     # tri: exact triangle counting on the (dense) user graph
+    # (base graph materialized above — the timer covers the kernel)
     def _tri():
-        ug = datasets.user_graph(spark, sf_dir)
-        tri = triangles_per_vertex(ug.edges)
+        tri = triangles_per_vertex(ug_edges)
         meta["total_ntri"] = tri.agg(F.sum("ntri").alias("s")).collect()[0]["s"]
 
     timed("tri", _tri)

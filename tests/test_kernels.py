@@ -173,3 +173,19 @@ def test_weighted_pagerank_weight_pulls_rank(spark):
     pr = {r.id: r.pr for r in weighted_pagerank(g, num_iter=20).collect()}
     assert pr[1] > pr[2]
     assert abs(sum(pr.values()) - 1.0) < 1e-9
+
+
+def test_multi_source_bfs_matches_single_source(spark, path_graph):
+    from pyspark.sql import functions as F
+
+    from graphdb_testing_spark.operators.bfs import multi_source_bfs
+
+    roots = [0, 2, 10]
+    multi = multi_source_bfs(path_graph, roots)
+    for r in roots:
+        single = {(row.id, row.dist) for row in bfs(path_graph, r).collect()}
+        per_root = {
+            (row.id, row.dist)
+            for row in multi.filter(F.col("root") == r).select("id", "dist").collect()
+        }
+        assert per_root == single, r
