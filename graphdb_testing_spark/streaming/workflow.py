@@ -504,3 +504,72 @@ def streaming_click_purchase_join(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_debounce(
+    spark: SparkSession,
+    events_path: str,
+    min_gap_seconds: int = 60,
+    query_name: str = "debounced",
+    max_files_per_trigger: int | None = None,
+):
+    """Stateful streaming twin of the batch ``event_debounce`` query:
+    emit an event only if the previous event of the same
+    ``(user_id, event_type)`` — kept or dropped — is more than
+    ``min_gap_seconds`` older.
+
+    State per key is ONE timestamp (the last *seen* event time), so
+    unlike sessionization nothing is withheld: every kept event is
+    final the moment its micro-batch processes, and the emitted set is
+    exactly the batch query's result however the stream is chunked
+    (provided micro-batches arrive in event-time order per key, the
+    file-source contract used here).  Vectorized inside the batch:
+    lag + gap filter in pandas, no per-row Python loop.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = min_gap_seconds * 1_000_000
+
+    def debounce(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        user_id, event_type = key
+        last = state.get[0] if state.exists else None
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            # no cross-chunk ordering guarantee — sort once per key
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            ).to_numpy()
+            prev = pd.Series(us).shift()
+            if last is not None:
+                prev.iloc[0] = last
+            keep = (prev.isna() | ((us - prev) > gap_us)).to_numpy()
+            state.update((int(us[-1]),))
+            out = pdf.loc[keep, ["event_id", "user_id", "event_type"]].copy()
+            out["ts_us"] = us[keep]
+            if len(out):
+                yield out
+
+    ev = _events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    ).select("user_id", "event_type", "event_id", "ts")
+    out = ev.groupBy("user_id", "event_type").applyInPandasWithState(
+        debounce,
+        outputStructType=(
+            "event_id long, user_id long, event_type string, ts_us long"
+        ),
+        stateStructType="last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -279,3 +279,58 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     # inner stream-stream join in append mode emits every match
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_debounce_matches_batch(spark, tmp_path):
+    import shutil
+
+    from graphdb_testing_spark import queries_relational  # noqa: F401 (registers)
+    from graphdb_testing_spark.queries import all_queries
+    from graphdb_testing_spark.streaming.workflow import streaming_debounce
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "deb_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf}/events.parquet", stream_dir / "part-0.parquet")
+    q = streaming_debounce(spark, str(stream_dir), query_name="t_debounce")
+    q.awaitTermination()
+    got = {
+        (r.event_id, r.ts_us)
+        for r in spark.sql("select * from t_debounce").collect()
+    }
+    batch = {
+        (r.event_id, r.ts_us)
+        for r in all_queries()["event_debounce"](spark, sf).collect()
+    }
+    assert len(got) > 0 and got == batch
+
+
+def test_streaming_debounce_state_across_batches(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark import queries_relational as _qr  # noqa: F401
+    from graphdb_testing_spark.queries import all_queries
+    from graphdb_testing_spark.streaming.workflow import streaming_debounce
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "deb_stream2"
+    stream_dir.mkdir()
+    t = pq.read_table(f"{sf}/events.parquet").sort_by([("ts", "ascending")])
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), f"{stream_dir}/part-0.parquet")
+    pq.write_table(t.slice(half), f"{stream_dir}/part-1.parquet")
+    q = streaming_debounce(
+        spark, str(stream_dir), query_name="t_debounce2", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_id, r.ts_us)
+        for r in spark.sql("select * from t_debounce2").collect()
+    }
+    batch = {
+        (r.event_id, r.ts_us)
+        for r in all_queries()["event_debounce"](spark, sf).collect()
+    }
+    # a same-key event within 60s of a previous-batch event must be
+    # dropped via the carried state — the union equals the batch result
+    assert got == batch
