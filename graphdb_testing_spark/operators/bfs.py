@@ -135,8 +135,10 @@ def multi_source_bfs(
     Brandes operator uses (`betweenness.py`).  State is ≤ |roots| × nv
     rows, shuffled on the compound key; the edge table never moves."""
     spark = edges.sparkSession
+    # checkpoint: the per-level join must probe a materialized table,
+    # not re-run a derived-edge pipeline O(diameter) times
     e = edges.select("src", "dst")
-    e = e.coalesce(iter_partitions(edges.count()))
+    e = e.coalesce(iter_partitions(edges.count())).localCheckpoint()
     dist = spark.createDataFrame(
         [(int(r), int(r), 0) for r in roots], "root long, id long, dist int"
     ).localCheckpoint()

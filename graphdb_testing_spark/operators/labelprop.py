@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 
 def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     """``(id, label)`` after ``rounds`` synchronous LPA rounds."""
-    nbrs = edges.select("src", "dst").distinct()
+    # one materialization: the per-round join would otherwise re-run
+    # the (possibly derived) edge pipeline every round
+    nbrs = edges.select("src", "dst").distinct().localCheckpoint()
     labels = nbrs.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )

@@ -35,7 +35,12 @@ def adamic_adar(edges: DataFrame, max_center_degree: int | None = None) -> DataF
     neighbors ``w`` (integer micros — see module docstring).
     ``edges`` must be symmetric (both directions present).
     """
-    nbrs = edges.select("src", "dst").distinct()
+    # materialize the distinct neighbor relation ONCE — it is
+    # referenced four times below (degree, both wedge sides, the
+    # anti-join) and Catalyst does not share common subplans, so an
+    # un-checkpointed derived edge table (e.g. the events self-join
+    # behind user_graph) would be recomputed per reference
+    nbrs = edges.select("src", "dst").distinct().localCheckpoint()
     deg = nbrs.groupBy(F.col("src").alias("w")).agg(
         F.count("*").cast("long").alias("deg")
     )

@@ -114,6 +114,16 @@ def main() -> None:
     )
     audit("daily_revenue_running", qs["daily_revenue_running"](spark, sf_dir))
     audit("event_value_quantiles", qs["event_value_quantiles"](spark, sf_dir))
+    from graphdb_testing_spark import queries_curation  # noqa: F401 (registers)
+
+    qs = all_queries()
+    audit("decontamination", qs["decontamination"](spark, sf_dir))
+    audit("stratified_sample", qs["stratified_sample"](spark, sf_dir))
+    audit("document_chunks", qs["document_chunks"](spark, sf_dir))
+    audit("curation_decision", qs["curation_decision"](spark, sf_dir))
+    audit("adamic_adar_linkpred", qs["adamic_adar_linkpred"](spark, sf_dir))
+    audit("event_debounce", qs["event_debounce"](spark, sf_dir))
+    audit("cohort_retention", qs["cohort_retention"](spark, sf_dir))
 
     # one iterative-kernel round body: edges join state should be a
     # broadcast hash join with no edge-side exchange
