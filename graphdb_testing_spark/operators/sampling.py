@@ -1,0 +1,152 @@
+"""Graph sampling for representation-learning pipelines: deterministic
+random walks (DeepWalk/node2vec input) and negative edge sampling
+(link-prediction training pairs).
+
+Randomness discipline: every "random" choice is a pure function of
+``(salt, walk/pair id, step)`` via the portable md5-prefix hash —
+reproducible across retries, partitionings, and engines, which makes
+both operators exactly oracle-checkable in DuckDB (same reason
+``functions/curation.stratified_sample`` avoids ``rand()``).
+
+Scale shape: walks advance ALL walkers one step per round — state is
+one row per walker, each step is two equi-joins (degree lookup, then
+``(vertex, idx)`` neighbor lookup — no per-walker neighbor fan-out),
+O(walk_length) jobs total.  Negative sampling is a hash fan-out + one
+semi-join (valid id) + one anti-join (not a real edge); candidate ids
+come from ``hash % (max_id + 1)`` — no global rank table, no global
+sort, nothing broadcast (the ``csr_offsets`` lesson from round 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_mod(salt: str, cols: list, mod_col) -> "F.Column":
+    """Portable ``hash32(salt|c1|c2|...) % mod`` (md5-prefix idiom,
+    lockstep with DuckDB ``('0x'||substr(md5(...),1,8))::BIGINT``)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), *[c.cast("string") for c in cols])),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, mod_col)
+
+
+def indexed_adjacency(edges: DataFrame) -> DataFrame:
+    """``(src, idx, dst, deg)`` — each vertex's distinct neighbors
+    numbered ``0..deg-1`` in ascending ``dst`` order (the stable
+    indexing both the walker and the SQL oracle address into).
+    The window partitions by vertex — no global sort."""
+    nbrs = edges.select("src", "dst").distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    return (
+        nbrs.withColumn("idx", F.row_number().over(w) - 1)
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 3,
+    start_every: int = 50,
+    salt: str = "walk-v1",
+) -> DataFrame:
+    """``(walk_id, step, vertex)`` — one deterministic uniform walk of
+    ``walk_length`` steps from every vertex with ``id % start_every
+    == 0`` (the seed set; ``start_every=1`` walks from everywhere).
+
+    Step rule: from ``v`` at step ``s`` the walker moves to neighbor
+    ``hash32(salt|walk_id|s) % deg(v)`` of the ascending-``dst``
+    indexed adjacency.  Walks never dead-end on a symmetric graph
+    (any reached vertex has at least its predecessor as a neighbor).
+    """
+    adj = indexed_adjacency(edges).localCheckpoint()
+    degs = adj.select("src", "deg").distinct()
+    seeds = (
+        degs.select("src")
+        .filter(F.col("src") % start_every == 0)
+        .select(
+            F.col("src").alias("walk_id"),
+            F.lit(0).alias("step"),
+            F.col("src").alias("vertex"),
+        )
+    )
+    out = seeds.localCheckpoint()
+    cur = out
+    for s in range(1, walk_length + 1):
+        # two equi-joins: degree lookup to compute the pick, then the
+        # (vertex, idx) neighbor lookup — 1 row in, 1 row out
+        with_pick = (
+            cur.join(degs, cur.vertex == degs.src)
+            .withColumn(
+                "pick",
+                _hash_mod(salt, [F.col("walk_id"), F.lit(s)], F.col("deg")),
+            )
+            .select("walk_id", "vertex", "pick")
+        )
+        nxt = (
+            with_pick.join(
+                adj,
+                (with_pick.vertex == adj.src) & (with_pick.pick == adj.idx),
+            )
+            .select(
+                "walk_id",
+                F.lit(s).alias("step"),
+                F.col("dst").alias("vertex"),
+            )
+            .localCheckpoint()
+        )
+        out = out.unionAll(nxt)
+        cur = nxt
+    return out
+
+
+def negative_samples(
+    edges: DataFrame,
+    k: int = 3,
+    salt: str = "neg-v1",
+) -> DataFrame:
+    """``(src, candidate, sample_no)`` — for every canonical edge
+    ``src < dst``, up to ``k`` deterministic non-neighbor candidates
+    of ``src``: corrupt the destination to ``hash32(salt|src|dst|i) %
+    (max_id + 1)``, keep ids that exist (semi-join), drop self-pairs
+    and true edges (anti-join).
+
+    The standard negative-sampling corruption for link-prediction /
+    embedding training; "up to k" because invalid or colliding
+    candidates are dropped rather than re-drawn (re-drawing is a
+    loop; over-provision ``k`` instead at scale).
+    """
+    nbrs = edges.select("src", "dst").distinct().localCheckpoint()
+    verts = nbrs.select("src").distinct()
+    max_id = nbrs.agg(F.max("src").alias("m")).collect()[0]["m"]
+    canon = nbrs.filter(F.col("src") < F.col("dst"))
+    cands = (
+        canon.select(
+            "src",
+            "dst",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("sample_no"),
+        )
+        .withColumn(
+            "candidate",
+            _hash_mod(
+                salt,
+                [F.col("src"), F.col("dst"), F.col("sample_no")],
+                F.lit(int(max_id) + 1),
+            ),
+        )
+        .filter(F.col("src") != F.col("candidate"))
+        .join(
+            verts.withColumnRenamed("src", "candidate"), "candidate", "left_semi"
+        )
+        .select("src", "candidate", "sample_no")
+    )
+    return cands.join(
+        nbrs.withColumnRenamed("dst", "candidate"), ["src", "candidate"], "left_anti"
+    ).distinct()

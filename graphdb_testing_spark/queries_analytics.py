@@ -550,3 +550,99 @@ def q_closeness_4roots(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("harmonic_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic graph sampling: random walks + negative edge samples
+# ---------------------------------------------------------------------------
+
+_WALK_LEN = 3
+_WALK_EVERY = 7
+
+
+def _walks_oracle(length: int = _WALK_LEN, every: int = _WALK_EVERY) -> str:
+    ctes = [
+        "nbrs AS (SELECT DISTINCT src, dst FROM user_edges)",
+        """adj AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM nbrs)""",
+        "degs AS (SELECT DISTINCT src, deg FROM adj)",
+        f"""w0 AS (SELECT src AS walk_id, CAST(0 AS BIGINT) AS step,
+                src AS vertex FROM degs WHERE src % {every} = 0)""",
+    ]
+    for s in range(1, length + 1):
+        ctes.append(
+            f"""w{s} AS (
+  SELECT c.walk_id, CAST({s} AS BIGINT) AS step, a.dst AS vertex
+  FROM w{s - 1} c
+  JOIN degs d ON d.src = c.vertex
+  JOIN adj a ON a.src = c.vertex
+   AND a.idx = ('0x' || substr(md5('walk-v1|' || c.walk_id || '|{s}'), 1, 8))::BIGINT
+               % d.deg)"""
+        )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT walk_id, step, vertex FROM w{s}" for s in range(length + 1)
+    )
+    return oracles.with_user_edges(
+        body=f"SELECT walk_id, step, vertex FROM (\n  {union}\n)",
+        extra_ctes=",\n".join(ctes),
+    )
+
+
+@register("random_walks", _walks_oracle())
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform random walks (DeepWalk input shape) from
+    every 7th user id: 3 steps, next hop = portable hash of
+    (walk, step) mod degree over the dst-ordered indexed adjacency
+    (`operators/sampling.py`)."""
+    from .operators.sampling import random_walks
+
+    g = datasets.user_graph(spark, sf_dir)
+    out = random_walks(g.edges, walk_length=_WALK_LEN, start_every=_WALK_EVERY)
+    return out.select(
+        "walk_id", F.col("step").cast("long").alias("step"), "vertex"
+    )
+
+
+_NEG_K = 3
+
+_NEG_ORACLE = oracles.with_user_edges(
+    body="""
+SELECT v.src, v.candidate, v.sample_no FROM valid v
+WHERE NOT EXISTS (SELECT 1 FROM nbrs e
+                  WHERE e.src = v.src AND e.dst = v.candidate)
+""",
+    extra_ctes="""
+nbrs AS (SELECT DISTINCT src, dst FROM user_edges),
+mx AS (SELECT MAX(src) + 1 AS m FROM nbrs),
+cands AS (
+  SELECT c.src,
+         ('0x' || substr(md5('neg-v1|' || c.src || '|' || c.dst || '|' || i),
+                         1, 8))::BIGINT % (SELECT m FROM mx) AS candidate,
+         CAST(i AS BIGINT) AS sample_no
+  FROM (SELECT src, dst FROM nbrs WHERE src < dst) c,
+       UNNEST(generate_series(0, 2)) AS t(i)
+),
+valid AS (
+  SELECT DISTINCT c.src, c.candidate, c.sample_no
+  FROM cands c
+  JOIN (SELECT DISTINCT src AS candidate FROM nbrs) v USING (candidate)
+  WHERE c.src <> c.candidate
+)""",
+)
+
+
+@register("negative_samples", _NEG_ORACLE)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up to 3 deterministic negative (non-edge) candidates per
+    canonical user edge — hash-corrupted destinations, validity
+    semi-join, true-edge anti-join (`operators/sampling.py`)."""
+    from .operators.sampling import negative_samples
+
+    g = datasets.user_graph(spark, sf_dir)
+    out = negative_samples(g.edges, k=_NEG_K)
+    return out.select(
+        "src", "candidate", F.col("sample_no").cast("long").alias("sample_no")
+    )

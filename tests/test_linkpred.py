@@ -52,3 +52,36 @@ def test_label_propagation_converges_on_disjoint_cliques(spark):
     assert len({labels[0], labels[1], labels[2]}) == 1
     assert len({labels[10], labels[11], labels[12]}) == 1
     assert labels[0] != labels[10]
+
+
+def test_random_walks_follow_edges(spark, bridged_cliques):
+    from graphdb_testing_spark.operators.sampling import random_walks
+
+    walks = random_walks(bridged_cliques, walk_length=4, start_every=1).collect()
+    edge_set = {(r.src, r.dst) for r in bridged_cliques.select("src", "dst").collect()}
+    by_walk: dict[int, dict[int, int]] = {}
+    for r in walks:
+        by_walk.setdefault(r.walk_id, {})[r.step] = r.vertex
+    assert len(by_walk) == bridged_cliques.select("src").distinct().count()
+    for wid, steps in by_walk.items():
+        assert sorted(steps) == [0, 1, 2, 3, 4]
+        assert steps[0] == wid
+        for s in range(1, 5):
+            assert (steps[s - 1], steps[s]) in edge_set
+    # deterministic: identical on re-run
+    again = {(r.walk_id, r.step, r.vertex) for r in random_walks(
+        bridged_cliques, walk_length=4, start_every=1).collect()}
+    assert again == {(r.walk_id, r.step, r.vertex) for r in walks}
+
+
+def test_negative_samples_are_nonedges(spark, bridged_cliques):
+    from graphdb_testing_spark.operators.sampling import negative_samples
+
+    edge_set = {(r.src, r.dst) for r in bridged_cliques.select("src", "dst").collect()}
+    verts = {r.src for r in bridged_cliques.select("src").distinct().collect()}
+    out = negative_samples(bridged_cliques, k=4).collect()
+    assert len(out) > 0
+    for r in out:
+        assert (r.src, r.candidate) not in edge_set
+        assert r.candidate in verts and r.src != r.candidate
+        assert 0 <= r.sample_no < 4
