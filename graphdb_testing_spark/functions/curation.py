@@ -308,3 +308,61 @@ def curation_decision(
         ).alias("keep"),
         reasons.alias("drop_reasons"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 64,
+    num_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """``(bucket, doc_id, n_tokens, bin_no)`` — greedy sequential
+    packing of documents into fixed-capacity token bins (context-window
+    packing for pretraining batches): within each bucket, documents are
+    taken in ``doc_id`` order and a new bin starts when the current one
+    cannot fit the next document.  A document longer than ``capacity``
+    occupies a bin alone.
+
+    Packing is inherently sequential (each decision depends on the
+    running fill), so it cannot be a window expression; instead the
+    corpus is split into ``num_buckets`` independent hash buckets and
+    each bucket packs in parallel via Arrow-batched ``applyInPandas``
+    — the documented pattern for per-group imperative logic.  Bucket
+    count scales with the cluster; determinism comes from the portable
+    hash bucket + total ``doc_id`` order within the bucket.
+    """
+    with_meta = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(
+            _hash32(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+            F.lit(num_buckets),
+        ).alias("bucket"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        bin_nos = []
+        bin_no, fill = 0, 0
+        first = True
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if not first and fill + t > capacity:
+                bin_no += 1
+                fill = 0
+            bin_nos.append(bin_no)
+            fill += t
+            first = False
+        pdf["bin_no"] = bin_nos
+        return pdf[["bucket", "doc_id", "n_tokens", "bin_no"]]
+
+    return with_meta.groupBy("bucket").applyInPandas(
+        pack, "bucket long, doc_id long, n_tokens long, bin_no long"
+    )

@@ -442,7 +442,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lpa_oracle(rounds: int = 3) -> str:
+def _lpa_ctes(rounds: int = 3) -> str:
     ctes = ["nbrs AS (SELECT DISTINCT src, dst FROM user_edges)",
             "l0 AS (SELECT DISTINCT src AS id, src AS label FROM nbrs)"]
     for r in range(1, rounds + 1):
@@ -456,9 +456,13 @@ def _lpa_oracle(rounds: int = 3) -> str:
     GROUP BY e.dst, l.label
   ) WHERE rn = 1)"""
         )
+    return ",\n".join(ctes)
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
     return oracles.with_user_edges(
         body=f"SELECT id, label FROM l{rounds}",
-        extra_ctes=",\n".join(ctes),
+        extra_ctes=_lpa_ctes(rounds),
     )
 
 
@@ -645,4 +649,52 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = negative_samples(g.edges, k=_NEG_K)
     return out.select(
         "src", "candidate", F.col("sample_no").cast("long").alias("sample_no")
+    )
+
+
+# ---------------------------------------------------------------------------
+# partition quality: edge cut of the LPA communities
+# ---------------------------------------------------------------------------
+
+_CUT_ORACLE = oracles.with_user_edges(
+    body="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(CASE WHEN la.label <> lb.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS cut_edges,
+       CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS internal_edges
+FROM (SELECT src, dst FROM nbrs WHERE src < dst) e
+JOIN l3 la ON la.id = e.src
+JOIN l3 lb ON lb.id = e.dst
+""",
+    extra_ctes=_lpa_ctes(3),
+)
+
+
+@register("partition_quality", _CUT_ORACLE)
+def q_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-cut quality of the 3-round LPA partition: canonical edges
+    whose endpoints landed in different communities vs internal edges
+    — the metric a partitioner/placement layer optimizes (fewer cut
+    edges = less cross-shard traffic at 100 TB)."""
+    from .operators.labelprop import label_propagation
+
+    g = datasets.user_graph(spark, sf_dir)
+    nbrs = g.edges.select("src", "dst").distinct()
+    labels = label_propagation(g.edges, rounds=3)
+    canon = nbrs.filter(F.col("src") < F.col("dst"))
+    la = labels.withColumnRenamed("id", "src").withColumnRenamed("label", "la")
+    lb = labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "lb")
+    return (
+        canon.join(la, "src")
+        .join(lb, "dst")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum(F.when(F.col("la") != F.col("lb"), 1).otherwise(0))
+            .cast("long")
+            .alias("cut_edges"),
+            F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0))
+            .cast("long")
+            .alias("internal_edges"),
+        )
     )

@@ -182,3 +182,47 @@ FROM flags
 def q_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = datasets.load_table(spark, sf_dir, "documents")
     return curation.curation_decision(docs)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (greedy per-bucket bin packing, recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 64
+_PACK_BUCKETS = 8
+
+_PACK_ORACLE = f"""
+WITH RECURSIVE meta AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('pack-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_PACK_BUCKETS} AS bucket,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT bucket, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM meta
+),
+pack AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin_no, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
+              THEN p.bin_no + 1 ELSE p.bin_no END,
+         CASE WHEN p.fill + d.n_tokens > {_PACK_CAPACITY}
+              THEN d.n_tokens ELSE p.fill + d.n_tokens END
+  FROM pack p JOIN ordered d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+)
+SELECT bucket, doc_id, n_tokens, bin_no FROM pack
+"""
+
+
+@register("sequence_packing", _PACK_ORACLE)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return curation.pack_sequences(
+        docs, capacity=_PACK_CAPACITY, num_buckets=_PACK_BUCKETS
+    )

@@ -92,3 +92,21 @@ def test_curation_decision_flags(spark):
     assert not out[3].keep and out[3].drop_reasons == "low_diversity,repetitive"
     assert not out[4].keep and out[4].drop_reasons == "short"
     assert out[5].keep
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    rows = [(i, " ".join(["w"] * n)) for i, n in
+            [(1, 10), (2, 20), (3, 40), (4, 5), (5, 70), (6, 8)]]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.pack_sequences(docs, capacity=32, num_buckets=1).collect()
+    assert {r.doc_id for r in out} == {1, 2, 3, 4, 5, 6}
+    by_bin: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        by_bin.setdefault(r.bin_no, []).append(r)
+    # greedy in doc_id order at capacity 32:
+    # [10+20] [40] [5] then 70 overflows alone, [8]
+    fills = {b: sum(r.n_tokens for r in rs) for b, rs in by_bin.items()}
+    assert fills == {0: 30, 1: 40, 2: 5, 3: 70, 4: 8}
+    # bins are contiguous in doc order
+    assert [r.bin_no for r in sorted(out, key=lambda r: r.doc_id)] == [
+        0, 0, 1, 2, 3, 4]
