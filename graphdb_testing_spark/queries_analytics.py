@@ -698,3 +698,49 @@ def q_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("internal_edges"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss (bounded-round peeling, unrolled oracle)
+# ---------------------------------------------------------------------------
+
+_TRUSS_K = 4
+_TRUSS_ROUNDS = 4
+
+
+def _ktruss_oracle(k: int = _TRUSS_K, rounds: int = _TRUSS_ROUNDS) -> str:
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT src, dst FROM user_edges WHERE src < dst)"
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""a{p} AS MATERIALIZED (
+  SELECT src, dst FROM e{p} UNION ALL SELECT dst AS src, src AS dst FROM e{p})"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{p} e
+  LEFT JOIN (
+    SELECT x.src AS u, y.src AS v, COUNT(*) AS sup
+    FROM a{p} x JOIN a{p} y ON x.dst = y.dst AND x.src < y.src
+    GROUP BY x.src, y.src
+  ) s ON s.u = e.src AND s.v = e.dst
+  WHERE COALESCE(s.sup, 0) >= {k - 2})"""
+        )
+    return oracles.with_user_edges(
+        body=f"SELECT src, dst FROM e{rounds}", extra_ctes=",\n".join(ctes)
+    )
+
+
+@register("ktruss_4round", _ktruss_oracle())
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the user graph after 4 bounded peeling rounds (each
+    edge must close ≥2 triangles; support recomputed per round via the
+    degree-oriented enumeration — `operators/ktruss.py`).  Early
+    convergence on either side yields the identical edge set, the
+    `core_numbers_8round` bounded-round pattern."""
+    from .operators.ktruss import ktruss
+
+    g = datasets.user_graph(spark, sf_dir)
+    return ktruss(g.edges, k=_TRUSS_K, max_rounds=_TRUSS_ROUNDS)

@@ -84,3 +84,17 @@ def test_core_numbers_match_peeling(spark, bridged_cliques):
         peeled = {r.id for r in kcore_vertices(bridged_cliques, k).collect()}
         via_core = {v for v, c in cores.items() if c >= k}
         assert peeled == via_core, f"k={k}: peel={peeled} core={via_core}"
+
+
+def test_ktruss_peels_to_clique_core(spark, bridged_cliques):
+    from graphdb_testing_spark.operators.ktruss import ktruss
+
+    # two K4s {0..3},{4..7} joined by bridge 3-4: every clique edge
+    # closes 2 triangles (4-truss); the bridge closes none -> peeled
+    out = {(r.src, r.dst) for r in ktruss(bridged_cliques, k=4).collect()}
+    cliques = {(a, b) for grp in ([0, 1, 2, 3], [4, 5, 6, 7])
+               for a in grp for b in grp if a < b}
+    assert out == cliques
+
+    # k=5 needs every edge in >=3 triangles; a 4-clique can't provide
+    assert ktruss(bridged_cliques, k=5).count() == 0
