@@ -744,3 +744,126 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = datasets.user_graph(spark, sf_dir)
     return ktruss(g.edges, k=_TRUSS_K, max_rounds=_TRUSS_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# shard conductance (cut / volume of the hash placement, per shard)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+_COND_ORACLE = oracles.with_user_edges(
+    body=f"""
+SELECT shard,
+       CAST(vol AS BIGINT) AS volume,
+       CAST(cut AS BIGINT) AS cut_edges,
+       ROUND(cut / CAST(vol AS DOUBLE), 6) AS conductance
+FROM (
+  SELECT e.src % {_N_SHARDS} AS shard,
+         COUNT(*) AS vol,
+         SUM(CASE WHEN e.src % {_N_SHARDS} <> e.dst % {_N_SHARDS}
+             THEN 1 ELSE 0 END) AS cut
+  FROM nbrs e
+  GROUP BY 1
+)
+""",
+    extra_ctes="nbrs AS (SELECT DISTINCT src, dst FROM user_edges)",
+)
+
+
+@register("shard_conductance", _COND_ORACLE)
+def q_shard_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance of the default hash placement (``id % 8`` shards):
+    per shard, directed-edge volume and cross-shard boundary count —
+    the cross-executor traffic a co-partitioned layout must beat.
+    Compare against `partition_quality` (the LPA cut) to quantify what
+    community-aware placement would save."""
+    g = datasets.user_graph(spark, sf_dir)
+    nbrs = g.edges.select("src", "dst").distinct()
+    shard = F.pmod(F.col("src"), F.lit(_N_SHARDS))
+    return (
+        nbrs.groupBy(shard.alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("volume"),
+            F.sum(
+                F.when(
+                    F.pmod(F.col("src"), F.lit(_N_SHARDS))
+                    != F.pmod(F.col("dst"), F.lit(_N_SHARDS)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("cut_edges"),
+        )
+        .select(
+            "shard",
+            "volume",
+            "cut_edges",
+            F.round(F.col("cut_edges") / F.col("volume").cast("double"), 6).alias(
+                "conductance"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal graph growth: new vs cumulative co-participation edges per day
+# ---------------------------------------------------------------------------
+
+_GROWTH_ORACLE = """
+WITH pair_first AS (
+  SELECT a.user_id AS src, b.user_id AS dst,
+         MIN(date_trunc('day', a.ts)) AS first_day
+  FROM events a JOIN events b
+    ON a.event_type = b.event_type
+   AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+   AND a.user_id < b.user_id
+  GROUP BY 1, 2
+),
+daily AS (
+  SELECT epoch_us(first_day) AS day_us, CAST(COUNT(*) AS BIGINT) AS new_edges
+  FROM pair_first GROUP BY 1
+)
+SELECT day_us, new_edges,
+       CAST(SUM(new_edges) OVER (ORDER BY day_us
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_edges
+FROM daily
+"""
+
+
+@register("graph_growth_daily", _GROWTH_ORACLE)
+def q_graph_growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph evolution: per day, how many co-participation
+    edges appear for the first time, plus the running total — the
+    M6 time_first metadata viewed as a growth curve (first-seen
+    aggregate + one ordered-window prefix sum)."""
+    from pyspark.sql import Window
+
+    ev = datasets.load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    pair_first = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .agg(F.min(F.col("a.day")).alias("first_day"))
+    )
+    daily = pair_first.groupBy(
+        F.unix_micros("first_day").alias("day_us")
+    ).agg(F.count("*").cast("long").alias("new_edges"))
+    w = Window.orderBy("day_us").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day_us",
+        "new_edges",
+        F.sum("new_edges").over(w).cast("long").alias("cumulative_edges"),
+    )
