@@ -34,6 +34,7 @@ from graphdb_testing_spark.operators.triangles import (  # noqa: E402
     triangles_per_vertex,
 )
 from graphdb_testing_spark.operators.updates import apply_actions  # noqa: E402
+from graphdb_testing_spark import queries_curation  # noqa: E402,F401 (registers)
 from graphdb_testing_spark import queries_temporal  # noqa: E402,F401 (registers)
 from graphdb_testing_spark.queries import all_queries  # noqa: E402
 from graphdb_testing_spark.session import get_spark  # noqa: E402
@@ -138,6 +139,14 @@ def main() -> None:
     # window; feature-join shape)
     asof = all_queries()["asof_latest_purchase"]
     timed("asof", lambda: asof(spark, sf_dir).count())
+
+    # curation: composite corpus keep/drop decision over documents
+    # (dedup + length + diversity + repetition signals in one pass)
+    def _curation():
+        cur = all_queries()["curation_decision"]
+        meta["docs_kept"] = cur(spark, sf_dir).filter("keep").count()
+
+    timed("curation", _curation)
 
     total = round(sum(timings.values()), 4)
     print(

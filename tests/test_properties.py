@@ -124,3 +124,55 @@ def test_pagerank_mass_conservation(spark, pairs):
     total = pagerank(e, num_iter=10).agg(F.sum("pr").alias("s")).collect()[0]["s"]
     # symmetric graph, no dangling vertices: total rank mass stays 1
     assert abs(total - 1.0) < 1e-9
+
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=docs_strategy)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunking_reassembles_any_corpus(spark, texts):
+    """Chunk texts (arbitrary spacing/empties) always reassemble to the
+    original word sequence after overlap removal."""
+    from graphdb_testing_spark.functions.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    chunks = chunk_documents(docs, chunk_tokens=5, overlap=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, text in enumerate(texts):
+        got = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        rebuilt = got[0].chunk_text.split(" ")
+        for c in got[1:]:
+            rebuilt.extend(c.chunk_text.split(" ")[2:])
+        assert rebuilt == text.split(" "), (i, text)
+
+
+@given(
+    rate_idx=st.integers(min_value=0, max_value=3),
+    n=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_sampling_nested_and_rate_monotone(spark, rate_idx, n):
+    """Dyadic-rate samples are nested: sample(r/2) ⊆ sample(r)."""
+    from graphdb_testing_spark.functions.curation import stratified_sample
+
+    rates = [1.0, 0.5, 0.25, 0.125]
+    docs = spark.createDataFrame(
+        [(i, "x", "en") for i in range(n)], "doc_id long, text string, lang string"
+    )
+    hi = {r.doc_id for r in stratified_sample(
+        docs, rates={}, default_rate=rates[rate_idx]).collect()}
+    if rate_idx < 3:
+        lo = {r.doc_id for r in stratified_sample(
+            docs, rates={}, default_rate=rates[rate_idx + 1]).collect()}
+        assert lo <= hi
+    if rates[rate_idx] == 1.0:
+        assert hi == set(range(n))
