@@ -360,3 +360,98 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join via prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(a_id, b_id, inter, jaccard)`` — EVERY pair of documents whose
+    distinct-word-set Jaccard is ≥ ``threshold``, found without an
+    all-pairs comparison: the prefix-filtering principle of
+    PPJoin/AllPairs (Bayardo et al. 2007, Xiao et al. 2008).
+
+    Completeness: order each document's tokens by ascending global
+    document frequency (rare first; ties by token).  If
+    ``J(x, y) ≥ t`` then ``|x ∩ y| ≥ ceil(t·|x|)``, so a pair must
+    share a token within the first ``|x| - ceil(t·|x|) + 1`` tokens of
+    each side — the *prefix*.  Candidates therefore come from an
+    inverted-index equi-join on prefix tokens only, then one
+    verification join computes the exact intersection.  Unlike
+    ``ngram_jaccard_pairs`` (which drops n-grams above ``max_df`` and
+    can miss all-frequent-token pairs) this join is EXACT — the DuckDB
+    oracle brute-forces all pairs and must agree bit-for-bit.
+
+    Scale shape: the global order is the tuple ``(df, tok)`` itself —
+    no global rank table, no global sort; per-document positions come
+    from a window partitioned by document.  Prefix tokens are rare by
+    construction (ascending df), so the inverted index is skew-light;
+    hot-token joins are exactly what the prefix order avoids.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .localCheckpoint()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    sized = toks.join(dfreq, "tok").withColumn(
+        "sz", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    pos = sized.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "tok")
+        ),
+    )
+    # prefix length |T| - ceil(t*|T|) + 1
+    prefix = pos.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("doc_id", "tok")
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta = toks.withColumnRenamed("doc_id", "a_id")
+    tb = toks.withColumnRenamed("doc_id", "b_id")
+    inter = (
+        cands.join(ta, "a_id")
+        .join(tb, ["b_id", "tok"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"),
+            "a_id",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "inter",
+            F.round(
+                F.col("inter") / (F.col("a_sz") + F.col("b_sz") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

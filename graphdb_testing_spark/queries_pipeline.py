@@ -563,3 +563,41 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline budgets by."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return textstats.bpe_token_counts(docs)
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join (prefix filtering; brute-force oracle)
+# ---------------------------------------------------------------------------
+
+_PREFIX_JOIN_T = 0.8
+
+_PREFIX_JOIN_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id, i.inter,
+       ROUND(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a_id
+JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE ROUND(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6)
+      >= {_PREFIX_JOIN_T}
+"""
+
+
+@register("jaccard_prefix_join", _PREFIX_JOIN_ORACLE)
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-word Jaccard ≥ 0.8 pairs via PPJoin-style prefix
+    filtering — inverted-index candidates on rare-first prefixes, then
+    one verification join; the oracle brute-forces all pairs, so any
+    missed candidate fails the hash (`functions/dedup.py`)."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_prefix_join(docs, threshold=_PREFIX_JOIN_T)

@@ -221,3 +221,21 @@ def test_resize_rewrites_metadata_keeps_payload(spark, docs):
     assert row.meta.codec == "synthetic"
     orig = media.filter(F.col("media_id") == 1).collect()[0]
     assert bytes(row.content) == bytes(orig.content)
+
+
+def test_jaccard_prefix_join_exact_vs_bruteforce(spark, docs):
+    """Prefix filtering must find EVERY qualifying pair (completeness
+    theorem) — compare against the in-test brute force."""
+    from itertools import combinations
+
+    got = {(r.a_id, r.b_id): r.jaccard
+           for r in dedup.jaccard_prefix_join(docs, threshold=0.3).collect()}
+    texts = {r.doc_id: set(r.text.split()) for r in docs.collect()}
+    want = {}
+    for a, b in combinations(sorted(texts), 2):
+        j = len(texts[a] & texts[b]) / len(texts[a] | texts[b])
+        if round(j, 6) >= 0.3:
+            want[(a, b)] = round(j, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
