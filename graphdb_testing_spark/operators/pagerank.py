@@ -57,6 +57,7 @@ def pagerank(
     num_iter: int | None = None,
     unroll: int = 10,  # one broadcast + one shuffle per round; chunk
     # cost is ~linear in unroll, so 10 mainly amortizes delta checks
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, pr)`` PageRank over a symmetric edge table.
 
@@ -65,6 +66,14 @@ def pagerank(
     stops when the chunk L1 delta ≤ ``tol``, like the reference
     (``static_pagerank.c:295-298`` — whose ``iter`` is never
     decremented, so epsilon is the only real exit there too).
+
+    ``init_ranks`` warm-starts the iteration from a previous ``(id,
+    pr)`` result (vertices absent there start at ``1/nv``): the power
+    iteration's fixpoint is unique, so the answer is identical — only
+    the rounds-to-converge shrink, which is the incremental-update
+    path the streaming workflow uses after small edge batches.  Warm
+    starts check the delta every chunk (convergence is expected
+    early) with a shorter unroll.
     """
     e = edges.select("src", "dst")
     deg = (
@@ -91,9 +100,25 @@ def pagerank(
     # along (constant per vertex, re-emitted by each round's agg) so
     # neither the delta check nor the final pr projection needs a
     # degree join
-    state = deg.select(
-        "id", (F.lit(1.0 / nv) / F.col("degree")).alias("prd"), "degree"
-    ).localCheckpoint()
+    if init_ranks is not None:
+        state = (
+            deg.join(init_ranks.select("id", "pr"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.coalesce(F.col("pr"), F.lit(1.0 / nv)) / F.col("degree")
+                ).alias("prd"),
+                "degree",
+            )
+            .localCheckpoint()
+        )
+        unroll = min(unroll, 5)
+        check_every = 1
+    else:
+        state = deg.select(
+            "id", (F.lit(1.0 / nv) / F.col("degree")).alias("prd"), "degree"
+        ).localCheckpoint()
+        check_every = 2
 
     total = num_iter if num_iter is not None else max_iter
     done = 0
@@ -123,7 +148,7 @@ def pagerank(
         # the delta job costs as much as ~3 rounds and eps=1e-8 never
         # fires in the first few dozen rounds, so test every 2nd chunk
         # (late stop is conservative: extra rounds only tighten)
-        if num_iter is None and chunks % 2 == 0:
+        if num_iter is None and chunks % check_every == 0:
             # L1 delta in pr space: |pr - pr0| = |prd - prd0| * degree
             delta = (
                 state.join(

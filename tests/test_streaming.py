@@ -334,3 +334,19 @@ def test_streaming_debounce_state_across_batches(spark, tmp_path):
     # a same-key event within 60s of a previous-batch event must be
     # dropped via the carried state — the union equals the batch result
     assert got == batch
+
+
+def test_incremental_pagerank_warm_start_matches_cold(spark, bridged_cliques):
+    from graphdb_testing_spark.operators.pagerank import pagerank
+    from tests.conftest import edges_df
+
+    # grow the graph by a batch of edges; warm-started PR must land on
+    # the same fixpoint as a cold recompute (unique fixpoint)
+    extra = edges_df(spark, [(3, 5), (0, 7)])
+    grown = bridged_cliques.unionByName(extra)
+    cold = {r.id: r.pr for r in pagerank(grown).collect()}
+    warm_init = pagerank(bridged_cliques)
+    warm = {r.id: r.pr for r in pagerank(grown, init_ranks=warm_init).collect()}
+    assert set(cold) == set(warm)
+    for i in cold:
+        assert abs(cold[i] - warm[i]) < 1e-6, i
