@@ -150,3 +150,33 @@ def negative_samples(
     return cands.join(
         nbrs.withColumnRenamed("dst", "candidate"), ["src", "candidate"], "left_anti"
     ).distinct()
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """``(center, context, dist)`` skip-gram training pairs from a
+    ``(walk_id, step, vertex)`` walk table: every ordered pair of
+    vertices within ``window`` steps on the same walk (both
+    directions, like word2vec over the walk "sentence").
+
+    One self-join on ``walk_id`` bounded by the step distance — walks
+    are short (the window clamps the blow-up to ``2·window`` rows per
+    position), partition-pruned by the equi-key.
+    """
+    a = walks.select(
+        F.col("walk_id"), F.col("step").alias("s1"), F.col("vertex").alias("center")
+    )
+    b = walks.select(
+        F.col("walk_id"), F.col("step").alias("s2"), F.col("vertex").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("s1") != F.col("s2"))
+            & (F.abs(F.col("s1") - F.col("s2")) <= window)
+        )
+        .select(
+            "center",
+            "context",
+            F.abs(F.col("s1") - F.col("s2")).cast("long").alias("dist"),
+        )
+    )

@@ -867,3 +867,54 @@ def q_graph_growth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_edges",
         F.sum("new_edges").over(w).cast("long").alias("cumulative_edges"),
     )
+
+
+# ---------------------------------------------------------------------------
+# skip-gram pairs over the deterministic walks (DeepWalk training data)
+# ---------------------------------------------------------------------------
+
+
+def _skipgram_oracle(window: int = 2) -> str:
+    # reuse the unrolled walk CTEs, then a bounded self-join; pairs
+    # aggregated (center, context, dist) -> n occurrences so the
+    # result is a deterministic multiset summary
+    walk_ctes = _walks_oracle()  # full query text
+    # extract the CTE section between WITH and the final SELECT
+    body = f"""
+SELECT a.vertex AS center, b.vertex AS context,
+       CAST(ABS(a.step - b.step) AS BIGINT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM allsteps a JOIN allsteps b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND ABS(a.step - b.step) <= {window}
+GROUP BY 1, 2, 3
+"""
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT walk_id, step, vertex FROM w{s}" for s in range(_WALK_LEN + 1)
+    )
+    # rebuild the walk CTE list exactly as _walks_oracle does
+    prefix = walk_ctes[: walk_ctes.rindex("SELECT walk_id, step, vertex FROM (")]
+    # append the allsteps CTE
+    prefix = prefix.rstrip()
+    assert prefix.endswith(")"), prefix[-40:]
+    return (
+        prefix
+        + f",\nallsteps AS (\n  {union}\n)\n"
+        + body
+    )
+
+
+@register("skipgram_pairs", _skipgram_oracle())
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) multiset within a ±2 window over
+    the deterministic random walks — the DeepWalk training-pair
+    generation step (`operators/sampling.py`)."""
+    from .operators.sampling import random_walks, skipgram_pairs
+
+    g = datasets.user_graph(spark, sf_dir)
+    walks = random_walks(g.edges, walk_length=_WALK_LEN, start_every=_WALK_EVERY)
+    return (
+        skipgram_pairs(walks, window=2)
+        .groupBy("center", "context", "dist")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
