@@ -603,3 +603,36 @@ def streaming_debounce(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "1 hour",
+    query_name: str = "deduped",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming exact dedup: first occurrence of each
+    ``(user_id, event_type, ts)`` wins, duplicates arriving within the
+    watermark horizon are dropped — Structured Streaming's built-in
+    ``dropDuplicatesWithinWatermark`` state store, the streaming twin
+    of a batch ``DISTINCT``.
+
+    State is bounded by the watermark (keys older than the horizon are
+    evicted), which is what makes exact dedup feasible on an unbounded
+    stream — the batch-equivalence guarantee holds as long as a
+    duplicate arrives within the horizon of its first occurrence.
+    """
+    ev = _events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    ).select("user_id", "event_type", "ts")
+    out = ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "ts"]
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

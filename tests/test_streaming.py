@@ -350,3 +350,34 @@ def test_incremental_pagerank_warm_start_matches_cold(spark, bridged_cliques):
     assert set(cold) == set(warm)
     for i in cold:
         assert abs(cold[i] - warm[i]) < 1e-6, i
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.datasets import load_table
+    from graphdb_testing_spark.streaming.workflow import streaming_dedup
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "dedup_stream"
+    stream_dir.mkdir()
+    # duplicate the whole file -> every row arrives twice across two
+    # micro-batches; the state store must drop the second copies
+    t = pq.read_table(f"{sf}/events.parquet")
+    pq.write_table(t, f"{stream_dir}/part-0.parquet")
+    pq.write_table(t, f"{stream_dir}/part-1.parquet")
+    q = streaming_dedup(
+        spark, str(stream_dir), query_name="t_dedup", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "select user_id, event_type, ts from t_dedup"
+    ).collect()
+    batch = (
+        load_table(spark, sf, "events")
+        .select("user_id", "event_type", "ts")
+        .distinct()
+        .collect()
+    )
+    assert len(got) == len(batch)
+    assert {tuple(r) for r in got} == {tuple(r) for r in batch}
