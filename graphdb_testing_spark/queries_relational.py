@@ -262,3 +262,39 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# semi-structured extraction: JSON props column
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_props_stats",
+    """
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+GROUP BY event_type
+""",
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: extract ``$.k`` from the JSON props
+    column (JVM-side ``get_json_object`` — no Python) and aggregate
+    per event type.  At scale the extraction happens in the scan
+    projection; only (event_type, k) longs reach the shuffle."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
