@@ -180,3 +180,77 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
             F.abs(F.col("s1") - F.col("s2")).cast("long").alias("dist"),
         )
     )
+
+
+def weighted_adjacency(edges: DataFrame) -> DataFrame:
+    """``(src, dst, wgt, cum, total_w)`` — neighbors in ascending
+    ``dst`` order with the running weight prefix ``cum`` (inclusive)
+    and the vertex's total weight: the integer CDF the weighted walker
+    inverts.  Weights must be integral (they are counts here), so the
+    cumulative arithmetic is exact on both engines."""
+    nbrs = (
+        edges.groupBy("src", "dst").agg(F.max("wgt").cast("long").alias("wgt"))
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    return (
+        nbrs.withColumn(
+            "cum", F.sum("wgt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("total_w", F.sum("wgt").over(Window.partitionBy("src")))
+    )
+
+
+def weighted_random_walks(
+    edges: DataFrame,
+    walk_length: int = 3,
+    start_every: int = 50,
+    salt: str = "wwalk-v1",
+) -> DataFrame:
+    """``(walk_id, step, vertex)`` — deterministic *weight-biased*
+    walks: from ``v`` the walker draws ``pick = hash32(salt|walk|step)
+    % total_w(v)`` and moves to the unique neighbor whose cumulative
+    weight interval ``[cum - wgt, cum)`` contains ``pick`` — exact
+    inverse-CDF sampling over integer weights, so heavier edges are
+    proportionally likelier and the draw is reproducible and
+    oracle-checkable (no floats anywhere).
+
+    Step cost: one equi-join on the walker's vertex fanning out its
+    neighbor list, filtered to the single interval hit — ``Σ deg``
+    rows per step, the inherent cost of weighted selection without a
+    precomputed alias table."""
+    adj = weighted_adjacency(edges).localCheckpoint()
+    totals = adj.select("src", "total_w").distinct()
+    seeds = (
+        totals.select("src")
+        .filter(F.col("src") % start_every == 0)
+        .select(
+            F.col("src").alias("walk_id"),
+            F.lit(0).alias("step"),
+            F.col("src").alias("vertex"),
+        )
+    )
+    out = seeds.localCheckpoint()
+    cur = out
+    for s in range(1, walk_length + 1):
+        with_pick = (
+            cur.join(totals, cur.vertex == totals.src)
+            .withColumn(
+                "pick",
+                _hash_mod(salt, [F.col("walk_id"), F.lit(s)], F.col("total_w")),
+            )
+            .select("walk_id", "vertex", "pick")
+        )
+        nxt = (
+            with_pick.join(adj, with_pick.vertex == adj.src)
+            .filter(
+                (F.col("pick") >= F.col("cum") - F.col("wgt"))
+                & (F.col("pick") < F.col("cum"))
+            )
+            .select(
+                "walk_id", F.lit(s).alias("step"), F.col("dst").alias("vertex")
+            )
+            .localCheckpoint()
+        )
+        out = out.unionAll(nxt)
+        cur = nxt
+    return out

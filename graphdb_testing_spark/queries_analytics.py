@@ -918,3 +918,57 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("center", "context", "dist")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted random walks (integer inverse-CDF over edge weights)
+# ---------------------------------------------------------------------------
+
+
+def _wwalks_oracle(length: int = _WALK_LEN, every: int = _WALK_EVERY) -> str:
+    ctes = [
+        """wadj AS (
+  SELECT src, dst, wgt,
+         SUM(wgt) OVER (PARTITION BY src ORDER BY dst
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(wgt) OVER (PARTITION BY src) AS total_w
+  FROM (SELECT src, dst, MAX(wgt) AS wgt FROM user_edges GROUP BY src, dst))""",
+        "wtot AS (SELECT DISTINCT src, total_w FROM wadj)",
+        f"""x0 AS (SELECT src AS walk_id, CAST(0 AS BIGINT) AS step,
+               src AS vertex FROM wtot WHERE src % {every} = 0)""",
+    ]
+    for s in range(1, length + 1):
+        ctes.append(
+            f"""x{s} AS (
+  SELECT c.walk_id, CAST({s} AS BIGINT) AS step, a.dst AS vertex
+  FROM x{s - 1} c
+  JOIN wtot t ON t.src = c.vertex
+  JOIN wadj a ON a.src = c.vertex
+  WHERE ('0x' || substr(md5('wwalk-v1|' || c.walk_id || '|{s}'), 1, 8))::BIGINT
+        % t.total_w >= a.cum - a.wgt
+    AND ('0x' || substr(md5('wwalk-v1|' || c.walk_id || '|{s}'), 1, 8))::BIGINT
+        % t.total_w < a.cum)"""
+        )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT walk_id, step, vertex FROM x{s}" for s in range(length + 1)
+    )
+    return oracles.with_user_edges(
+        body=f"SELECT walk_id, step, vertex FROM (\n  {union}\n)",
+        extra_ctes=",\n".join(ctes),
+    )
+
+
+@register("weighted_random_walks", _wwalks_oracle())
+def q_weighted_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-biased deterministic walks on the user graph (edge
+    weight = co-occurrence count): integer inverse-CDF draw per step
+    (`operators/sampling.py`), exact on both engines."""
+    from .operators.sampling import weighted_random_walks
+
+    g = datasets.user_graph(spark, sf_dir)
+    walks = weighted_random_walks(
+        g.edges, walk_length=_WALK_LEN, start_every=_WALK_EVERY
+    )
+    return walks.select(
+        "walk_id", F.col("step").cast("long").alias("step"), "vertex"
+    )

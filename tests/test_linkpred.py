@@ -85,3 +85,28 @@ def test_negative_samples_are_nonedges(spark, bridged_cliques):
         assert (r.src, r.candidate) not in edge_set
         assert r.candidate in verts and r.src != r.candidate
         assert 0 <= r.sample_no < 4
+
+
+def test_weighted_walks_follow_edges_and_bias(spark):
+    from graphdb_testing_spark.operators.sampling import weighted_random_walks
+
+    # star with one overwhelming edge 0-1 (weight 1000) vs 0-2 (w 1):
+    # nearly every draw from 0 must choose 1
+    g = edges_df(spark, [(0, 1), (0, 2)], weights=[1000, 1])
+    walks = weighted_random_walks(g, walk_length=6, start_every=1).collect()
+    edge_set = {(r.src, r.dst) for r in g.select("src", "dst").collect()}
+    by_walk: dict[int, dict[int, int]] = {}
+    for r in walks:
+        by_walk.setdefault(r.walk_id, {})[r.step] = r.vertex
+    for wid, steps in by_walk.items():
+        assert sorted(steps) == list(range(7))
+        for s in range(1, 7):
+            assert (steps[s - 1], steps[s]) in edge_set
+    # bias: across all draws leaving vertex 0, the heavy edge dominates
+    from_zero = [
+        steps[s]
+        for steps in by_walk.values()
+        for s in range(1, 7)
+        if steps[s - 1] == 0
+    ]
+    assert from_zero and from_zero.count(1) / len(from_zero) > 0.8
