@@ -972,3 +972,57 @@ def q_weighted_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.select(
         "walk_id", F.col("step").cast("long").alias("step"), "vertex"
     )
+
+
+# ---------------------------------------------------------------------------
+# densest-subgraph peeling trace (Charikar / Bahmani greedy)
+# ---------------------------------------------------------------------------
+
+_DENSEST_ROUNDS = 6
+
+
+def _densest_oracle(rounds: int = _DENSEST_ROUNDS) -> str:
+    ctes = ["e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM user_edges)"]
+    rows = []
+    for r in range(rounds + 1):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e{r} GROUP BY src)"
+        )
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT (SELECT COUNT(*) FROM d{r}) AS nv,
+         (SELECT COUNT(*) FROM e{r}) AS ned)"""
+        )
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, CAST(nv AS BIGINT) AS nv,"
+            f" CAST(ned // 2 AS BIGINT) AS ne,"
+            f" ROUND(CASE WHEN nv = 0 THEN 0.0"
+            f" ELSE (ned // 2) / CAST(nv AS DOUBLE) END, 6) AS density"
+            f" FROM m{r}"
+        )
+        if r < rounds:
+            ctes.append(
+                f"""e{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r} e
+  JOIN d{r} a ON a.src = e.src
+  JOIN d{r} b ON b.src = e.dst
+  CROSS JOIN m{r} m
+  WHERE a.deg * m.nv > m.ned AND b.deg * m.nv > m.ned)"""
+            )
+    union = "\n  UNION ALL\n  ".join(rows)
+    return oracles.with_user_edges(
+        body=f"SELECT round, nv, ne, density FROM (\n  {union}\n)",
+        extra_ctes=",\n".join(ctes),
+    )
+
+
+@register("densest_subgraph_trace", _densest_oracle())
+def q_densest_subgraph_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round (nv, ne, density) trace of parallel Charikar peeling
+    on the user graph — the round with max density certifies the
+    greedy 2-approx densest subgraph (`operators/densest.py`).  All
+    counts integer; one division at the end."""
+    from .operators.densest import densest_subgraph_peeling
+
+    g = datasets.user_graph(spark, sf_dir)
+    return densest_subgraph_peeling(g.edges, rounds=_DENSEST_ROUNDS)

@@ -98,3 +98,17 @@ def test_ktruss_peels_to_clique_core(spark, bridged_cliques):
 
     # k=5 needs every edge in >=3 triangles; a 4-clique can't provide
     assert ktruss(bridged_cliques, k=5).count() == 0
+
+
+def test_densest_peeling_finds_planted_clique(spark):
+    from graphdb_testing_spark.operators.densest import densest_subgraph_peeling
+    from tests.conftest import edges_df
+
+    # K6 (density 2.5) plus a long path of pendants (density ~1):
+    # peeling must strip the path and keep the clique round densest
+    k6 = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    path = [(100 + i, 101 + i) for i in range(10)] + [(5, 100)]
+    trace = densest_subgraph_peeling(edges_df(spark, k6 + path), rounds=5).collect()
+    best = max(trace, key=lambda r: r.density)
+    assert best.density == 2.5 and best.nv == 6 and best.ne == 15
+    assert trace[0].density < 2.5  # the full graph is less dense
