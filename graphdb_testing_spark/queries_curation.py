@@ -14,6 +14,7 @@ sides agrees bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import datasets
 from .functions import curation
@@ -225,4 +226,49 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = datasets.load_table(spark, sf_dir, "documents")
     return curation.pack_sequences(
         docs, capacity=_PACK_CAPACITY, num_buckets=_PACK_BUCKETS
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality deciles (ntile over the heuristic quality score)
+# ---------------------------------------------------------------------------
+
+from .queries_graphops import _QUALITY_ORACLE  # noqa: E402
+
+_DECILES_ORACLE = f"""
+WITH q AS ({_QUALITY_ORACLE}),
+d AS (
+  SELECT doc_id, quality,
+         NTILE(10) OVER (ORDER BY quality, doc_id) AS decile
+  FROM q
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(MIN(quality), 6) AS min_q,
+       ROUND(MAX(quality), 6) AS max_q
+FROM d GROUP BY decile
+"""
+
+
+@register("quality_deciles", _DECILES_ORACLE)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile summary of the heuristic quality distribution (NTILE
+    over a deterministic (quality, doc_id) order) — the bucketing a
+    curriculum / data-mixing stage consumes.  NTILE at 100 TB: a
+    global sort is implied; approx_percentile cutpoints are the
+    documented scale substitute (same decile boundaries within
+    epsilon) — this exact query is the small-scale oracle twin."""
+    from pyspark.sql import Window
+
+    from .functions import textstats
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    q = textstats.quality_score(docs)
+    d = q.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("quality", "doc_id"))
+    )
+    return d.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.min("quality"), 6).alias("min_q"),
+        F.round(F.max("quality"), 6).alias("max_q"),
     )
