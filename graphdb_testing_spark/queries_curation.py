@@ -272,3 +272,108 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("quality"), 6).alias("min_q"),
         F.round(F.max("quality"), 6).alias("max_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus-prep pipeline: curate -> decontaminate -> sample -> chunk
+# ---------------------------------------------------------------------------
+
+_PIPELINE_ORACLE = (
+    "WITH "
+    + _GRAMS_CTE.format(n=3, hi=2)
+    + """,
+g8 AS (
+  SELECT doc_id, source, array_to_string(w[i:i+7], ' ') AS gram
+  FROM words, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+canon AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical,
+         CAST(LEN(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+div AS (
+  SELECT doc_id, COUNT(DISTINCT tok) / (1e0 * COUNT(*)) AS distinct_ratio
+  FROM toks GROUP BY doc_id
+),
+rep AS (
+  SELECT doc_id,
+         ROUND(1 - COUNT(DISTINCT gram) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS dup_ngram_ratio
+  FROM grams GROUP BY doc_id
+),
+kept AS (
+  SELECT c.doc_id FROM canon c
+  LEFT JOIN div d USING (doc_id) LEFT JOIN rep r USING (doc_id)
+  WHERE c.is_canonical
+    AND COALESCE(d.distinct_ratio, 0e0) >= 0.4e0
+    AND COALESCE(r.dup_ngram_ratio, 0e0) <= 0.3e0
+    AND c.n_chars >= 100
+),
+bench_grams AS (
+  SELECT DISTINCT ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gh
+  FROM g8 WHERE source = 'src0'
+),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gh
+        FROM g8 WHERE source <> 'src0') t
+  JOIN bench_grams USING (gh)
+),
+clean AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d
+  JOIN kept USING (doc_id)
+  WHERE d.source <> 'src0'
+    AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+),
+sampled AS (
+  SELECT doc_id, text FROM clean
+  WHERE ('0x' || substr(md5('sample-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        < CAST(FLOOR((CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+                      ELSE 0.125 END) * 4294967296.0) AS BIGINT)
+),
+sw AS (SELECT doc_id, string_split(text, ' ') AS w FROM sampled)
+SELECT doc_id,
+       CAST((i - 1) // 12 AS BIGINT) AS chunk_id,
+       CAST(len(w[i:i+15]) AS BIGINT) AS n_tokens
+FROM sw, UNNEST(generate_series(1, greatest(1, len(w) - 4), 12)) AS t(i)
+"""
+)
+
+
+@register("corpus_prep_pipeline", _PIPELINE_ORACLE)
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-prep DAG in one plan: composite quality/dedup
+    keep-filter -> benchmark decontamination (vs the src0 eval set) ->
+    deterministic stratified sampling -> context-window chunking.
+    Every stage is the already-oracle-checked operator; this query
+    checks their COMPOSITION end-to-end (the training-data pipeline a
+    100 TB run executes, at fixture scale)."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    kept = (
+        curation.curation_decision(docs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    train = docs.filter(docs.source != "src0").join(kept, "doc_id", "left_semi")
+    bench = docs.filter(docs.source == "src0")
+    clean = train.join(
+        curation.decontaminate(train, bench, n=8)
+        .filter(F.col("contaminated"))
+        .select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    sampled = curation.stratified_sample(
+        clean, rates={"en": 0.5, "zh": 0.25}, default_rate=0.125
+    )
+    return curation.chunk_documents(sampled, chunk_tokens=16, overlap=4).select(
+        "doc_id", "chunk_id", "n_tokens"
+    )
