@@ -355,7 +355,14 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stratified sampling -> context-window chunking.
     Every stage is the already-oracle-checked operator; this query
     checks their COMPOSITION end-to-end (the training-data pipeline a
-    100 TB run executes, at fixture scale)."""
+    100 TB run executes, at fixture scale).
+
+    Scale note: expressed as ONE lazy plan the corpus parquet is
+    scanned once per signal (~16 pruned scans here).  A production
+    100 TB run materializes each stage boundary (write kept doc_ids /
+    clean corpus back to parquet and continue), trading cheap columnar
+    re-scans for one full pass per stage — the standard staged-DAG
+    layout; the composition semantics checked here are identical."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     kept = (
         curation.curation_decision(docs)

@@ -124,6 +124,12 @@ def main() -> None:
     audit("adamic_adar_linkpred", qs["adamic_adar_linkpred"](spark, sf_dir))
     audit("event_debounce", qs["event_debounce"](spark, sf_dir))
     audit("cohort_retention", qs["cohort_retention"](spark, sf_dir))
+    audit("jaccard_prefix_join", qs["jaccard_prefix_join"](spark, sf_dir))
+    audit("random_walks", qs["random_walks"](spark, sf_dir))
+    audit("negative_samples", qs["negative_samples"](spark, sf_dir))
+    audit("sequence_packing", qs["sequence_packing"](spark, sf_dir))
+    audit("json_props_stats", qs["json_props_stats"](spark, sf_dir))
+    audit("corpus_prep_pipeline", qs["corpus_prep_pipeline"](spark, sf_dir))
 
     # one iterative-kernel round body: edges join state should be a
     # broadcast hash join with no edge-side exchange
