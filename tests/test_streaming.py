@@ -381,3 +381,24 @@ def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
     )
     assert len(got) == len(batch)
     assert {tuple(r) for r in got} == {tuple(r) for r in batch}
+
+
+def test_incremental_pagerank_in_workflow(spark):
+    from pyspark.sql import functions as F
+
+    from graphdb_testing_spark.operators.pagerank import pagerank
+    from graphdb_testing_spark.streaming.workflow import IncrementalPageRank
+
+    base = rmat.rmat_graph(spark, scale=5, edge_factor=4, seed=9)
+    acts = rmat.rmat_actions(spark, scale=5, num_actions=200, seed=4)
+    alg = IncrementalPageRank()
+    wf = ActionStreamWorkflow(base, algs=[alg])
+    wf.run(acts, batch_size=100)
+    published = wf.store.get("pagerank")
+    # rank mass conserved and equal to a cold recompute on final edges
+    assert abs(published.agg(F.sum("pr")).collect()[0][0] - 1.0) < 1e-6
+    cold = {r.id: r.pr for r in pagerank(wf.edges).collect()}
+    warm = {r.id: r.pr for r in published.collect()}
+    assert set(cold) == set(warm)
+    for i in cold:
+        assert abs(cold[i] - warm[i]) < 1e-6
