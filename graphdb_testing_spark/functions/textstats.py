@@ -140,3 +140,96 @@ def bpe_token_counts(
         F.size(pieces).cast("long").alias("n_pieces"),
         F.size(F.array_distinct(pieces)).cast("long").alias("n_distinct_pieces"),
     )
+
+
+def tfidf_weights(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, term, tf, df, tfidf_micro)`` — classic TF-IDF over
+    whitespace terms: ``tf · ln(N / df)``, quantized to integer micros
+    (one rounding of one product — engine-portable like the
+    Adamic–Adar scores).
+
+    Two map-side-combined aggregates (term frequency per doc, document
+    frequency per term) + one join keyed on the term; the corpus-size
+    scalar ``N`` is a literal, not a broadcast state."""
+    t = tokens(docs, id_col, text_col)
+    n_docs = docs.select(id_col).distinct().count()
+    tf = t.groupBy("doc_id", F.col("tok").alias("term")).agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df = (
+        t.select("doc_id", F.col("tok").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    return tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.lit(1_000_000.0)
+            * F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.col("df"))
+        )
+        .cast("long")
+        .alias("tfidf_micro"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, n_hits, score_micro)`` — Okapi BM25 of each document
+    against a bag of query terms; only documents hitting ≥1 term
+    appear.  ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` (the
+    positive-idf variant), per-term contributions quantized to micros
+    before the order-independent integer sum.
+
+    The retrieval-scoring shape: tiny query relation broadcast against
+    the per-doc term index; length normalization rides on a per-doc
+    token count."""
+    t = tokens(docs, id_col, text_col)
+    n_docs = docs.select(id_col).distinct().count()
+    lens = t.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    avgdl = t.count() / n_docs
+    spark = docs.sparkSession
+    q = spark.createDataFrame([(w,) for w in query_terms], "term string")
+    tf = (
+        t.join(F.broadcast(q), t.tok == q.term)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df = (
+        t.select("doc_id", "tok").distinct().join(F.broadcast(q), t.tok == q.term)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))
+    )
+    contrib = F.round(
+        F.lit(1_000_000.0) * idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    ).cast("long")
+    return (
+        tf.join(df, "term")
+        .join(lens, "doc_id")
+        .select("doc_id", "term", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.sum("c").cast("long").alias("score_micro"),
+        )
+    )

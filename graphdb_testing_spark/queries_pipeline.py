@@ -601,3 +601,67 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     missed candidate fails the hash (`functions/dedup.py`)."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return dedup.jaccard_prefix_join(docs, threshold=_PREFIX_JOIN_T)
+
+
+# ---------------------------------------------------------------------------
+# retrieval scoring: TF-IDF and BM25
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH {_TOKS_CTE.strip()},
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM (
+         SELECT DISTINCT doc_id, tok AS term FROM toks) GROUP BY 1)
+SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       CAST(ROUND(1000000.0 * tf.tf
+                  * ln((SELECT n FROM n) / CAST(df.df AS DOUBLE))) AS BIGINT)
+         AS tfidf_micro
+FROM tf JOIN df USING (term)
+"""
+
+
+@register("tfidf_weights", _TFIDF_ORACLE)
+def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) TF-IDF in integer micros — the retrieval /
+    keyword-extraction weighting (`functions/textstats.py`)."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return textstats.tfidf_weights(docs)
+
+
+_BM25_TERMS = ("table", "hash", "spark")
+
+_BM25_ORACLE = f"""
+WITH {_TOKS_CTE.strip()},
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}),
+lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT (SELECT COUNT(*) FROM toks)
+                 / CAST((SELECT n FROM n) AS DOUBLE) AS a),
+tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks JOIN q ON q.term = toks.tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM (
+         SELECT DISTINCT doc_id, tok AS term FROM toks
+         JOIN q ON q.term = toks.tok) GROUP BY 1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(SUM(c) AS BIGINT) AS score_micro
+FROM (
+  SELECT tf.doc_id,
+         CAST(ROUND(1000000.0
+              * ln(1.0 + ((SELECT n FROM n) - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl
+                                / (SELECT a FROM avgdl)))) AS BIGINT) AS c
+  FROM tf JOIN df USING (term) JOIN lens ON lens.doc_id = tf.doc_id
+) GROUP BY doc_id
+"""
+
+
+@register("bm25_scores", _BM25_ORACLE)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of every document against the fixed query bag
+    {table, hash, spark} (k1=1.2, b=0.75) — per-term contributions in
+    integer micros, order-independent sum (`functions/textstats.py`)."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return textstats.bm25_scores(docs, list(_BM25_TERMS))
