@@ -298,3 +298,52 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("long").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered conversion funnel: view -> click -> purchase per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conversion_funnel",
+    """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS step_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+FROM firsts
+""",
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel counts: users with a view, whose first click
+    follows their first view, whose first purchase follows that click
+    — one conditional-min aggregate per user then one global rollup
+    (two map-side-combined aggregations, no joins, no window)."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_purchase"),
+    )
+    saw_view = F.col("t_view").isNotNull()
+    clicked = saw_view & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(saw_view.cast("int")).cast("long").alias("step_view"),
+        F.sum(clicked.cast("int")).cast("long").alias("step_click"),
+        F.sum(purchased.cast("int")).cast("long").alias("step_purchase"),
+    )
