@@ -254,3 +254,117 @@ def weighted_random_walks(
         out = out.unionAll(nxt)
         cur = nxt
     return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int = 3,
+    start_every: int = 50,
+    return_mult: int = 1,
+    in_out_mult: int = 2,
+    base_mult: int = 4,
+    salt: str = "n2v-v1",
+) -> DataFrame:
+    """``(walk_id, step, vertex)`` — deterministic node2vec
+    second-order walks (Grover & Leskovec 2016) with INTEGER bias
+    multipliers so the draw is exactly portable: a candidate next-hop
+    gets weight ``return_mult`` when it is the previous vertex
+    (node2vec's ``1/p``), ``base_mult`` when it closes a triangle with
+    the previous vertex (distance 1), and ``in_out_mult`` otherwise
+    (``1/q``); defaults encode p=4, q=2 scaled by 4.  Step 1 (no
+    previous vertex) is the uniform first-order draw.
+
+    Per step: the walker state ``(walk_id, prev, cur)`` fans out to
+    ``cur``'s neighbors (one equi-join), a left semi/anti pair against
+    the edge set marks triangle-closing candidates, a per-walker
+    window builds the integer CDF, and ``hash32(salt|walk|step) %
+    total`` indexes it — the same inverse-CDF idiom as
+    :func:`weighted_random_walks`, with per-(walker, step) cumulative
+    weights instead of a precomputed per-vertex CDF.
+    """
+    nbrs = edges.select("src", "dst").distinct().localCheckpoint()
+    adj = indexed_adjacency(edges).localCheckpoint()
+    degs = adj.select("src", "deg").distinct()
+    seeds = (
+        degs.select("src")
+        .filter(F.col("src") % start_every == 0)
+        .select(
+            F.col("src").alias("walk_id"),
+            F.lit(0).alias("step"),
+            F.col("src").alias("vertex"),
+        )
+    )
+    out = seeds.localCheckpoint()
+    # step 1: uniform (no previous vertex) — identical to random_walks
+    first = (
+        seeds.select("walk_id", "vertex")
+        .join(degs, F.col("vertex") == degs.src)
+        .withColumn(
+            "pick", _hash_mod(salt, [F.col("walk_id"), F.lit(1)], F.col("deg"))
+        )
+        .join(
+            adj.select(
+                F.col("src").alias("vertex2"), "idx", F.col("dst").alias("nxt")
+            ),
+            (F.col("vertex") == F.col("vertex2")) & (F.col("idx") == F.col("pick")),
+        )
+        .select(
+            "walk_id",
+            F.lit(1).alias("step"),
+            F.col("vertex").alias("prev"),
+            F.col("nxt").alias("vertex"),
+        )
+        .localCheckpoint()
+    )
+    out = out.unionAll(first.select("walk_id", "step", "vertex"))
+    cur = first
+    tri_edges = nbrs.select(
+        F.col("src").alias("prev"), F.col("dst").alias("cand")
+    )
+    for s in range(2, walk_length + 1):
+        cands = (
+            cur.select("walk_id", "prev", "vertex")
+            .join(
+                nbrs.select(F.col("src").alias("vertex"), F.col("dst").alias("cand")),
+                "vertex",
+            )
+            .join(
+                tri_edges.withColumn("is_tri", F.lit(1)),
+                ["prev", "cand"],
+                "left",
+            )
+            .withColumn(
+                "mult",
+                F.when(F.col("cand") == F.col("prev"), F.lit(return_mult))
+                .when(F.col("is_tri").isNotNull(), F.lit(base_mult))
+                .otherwise(F.lit(in_out_mult)),
+            )
+        )
+        w = Window.partitionBy("walk_id").orderBy("cand")
+        cdf = (
+            cands.withColumn(
+                "cum",
+                F.sum("mult").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .withColumn("total", F.sum("mult").over(Window.partitionBy("walk_id")))
+            .withColumn(
+                "pick",
+                _hash_mod(salt, [F.col("walk_id"), F.lit(s)], F.col("total")),
+            )
+        )
+        nxt = (
+            cdf.filter(
+                (F.col("pick") >= F.col("cum") - F.col("mult"))
+                & (F.col("pick") < F.col("cum"))
+            )
+            .select(
+                "walk_id",
+                F.lit(s).alias("step"),
+                F.col("vertex").alias("prev"),
+                F.col("cand").alias("vertex"),
+            )
+            .localCheckpoint()
+        )
+        out = out.unionAll(nxt.select("walk_id", "step", "vertex"))
+        cur = nxt
+    return out

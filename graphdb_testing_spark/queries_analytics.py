@@ -1026,3 +1026,80 @@ def q_densest_subgraph_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = datasets.user_graph(spark, sf_dir)
     return densest_subgraph_peeling(g.edges, rounds=_DENSEST_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# node2vec second-order biased walks (integer p/q multipliers)
+# ---------------------------------------------------------------------------
+
+
+def _n2v_oracle(length: int = _WALK_LEN, every: int = _WALK_EVERY) -> str:
+    h = "('0x' || substr(md5('n2v-v1|' || c.walk_id || '|{s}'), 1, 8))::BIGINT"
+    ctes = [
+        "nbrs AS (SELECT DISTINCT src, dst FROM user_edges)",
+        """adj AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM nbrs)""",
+        "degs AS (SELECT DISTINCT src, deg FROM adj)",
+        f"""n0 AS (SELECT src AS walk_id, CAST(0 AS BIGINT) AS step,
+               CAST(NULL AS BIGINT) AS prev, src AS vertex
+        FROM degs WHERE src % {every} = 0)""",
+        f"""n1 AS (
+  SELECT c.walk_id, CAST(1 AS BIGINT) AS step, c.vertex AS prev,
+         a.dst AS vertex
+  FROM n0 c
+  JOIN degs d ON d.src = c.vertex
+  JOIN adj a ON a.src = c.vertex
+   AND a.idx = {h.format(s=1)} % d.deg)""",
+    ]
+    for s in range(2, length + 1):
+        ctes.append(
+            f"""x{s} AS (
+  SELECT walk_id, prev, vertex, cand, mult,
+         SUM(mult) OVER (PARTITION BY walk_id ORDER BY cand
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(mult) OVER (PARTITION BY walk_id) AS total
+  FROM (
+    SELECT c.walk_id, c.prev, c.vertex, nb.dst AS cand,
+           CASE WHEN nb.dst = c.prev THEN 1
+                WHEN t.src IS NOT NULL THEN 4
+                ELSE 2 END AS mult
+    FROM n{s - 1} c
+    JOIN nbrs nb ON nb.src = c.vertex
+    LEFT JOIN nbrs t ON t.src = c.prev AND t.dst = nb.dst
+  ))"""
+        )
+        ctes.append(
+            f"""n{s} AS (
+  SELECT c.walk_id, CAST({s} AS BIGINT) AS step, c.vertex AS prev,
+         c.cand AS vertex
+  FROM x{s} c
+  WHERE {h.format(s=s)} % c.total >= c.cum - c.mult
+    AND {h.format(s=s)} % c.total < c.cum)"""
+        )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT walk_id, step, vertex FROM n{s}" for s in range(length + 1)
+    )
+    return oracles.with_user_edges(
+        body=f"SELECT walk_id, step, vertex FROM (\n  {union}\n)",
+        extra_ctes=",\n".join(ctes),
+    )
+
+
+@register("node2vec_walks", _n2v_oracle())
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic node2vec walks (p=4, q=2 as integer multipliers
+    1/4/2 for return/triangle/outward candidates): per-step integer
+    CDF over the walker's candidate set, portable-hash draw
+    (`operators/sampling.py`)."""
+    from .operators.sampling import node2vec_walks
+
+    g = datasets.user_graph(spark, sf_dir)
+    walks = node2vec_walks(
+        g.edges, walk_length=_WALK_LEN, start_every=_WALK_EVERY
+    )
+    return walks.select(
+        "walk_id", F.col("step").cast("long").alias("step"), "vertex"
+    )

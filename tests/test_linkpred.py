@@ -110,3 +110,30 @@ def test_weighted_walks_follow_edges_and_bias(spark):
         if steps[s - 1] == 0
     ]
     assert from_zero and from_zero.count(1) / len(from_zero) > 0.8
+
+
+def test_node2vec_walks_follow_edges_and_low_p_biases_back(spark):
+    from graphdb_testing_spark.operators.sampling import node2vec_walks
+
+    # path graph: from the middle of a path, a huge return multiplier
+    # must pull the walker back where it came from
+    g = edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    edge_set = {(r.src, r.dst) for r in g.select("src", "dst").collect()}
+    walks = node2vec_walks(
+        g, walk_length=4, start_every=1,
+        return_mult=1000, in_out_mult=1, base_mult=1,
+    ).collect()
+    by_walk: dict[int, dict[int, int]] = {}
+    for r in walks:
+        by_walk.setdefault(r.walk_id, {})[r.step] = r.vertex
+    backtracks = total = 0
+    for steps in by_walk.values():
+        assert sorted(steps) == list(range(5))
+        for s in range(1, 5):
+            assert (steps[s - 1], steps[s]) in edge_set
+        for s in range(2, 5):
+            total += 1
+            if steps[s] == steps[s - 2]:
+                backtracks += 1
+    # with return weight 1000:1 nearly every 2nd-order step backtracks
+    assert backtracks / total > 0.8
