@@ -48,10 +48,12 @@ def word_ngrams(text_col: str, n: int) -> Column:
     )
 
 
+from ..hashutil import hash_prefix as _hash_prefix
+
+
 def _hash32(col: Column) -> Column:
-    """Portable 32-bit hash: ``conv(substr(md5(x),1,8),16,10)`` —
-    lockstep with DuckDB ``('0x' || substr(md5(x),1,8))::BIGINT``."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    """Portable 32-bit selection hash (see :mod:`hashutil`)."""
+    return _hash_prefix(col, 8)
 
 
 # ---------------------------------------------------------------------------
@@ -80,14 +82,19 @@ def decontaminate(
     a broadcast semi-probe followed by a count per training doc, i.e.
     one map-side-combined aggregation over the training corpus and NO
     all-to-all shuffle of text.
+
+    The digest is the 60-bit identity hash (15 md5 hex chars): at a
+    32-bit width a ~10M-gram eval suite would falsely contaminate a
+    clean 1000-gram document with probability ≈ 90% (birthday math);
+    at 60 bits the false-hit odds are ~1e-5 per corpus.
     """
     tg = train.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(text_col, n)).alias("gram"),
-    ).select("doc_id", _hash32(F.col("gram")).alias("gh")).distinct()
+    ).select("doc_id", _hash_prefix(F.col("gram"), 15).alias("gh")).distinct()
     bg = (
         benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
-        .select(_hash32(F.col("gram")).alias("gh"))
+        .select(_hash_prefix(F.col("gram"), 15).alias("gh"))
         .distinct()
     )
     hits = (

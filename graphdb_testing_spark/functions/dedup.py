@@ -23,10 +23,14 @@ DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4
 
 
+from ..hashutil import hash_prefix as _hash_prefix_shared
+
+
 def _hash32(col) -> "F.Column":
-    """First 32 bits of md5 as a BIGINT — lockstep with the DuckDB
-    expression ``('0x' || substr(md5(x),1,8))::BIGINT``."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    """First 32 bits of md5 as a BIGINT (see :mod:`hashutil` — the one
+    portable cross-engine hash; 32 bits here because MinHash/LSH only
+    need selection-grade uniformity, not identity)."""
+    return _hash_prefix_shared(col, 8)
 
 
 # ---------------------------------------------------------------------------

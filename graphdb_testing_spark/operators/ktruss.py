@@ -7,13 +7,12 @@ per-edge triangle support, drop under-supported edges, repeat; support
 is monotone non-increasing under deletions so each round only peels.
 
 Spark-first plan per round: one degree-oriented triangle enumeration
-(``triangles._oriented_triangles`` — Σ outdeg² wedges, the same
-machinery as the triangle-count kernel) exploded to its three edges
-and aggregated, one left join + filter, one ``localCheckpoint`` to
-keep the iterative plan flat.  Rounds are bounded (``max_rounds``)
-with an early exit on stability, so the bounded-round query is
-exactly SQL-expressible (unrolled peeling CTE) — the
-``core_numbers_8round`` pattern.
+(`triangles.edge_triangle_support` — Σ outdeg² wedges, the same
+machinery as the triangle-count kernel), one filter, one
+``localCheckpoint`` to keep the iterative plan flat.  Rounds are
+bounded (``max_rounds``) with an early exit on stability, so the
+bounded-round query is exactly SQL-expressible (unrolled peeling CTE)
+— the ``core_numbers_8round`` pattern.
 """
 
 from __future__ import annotations
@@ -21,28 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .triangles import _oriented_triangles
-
-
-def edge_support(canon: DataFrame) -> DataFrame:
-    """``(src, dst, sup)`` triangle count per canonical edge of the
-    canonical (``src < dst``, distinct) edge set — 0 included."""
-    tri = _oriented_triangles(canon)
-    side = lambda x, y: F.struct(  # noqa: E731
-        F.least(x, y).alias("s"), F.greatest(x, y).alias("d")
-    )
-    sup = (
-        tri.select(
-            F.explode(
-                F.array(side("a", "u"), side("a", "v"), side("u", "v"))
-            ).alias("e")
-        )
-        .groupBy(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
-        .agg(F.count("*").cast("long").alias("sup"))
-    )
-    return canon.join(sup, ["src", "dst"], "left").select(
-        "src", "dst", F.coalesce("sup", F.lit(0)).alias("sup")
-    )
+from .triangles import edge_triangle_support
 
 
 def ktruss(edges: DataFrame, k: int = 4, max_rounds: int = 10) -> DataFrame:
@@ -58,7 +36,7 @@ def ktruss(edges: DataFrame, k: int = 4, max_rounds: int = 10) -> DataFrame:
     n = cur.count()
     for _ in range(max_rounds):
         cur2 = (
-            edge_support(cur)
+            edge_triangle_support(cur)
             .filter(F.col("sup") >= k - 2)
             .select("src", "dst")
             .localCheckpoint()

@@ -50,7 +50,12 @@ def adamic_adar(edges: DataFrame, max_center_degree: int | None = None) -> DataF
     weighted = centers.withColumn(
         "term", F.round(F.lit(1000000.0) / F.log(F.col("deg"))).cast("long")
     )
-    half = nbrs.select(F.col("src").alias("w"), F.col("dst").alias("n"))
+    # the cap must prune BEFORE the wedge self-join — joining the
+    # capped relation afterwards would still materialize the hub's
+    # deg² wedge rows first (Catalyst executes joins as written)
+    half = nbrs.select(F.col("src").alias("w"), F.col("dst").alias("n")).join(
+        weighted.select("w"), "w", "left_semi"
+    )
     wedges = (
         half.withColumnRenamed("n", "u")
         .join(half.withColumnRenamed("n", "v"), "w")

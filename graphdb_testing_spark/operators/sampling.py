@@ -23,19 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _hash_mod(salt: str, cols: list, mod_col) -> "F.Column":
-    """Portable ``hash32(salt|c1|c2|...) % mod`` (md5-prefix idiom,
-    lockstep with DuckDB ``('0x'||substr(md5(...),1,8))::BIGINT``)."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.lit(salt), *[c.cast("string") for c in cols])),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    return F.pmod(h, mod_col)
+from ..hashutil import hash_mod as _hash_mod  # the one portable draw
 
 
 def indexed_adjacency(edges: DataFrame) -> DataFrame:
@@ -126,6 +114,10 @@ def negative_samples(
     nbrs = edges.select("src", "dst").distinct().localCheckpoint()
     verts = nbrs.select("src").distinct()
     max_id = nbrs.agg(F.max("src").alias("m")).collect()[0]["m"]
+    if max_id is None:  # empty graph -> empty sample, same schema
+        return edges.sparkSession.createDataFrame(
+            [], "src long, candidate long, sample_no long"
+        )
     canon = nbrs.filter(F.col("src") < F.col("dst"))
     cands = (
         canon.select(

@@ -82,6 +82,29 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     )
 
 
+def edge_triangle_support(canon: DataFrame) -> DataFrame:
+    """``(src, dst, sup)`` — triangles through each canonical
+    (``src < dst``, distinct) edge, zero included.  One oriented
+    enumeration exploded to its three sides; shared by
+    :func:`edge_embeddedness` and the k-truss peeler."""
+    tri = _oriented_triangles(canon)
+    side = lambda x, y: F.struct(  # noqa: E731
+        F.least(x, y).alias("s"), F.greatest(x, y).alias("d")
+    )
+    sup = (
+        tri.select(
+            F.explode(
+                F.array(side("a", "u"), side("a", "v"), side("u", "v"))
+            ).alias("e")
+        )
+        .groupBy(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
+        .agg(F.count("*").cast("long").alias("sup"))
+    )
+    return canon.join(sup, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("sup", F.lit(0)).alias("sup")
+    )
+
+
 def edge_embeddedness(edges: DataFrame) -> DataFrame:
     """``(src, dst, common_neighbors, jaccard)`` per canonical
     (``src < dst``) edge: the number of shared neighbors of the two
@@ -105,24 +128,13 @@ def edge_embeddedness(edges: DataFrame) -> DataFrame:
     [0, 1), and the DuckDB oracle (``queries_analytics.py``) computes
     the identical expression.
     """
-    tri = _oriented_triangles(edges)
-    side = lambda x, y: F.struct(  # noqa: E731
-        F.least(x, y).alias("s"), F.greatest(x, y).alias("d")
-    )
-    support = (
-        tri.select(
-            F.explode(
-                F.array(side("a", "u"), side("a", "v"), side("u", "v"))
-            ).alias("e")
-        )
-        .groupBy(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
-        .agg(F.count("*").cast("long").alias("common_neighbors"))
-    )
     canon = edges.filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    support = edge_triangle_support(canon).withColumnRenamed(
+        "sup", "common_neighbors"
+    )
     deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
     return (
-        canon.join(support, ["src", "dst"], "left")
-        .na.fill({"common_neighbors": 0})
+        support
         .join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"), "src")
         .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg"), "dst")
         .select(

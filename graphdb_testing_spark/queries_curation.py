@@ -37,9 +37,9 @@ _DECONTAM_ORACLE = (
     "WITH "
     + _GRAMS_CTE.format(n=8, hi=7)
     + """,
-tg AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gh
+tg AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
        FROM grams WHERE source <> 'src0'),
-bg AS (SELECT DISTINCT ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gh
+bg AS (SELECT DISTINCT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
        FROM grams WHERE source = 'src0'),
 hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
          FROM tg JOIN bg USING (gh) GROUP BY doc_id)
@@ -317,13 +317,13 @@ kept AS (
     AND c.n_chars >= 100
 ),
 bench_grams AS (
-  SELECT DISTINCT ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gh
+  SELECT DISTINCT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
   FROM g8 WHERE source = 'src0'
 ),
 contaminated AS (
   SELECT DISTINCT t.doc_id
   FROM (SELECT DISTINCT doc_id,
-               ('0x' || substr(md5(gram), 1, 8))::BIGINT AS gh
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
         FROM g8 WHERE source <> 'src0') t
   JOIN bench_grams USING (gh)
 ),
