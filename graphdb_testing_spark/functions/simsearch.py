@@ -271,3 +271,47 @@ def hyperplane_lsh_signature(
         )
         sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return embeddings.select(F.col(id_col).alias("vec_id"), sig.alias("sig"))
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, cluster_id, dist)`` — one Lloyd assignment round
+    against ``k`` deterministic centroids (the embeddings of the ``k``
+    smallest ids, the reproducible seeding an iterative k-means would
+    start from): nearest centroid by Euclidean distance, ties to the
+    smallest centroid id.
+
+    The assignment step is the embarrassingly-parallel heart of
+    distributed k-means: broadcast the tiny centroid relation, one
+    left-to-right-fold distance per (vector, centroid), one per-vector
+    top-1.  The update step (new means) is a single groupBy-avg;
+    it is not oracle-registered because float mean summation is
+    partition-order-dependent — assignment is the exactly-checkable
+    half."""
+    dist = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(v, c, (x, y) ->"
+            " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+            " CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+        )
+    )
+    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    cents = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("v").alias("c"))
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cluster_id", F.round(dist, 6).alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "dist")
+    )

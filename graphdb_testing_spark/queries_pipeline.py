@@ -665,3 +665,33 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micros, order-independent sum (`functions/textstats.py`)."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return textstats.bm25_scores(docs, list(_BM25_TERMS))
+
+
+# ---------------------------------------------------------------------------
+# k-means assignment round (deterministic centroids, broadcast)
+# ---------------------------------------------------------------------------
+
+_KMEANS_ORACLE = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cluster_id, v AS c FROM base ORDER BY vec_id LIMIT 8),
+d AS (
+  SELECT b.vec_id, c.cluster_id,
+         ROUND(list_distance(b.v, c.c), 6) AS dist
+  FROM base b CROSS JOIN cent c
+)
+SELECT vec_id, cluster_id, dist FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY dist, cluster_id) AS rn
+  FROM d
+) WHERE rn = 1
+"""
+
+
+@register("kmeans_assign", _KMEANS_ORACLE)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment round: every embedding to its nearest of
+    8 deterministic centroids (Euclidean, round-6, smallest-id
+    tie-break) — the broadcast-centroid shape of distributed Lloyd
+    iterations (`functions/simsearch.py`)."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return simsearch.kmeans_assign(emb, k=8)
