@@ -176,3 +176,33 @@ def test_sampling_nested_and_rate_monotone(spark, rate_idx, n):
         assert lo <= hi
     if rates[rate_idx] == 1.0:
         assert hi == set(range(n))
+
+
+@given(
+    texts=st.lists(st.text(alphabet="abc ", min_size=1, max_size=24),
+                   min_size=2, max_size=8),
+    t_idx=st.integers(min_value=0, max_value=2),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_prefix_join_complete_on_random_corpora(spark, texts, t_idx):
+    """Prefix filtering finds EVERY qualifying pair on arbitrary
+    corpora (the completeness theorem, empirically)."""
+    from itertools import combinations
+
+    from graphdb_testing_spark.functions.dedup import jaccard_prefix_join
+
+    threshold = [0.3, 0.5, 0.8][t_idx]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {(r.a_id, r.b_id) for r in
+           jaccard_prefix_join(docs, threshold=threshold).collect()}
+    sets = {i: {w for w in t.split(" ") if w} for i, t in enumerate(texts)}
+    want = set()
+    for a, b in combinations(sorted(sets), 2):
+        if not sets[a] and not sets[b]:
+            continue
+        union = sets[a] | sets[b]
+        if union and round(len(sets[a] & sets[b]) / len(union), 6) >= threshold:
+            want.add((a, b))
+    assert got == want
