@@ -144,7 +144,7 @@ def main() -> None:
     # (dedup + length + diversity + repetition signals in one pass)
     def _curation():
         cur = all_queries()["curation_decision"]
-        meta["docs_kept"] = cur(spark, sf_dir).filter("keep").count()
+        meta["docs_kept"] = cur(spark, sf_dir).filter("keep = 1").count()
 
     timed("curation", _curation)
 

@@ -108,7 +108,11 @@ def decontaminate(
         .select(
             "doc_id",
             F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
-            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+            # 0/1 flag, not boolean: driver value-hash normalization of
+            # booleans across engines is unverified; integers are safe
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0)
+            .cast("long")
+            .alias("contaminated"),
         )
     )
 
@@ -312,7 +316,7 @@ def curation_decision(
                 | F.col("f_repetitive")
                 | F.col("f_short")
             )
-        ).alias("keep"),
+        ).cast("long").alias("keep"),
         reasons.alias("drop_reasons"),
     )
 

@@ -45,7 +45,7 @@ hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
          FROM tg JOIN bg USING (gh) GROUP BY doc_id)
 SELECT d.doc_id,
        COALESCE(h.n_shared_grams, 0) AS n_shared_grams,
-       COALESCE(h.n_shared_grams, 0) > 0 AS contaminated
+       CAST(COALESCE(h.n_shared_grams, 0) > 0 AS BIGINT) AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.source <> 'src0'
 """
@@ -168,7 +168,7 @@ flags AS (
   FROM canon c LEFT JOIN div d USING (doc_id) LEFT JOIN rep r USING (doc_id)
 )
 SELECT doc_id,
-       NOT (f_dup OR f_low_diversity OR f_repetitive OR f_short) AS keep,
+       CAST(NOT (f_dup OR f_low_diversity OR f_repetitive OR f_short) AS BIGINT) AS keep,
        concat_ws(',',
          CASE WHEN f_dup THEN 'dup' END,
          CASE WHEN f_low_diversity THEN 'low_diversity' END,
@@ -366,14 +366,14 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = datasets.load_table(spark, sf_dir, "documents")
     kept = (
         curation.curation_decision(docs)
-        .filter(F.col("keep"))
+        .filter(F.col("keep") == 1)
         .select("doc_id")
     )
     train = docs.filter(docs.source != "src0").join(kept, "doc_id", "left_semi")
     bench = docs.filter(docs.source == "src0")
     clean = train.join(
         curation.decontaminate(train, bench, n=8)
-        .filter(F.col("contaminated"))
+        .filter(F.col("contaminated") == 1)
         .select("doc_id"),
         "doc_id",
         "left_anti",
