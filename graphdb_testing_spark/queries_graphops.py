@@ -367,3 +367,33 @@ def q_remove_edge_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_edges"),
         F.sum("wgt").cast("long").alias("total_wgt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# edge-weight spectrum (log2-bucket histogram, the S9 sink shape on weights)
+# ---------------------------------------------------------------------------
+
+_WEIGHT_HIST_ORACLE = oracles.with_user_edges(
+    body="""
+SELECT CAST(FLOOR(LOG2(wgt)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(wgt) AS BIGINT) AS total_weight
+FROM (SELECT wgt FROM user_edges WHERE src < dst)
+GROUP BY 1
+""",
+)
+
+
+@register("edge_weight_histogram", _WEIGHT_HIST_ORACLE)
+def q_edge_weight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2-bucket histogram of canonical edge weights (multiplicity
+    spectrum) — the S9 histogram sink applied to edge metadata; one
+    map-side-combined aggregate."""
+    g = datasets.user_graph(spark, sf_dir)
+    canon = g.edges.filter(F.col("src") < F.col("dst"))
+    return canon.groupBy(
+        F.floor(F.log2("wgt")).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("wgt").cast("long").alias("total_weight"),
+    )

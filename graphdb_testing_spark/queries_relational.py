@@ -347,3 +347,41 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(clicked.cast("int")).cast("long").alias("step_click"),
         F.sum(purchased.cast("int")).cast("long").alias("step_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: top-3 users per hour (windowed group limit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_heavy_hitters",
+    """
+WITH per AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT hour_us, user_id, n_events, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_us
+                               ORDER BY n_events DESC, user_id) AS rnk
+  FROM per
+) WHERE rnk <= 3
+""",
+)
+def q_hourly_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most active users per hour — per-bucket count then a
+    WindowGroupLimit top-k (rank pushed into the shuffle, no global
+    sort), deterministic user_id tie-break.  The exact small-scale
+    twin of a streaming count-min/heap heavy-hitter sketch."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        "user_id",
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    w = Window.partitionBy("hour_us").orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        per.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("hour_us", "user_id", "n_events", F.col("rnk").cast("long").alias("rnk"))
+    )
