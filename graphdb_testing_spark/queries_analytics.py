@@ -1103,3 +1103,49 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.select(
         "walk_id", F.col("step").cast("long").alias("step"), "vertex"
     )
+
+
+# ---------------------------------------------------------------------------
+# average neighbor degree per degree class (the k_nn(k) curve)
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = oracles.with_user_edges(
+    body="""
+SELECT d.deg AS degree,
+       CAST(COUNT(DISTINCT e.src) AS BIGINT) AS n_vertices,
+       CAST(SUM(dn.deg) AS BIGINT) AS sum_neighbor_deg,
+       ROUND(SUM(dn.deg) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_neighbor_deg
+FROM nbrs e
+JOIN deg d ON d.id = e.src
+JOIN deg dn ON dn.id = e.dst
+GROUP BY d.deg
+""",
+    extra_ctes="""
+nbrs AS (SELECT DISTINCT src, dst FROM user_edges),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM nbrs GROUP BY 1)""",
+)
+
+
+@register("avg_neighbor_degree", _KNN_ORACLE)
+def q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k_nn(k): mean neighbor degree per degree class — the standard
+    degree-correlation curve (rising = assortative).  Two joins of the
+    degree table against the edge list, one grouped aggregate; integer
+    sums with a single final division."""
+    g = datasets.user_graph(spark, sf_dir)
+    nbrs = g.edges.select("src", "dst").distinct()
+    deg = nbrs.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    return (
+        nbrs.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+        .groupBy(F.col("sdeg").alias("degree"))
+        .agg(
+            F.countDistinct("src").cast("long").alias("n_vertices"),
+            F.sum("ddeg").cast("long").alias("sum_neighbor_deg"),
+            F.round(F.sum("ddeg") / F.count("*").cast("double"), 6).alias(
+                "avg_neighbor_deg"
+            ),
+        )
+    )

@@ -384,3 +384,40 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.chunk_documents(sampled, chunk_tokens=16, overlap=4).select(
         "doc_id", "chunk_id", "n_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus crosstab with CUBE grouping sets (lang × source, all margins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_cube",
+    """
+SELECT COALESCE(lang, '<all>') AS lang,
+       COALESCE(source, '<all>') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+""",
+)
+def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE crosstab of the corpus: doc counts and total chars for
+    every (lang, source) combination plus all margins — the mixing
+    report a data-composition dashboard reads (GROUPING SETS surface;
+    ROLLUP is covered by `events_rollup`)."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
