@@ -397,3 +397,70 @@ def q_edge_weight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_edges"),
         F.sum("wgt").cast("long").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# walk counting: number of length-1/2/3 walks from a fixed source
+# (adjacency-power row — integer-exact Katz ingredients)
+# ---------------------------------------------------------------------------
+
+_WALKCOUNT_ORACLE = oracles.with_user_edges(
+    body="""
+SELECT target, n_len1, n_len2, n_len3 FROM (
+  SELECT COALESCE(w1.dst, w2.dst, w3.dst) AS target,
+         COALESCE(w1.n, 0) AS n_len1,
+         COALESCE(w2.n, 0) AS n_len2,
+         COALESCE(w3.n, 0) AS n_len3
+  FROM w1
+  FULL OUTER JOIN w2 ON w2.dst = w1.dst
+  FULL OUTER JOIN w3 ON w3.dst = COALESCE(w1.dst, w2.dst)
+)
+""",
+    extra_ctes="""
+nbrs AS (SELECT DISTINCT src, dst FROM user_edges),
+s AS (SELECT MIN(src) AS s FROM nbrs),
+w1 AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS n FROM nbrs
+       WHERE src = (SELECT s FROM s) GROUP BY dst),
+w2 AS (SELECT e.dst, CAST(SUM(w1.n) AS BIGINT) AS n
+       FROM w1 JOIN nbrs e ON e.src = w1.dst GROUP BY e.dst),
+w3 AS (SELECT e.dst, CAST(SUM(w2.n) AS BIGINT) AS n
+       FROM w2 JOIN nbrs e ON e.src = w2.dst GROUP BY e.dst)""",
+)
+
+
+@register("walk_counts_from_source", _WALKCOUNT_ORACLE)
+def q_walk_counts_from_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number of walks of length 1/2/3 from the smallest vertex to
+    every target — one row of the adjacency powers A, A², A³ computed
+    by two join-aggregate rounds on integer counts (the exact
+    ingredients of Katz/exponential centralities)."""
+    g = datasets.user_graph(spark, sf_dir)
+    nbrs = g.edges.select("src", "dst").distinct().localCheckpoint()
+    s = nbrs.agg(F.min("src")).collect()[0][0]
+    w1 = (
+        nbrs.filter(F.col("src") == s)
+        .groupBy("dst")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    def _next(w):
+        return (
+            w.withColumnRenamed("dst", "mid")
+            .join(nbrs.withColumnRenamed("src", "mid"), "mid")
+            .groupBy("dst")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .localCheckpoint()
+        )
+    w2 = _next(w1)
+    w3 = _next(w2)
+    j = (
+        w1.withColumnRenamed("n", "n_len1")
+        .join(w2.withColumnRenamed("n", "n_len2"), "dst", "full_outer")
+        .join(w3.withColumnRenamed("n", "n_len3"), "dst", "full_outer")
+    )
+    return j.select(
+        F.col("dst").alias("target"),
+        F.coalesce("n_len1", F.lit(0)).alias("n_len1"),
+        F.coalesce("n_len2", F.lit(0)).alias("n_len2"),
+        F.coalesce("n_len3", F.lit(0)).alias("n_len3"),
+    )

@@ -385,3 +385,36 @@ def q_hourly_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("hour_us", "user_id", "n_events", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# weekday seasonality (portable integer weekday arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekday_activity",
+    """
+SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS weekday,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS total_value_micros
+FROM events GROUP BY 1
+""",
+)
+def q_weekday_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity by weekday (0=Sunday) — weekday derived as
+    ``(epoch_days + 4) % 7`` pure integer arithmetic, sidestepping the
+    engines' incompatible DAYOFWEEK conventions; value totals summed
+    per-row to integer micros before summation (double sums are
+    partition-order-dependent; integer sums are exact)."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    wd = (F.floor(F.unix_micros("ts") / 86_400_000_000) + 4) % 7
+    return ev.groupBy(wd.alias("weekday")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.round(F.col("value") * 1_000_000.0).cast("long"))
+        .cast("long")
+        .alias("total_value_micros"),
+    )
