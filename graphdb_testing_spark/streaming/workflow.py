@@ -636,3 +636,93 @@ def streaming_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_heavy_hitters(
+    spark: SparkSession,
+    events_path: str,
+    capacity: int = 4,
+    query_name: str = "heavy_hitters",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming heavy hitters per event type via the Misra–Gries
+    summary (Misra & Gries 1982; the "space-saving" family): per
+    ``event_type`` the state is at most ``capacity`` ``(user,
+    counter)`` pairs — O(capacity) memory however many distinct users
+    the stream carries, the property that makes per-key top-k feasible
+    on an unbounded 100 TB stream.
+
+    Guarantee: any user with true frequency > N/(capacity+1) is
+    guaranteed present in the final summary, and each kept counter
+    undercounts its user's true frequency by at most N/(capacity+1)
+    (N = events seen for that type).  Each batch emits the type's
+    current summary with ``batch_n`` (events absorbed so far) so a
+    reader can bound the error; deterministic given the per-key
+    arrival order (chunks are sorted by event time like the other
+    stateful operators).
+
+    The exact batch twin at fixture scale is `hourly_heavy_hitters`
+    (per-hour exact top-k); this operator is the bounded-memory
+    streaming form.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def summarize(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        (event_type,) = key
+        if state.exists:
+            users, counts, seen = state.get
+            summary = dict(zip(users, counts))
+        else:
+            summary, seen = {}, 0
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for uid in pdf["user_id"].astype("int64"):
+                uid = int(uid)
+                seen += 1
+                if uid in summary:
+                    summary[uid] += 1
+                elif len(summary) < capacity:
+                    summary[uid] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    summary = {u: c - 1 for u, c in summary.items() if c > 1}
+            state.update((
+                [int(u) for u in summary],
+                [int(c) for c in summary.values()],
+                int(seen),
+            ))
+            out = pd.DataFrame(
+                {
+                    "event_type": event_type,
+                    "user_id": list(summary),
+                    "min_count": list(summary.values()),
+                    "batch_n": seen,
+                }
+            )
+            if len(out):
+                yield out
+
+    ev = _events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    ).select("event_type", "event_id", "user_id", "ts")
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        summarize,
+        outputStructType=(
+            "event_type string, user_id long, min_count long, batch_n long"
+        ),
+        stateStructType="users array<long>, counts array<long>, seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -402,3 +402,41 @@ def test_incremental_pagerank_in_workflow(spark):
     assert set(cold) == set(warm)
     for i in cold:
         assert abs(cold[i] - warm[i]) < 1e-6
+
+
+def test_streaming_heavy_hitters_misra_gries_guarantee(spark, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.streaming.workflow import streaming_heavy_hitters
+
+    # synthetic skewed stream: user 7 sends 60 of 100 'click' events;
+    # with capacity 4 any user above N/5 = 20 MUST survive the summary
+    rows = []
+    for i in range(100):
+        uid = 7 if i % 5 != 2 else 100 + (i % 7)  # 80 vs scattered rest
+        rows.append((i, pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=i),
+                     uid, "click", 1.0, "{}"))
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    stream_dir = tmp_path / "hh_stream"
+    stream_dir.mkdir()
+    half = len(pdf) // 2
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:half]), f"{stream_dir}/part-0.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[half:]), f"{stream_dir}/part-1.parquet")
+    q = streaming_heavy_hitters(
+        spark, str(stream_dir), capacity=4,
+        query_name="t_hh", max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    final = (
+        spark.sql("select * from t_hh where batch_n = 100")
+        .collect()
+    )
+    assert final, "final summary emitted"
+    kept = {r.user_id: r.min_count for r in final}
+    true_count = sum(1 for i in range(100) if i % 5 != 2)
+    assert 7 in kept  # the true heavy hitter always survives
+    # counter never overcounts and undercounts by at most N/(cap+1)
+    assert kept[7] <= true_count and true_count - kept[7] <= 100 // 5
