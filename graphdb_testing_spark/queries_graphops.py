@@ -464,3 +464,62 @@ def q_walk_counts_from_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_len2", F.lit(0)).alias("n_len2"),
         F.coalesce("n_len3", F.lit(0)).alias("n_len3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-type triangle census (multiplex-layer analytics)
+# ---------------------------------------------------------------------------
+
+_TYPED_TRI_ORACLE = oracles.with_typed_edges(
+    body="""
+SELECT a.etype, CAST(COUNT(*) // 6 AS BIGINT) AS n_triangles
+FROM te a
+JOIN te b ON b.etype = a.etype AND b.src = a.dst AND b.dst <> a.src
+JOIN te c ON c.etype = a.etype AND c.src = b.dst AND c.dst = a.src
+GROUP BY a.etype
+""",
+    extra_ctes="te AS (SELECT DISTINCT etype, src, dst FROM typed_edges)",
+)
+
+
+@register("typed_triangle_census", _TYPED_TRI_ORACLE)
+def q_typed_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles per edge-type layer of the typed user graph — the
+    multiplex census (which interaction types close triads).  Engine
+    side runs the degree-oriented enumeration with ``etype`` riding in
+    every key (orientation, wedge, closing joins), so each layer pays
+    Σ outdeg² within the layer only; the oracle is the independent
+    6-fold symmetric triple join."""
+    g = datasets.typed_user_graph(spark, sf_dir)
+    nbrs = g.edges.select("etype", "src", "dst").distinct().localCheckpoint()
+    canon = nbrs.filter(F.col("src") < F.col("dst"))
+    deg = nbrs.groupBy("etype", F.col("src").alias("id")).agg(
+        F.count("*").alias("deg")
+    )
+    with_keys = (
+        canon.join(
+            deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"),
+            ["etype", "src"],
+        )
+        .join(
+            deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg"),
+            ["etype", "dst"],
+        )
+    )
+    fwd = F.struct(F.col("sdeg"), F.col("src")) < F.struct(F.col("ddeg"), F.col("dst"))
+    oriented = with_keys.select(
+        "etype",
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("b"),
+        F.when(
+            fwd, F.struct(F.col("ddeg").alias("kdeg"), F.col("dst").alias("kid"))
+        )
+        .otherwise(F.struct(F.col("sdeg").alias("kdeg"), F.col("src").alias("kid")))
+        .alias("bkey"),
+    ).localCheckpoint()
+    w1 = oriented.select("etype", "a", F.col("b").alias("u"), F.col("bkey").alias("ukey"))
+    w2 = oriented.select("etype", "a", F.col("b").alias("v"), F.col("bkey").alias("vkey"))
+    wedges = w1.join(w2, ["etype", "a"]).filter(F.col("ukey") < F.col("vkey"))
+    closing = oriented.select("etype", F.col("a").alias("u"), F.col("b").alias("v"))
+    tri = wedges.join(closing, ["etype", "u", "v"])
+    return tri.groupBy("etype").agg(F.count("*").cast("long").alias("n_triangles"))
