@@ -459,3 +459,73 @@ def jaccard_prefix_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_join(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(a_id, b_id, inter, containment)`` — every ORDERED pair with
+    ``|A ∩ B| / |A| ≥ threshold`` (A's distinct word set mostly inside
+    B's): the asymmetric twin of :func:`jaccard_prefix_join`, the
+    criterion for quote/excerpt/subset near-duplication that symmetric
+    Jaccard misses when sizes differ.
+
+    Exact via one-sided prefix filtering: if ``c(A,B) ≥ t`` then
+    ``|A∩B| ≥ ceil(t·|A|)``, so A must share a token within the first
+    ``|A| - ceil(t·|A|) + 1`` of its rare-first (df, tok) order with
+    B's FULL token set — candidates are A-prefix ⋈ full inverted
+    index, then one verification join.  Self-pairs and duplicate
+    candidates removed; both orders can appear (A⊂B and B⊂A are
+    different facts).
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .localCheckpoint()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    sized = toks.join(dfreq, "tok").withColumn(
+        "sz", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    pos = sized.withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tok")),
+    )
+    prefix = pos.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select(F.col("doc_id").alias("a_id"), "tok")
+    cands = (
+        prefix.join(toks.withColumnRenamed("doc_id", "b_id"), "tok")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta = toks.withColumnRenamed("doc_id", "a_id")
+    tb = toks.withColumnRenamed("doc_id", "b_id")
+    inter = (
+        cands.join(ta, "a_id")
+        .join(tb, ["b_id", "tok"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"),
+            "a_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "inter",
+            F.round(F.col("inter") / F.col("a_sz"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -695,3 +695,37 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations (`functions/simsearch.py`)."""
     emb = datasets.load_table(spark, sf_dir, "embeddings")
     return simsearch.kmeans_assign(emb, k=8)
+
+
+# ---------------------------------------------------------------------------
+# containment join (asymmetric subset near-duplication; brute oracle)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.9
+
+_CONTAIN_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id, i.inter,
+       ROUND(i.inter / CAST(sa.sz AS DOUBLE), 6) AS containment
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
+WHERE ROUND(i.inter / CAST(sa.sz AS DOUBLE), 6) >= {_CONTAIN_T}
+"""
+
+
+@register("containment_join", _CONTAIN_ORACLE)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered pairs where ≥90% of A's distinct words appear in B —
+    excerpt/subset near-duplication via one-sided prefix filtering
+    (`functions/dedup.py`); brute-force oracle."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return dedup.containment_join(docs, threshold=_CONTAIN_T)
