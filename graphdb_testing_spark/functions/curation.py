@@ -377,3 +377,42 @@ def pack_sequences(
     return with_meta.groupBy("bucket").applyInPandas(
         pack, "bucket long, doc_id long, n_tokens long, bin_no long"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: deliberately simple patterns that parse identically under Java
+#: regex (Spark) and RE2 (DuckDB): no lookarounds, no backrefs
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def scrub_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, n_email, n_phone, n_ipv4, clean_fingerprint)`` — the
+    C4/CCNet-style PII redaction step: count and replace emails,
+    phone numbers, and IPv4 literals with ``[TYPE]`` placeholders.
+    ``clean_fingerprint`` is the md5 of the scrubbed text, so the
+    oracle verifies the REPLACEMENT byte-for-byte, not just counts.
+
+    Pure JVM regex in the scan projection; patterns restricted to the
+    Java∩RE2 common dialect so both engines match identically.
+    """
+    clean = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        clean = F.regexp_replace(clean, pat, f"[{name.upper()}]")
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *counts, F.md5(clean).alias("clean_fingerprint")
+    )

@@ -421,3 +421,35 @@ def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chars",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (redaction verified by fingerprint)
+# ---------------------------------------------------------------------------
+
+_PII_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT)
+         AS n_phone,
+       CAST(len(regexp_extract_all(text,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'))
+         AS clean_fingerprint
+FROM documents
+"""
+
+
+@register("pii_scrub", _PII_ORACLE)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction counts + scrubbed-text fingerprint per document
+    (`functions/curation.scrub_pii`).  The fixture corpus carries no
+    PII (counts are zero and the fingerprint equals the raw text's) —
+    the synthetic-PII unit test is the positive-path check; this query
+    pins the engine parity of the patterns and the replacement."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return curation.scrub_pii(docs)

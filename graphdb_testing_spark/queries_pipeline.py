@@ -729,3 +729,58 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`functions/dedup.py`); brute-force oracle."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return dedup.containment_join(docs, threshold=_CONTAIN_T)
+
+
+# ---------------------------------------------------------------------------
+# IVF recall vs exact ground truth (per-query approximation report)
+# ---------------------------------------------------------------------------
+
+_IVF_RECALL_ORACLE = f"""
+WITH exact_r AS ({_ANN_ORACLE.strip()}),
+ivf_r AS ({_ivf_oracle().strip()})
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_found,
+       ROUND(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_10
+FROM exact_r e
+LEFT JOIN ivf_r i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+GROUP BY e.query_id
+"""
+
+
+@register("ivf_recall", _IVF_RECALL_ORACLE)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF+multiprobe index against the exact
+    brute-force top-10 per query point — the approximation-quality
+    report an ANN deployment monitors; computed by joining the two
+    already-oracle-checked result sets."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = simsearch.cosine_topk(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    ivf = simsearch.ivf_topk(emb, queries, k=10).select(
+        "query_id", F.col("vec_id").alias("ivf_vec")
+    )
+    return (
+        exact.join(
+            ivf,
+            (exact.query_id == ivf.query_id) & (exact.vec_id == ivf.ivf_vec),
+            "left",
+        )
+        .drop(ivf.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.sum(F.when(F.col("ivf_vec").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_found"),
+            F.round(
+                F.sum(F.when(F.col("ivf_vec").isNotNull(), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("recall_at_10"),
+        )
+    )

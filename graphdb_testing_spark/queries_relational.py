@@ -418,3 +418,47 @@ def q_weekday_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_value_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bounded moving window: 7-day trailing average of daily event counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekly_moving_average",
+    """
+WITH daily AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT day_us, n_events,
+       CAST(SUM(n_events) OVER w AS BIGINT) AS window_events,
+       CAST(COUNT(*) OVER w AS BIGINT) AS window_days,
+       ROUND(SUM(n_events) OVER w / CAST(COUNT(*) OVER w AS DOUBLE), 6)
+         AS moving_avg
+FROM daily
+WINDOW w AS (ORDER BY day_us ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_weekly_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing average of daily event volume — the bounded
+    ROWS-frame window (distinct from the unbounded prefix sum in
+    `daily_revenue_running`); integer sums, one final division."""
+    from pyspark.sql import Window
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    w = Window.orderBy("day_us").rowsBetween(-6, 0)
+    return daily.select(
+        "day_us",
+        "n_events",
+        F.sum("n_events").over(w).cast("long").alias("window_events"),
+        F.count("*").over(w).cast("long").alias("window_days"),
+        F.round(
+            F.sum("n_events").over(w) / F.count("*").over(w).cast("double"), 6
+        ).alias("moving_avg"),
+    )

@@ -110,3 +110,23 @@ def test_pack_sequences_greedy_invariants(spark):
     # bins are contiguous in doc order
     assert [r.bin_no for r in sorted(out, key=lambda r: r.doc_id)] == [
         0, 0, 1, 2, 3, 4]
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    rows = [
+        (1, "contact me at jane.doe+x@example.com or 555-123-4567 ok"),
+        (2, "server at 192.168.1.1 and 10.0.0.255 responded"),
+        (3, "no sensitive content here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curation.scrub_pii(docs).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (1, 1, 0)
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 0, 2)
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0)
+    import hashlib
+    assert out[1].clean_fingerprint == hashlib.md5(
+        b"contact me at [EMAIL] or [PHONE] ok").hexdigest()
+    assert out[2].clean_fingerprint == hashlib.md5(
+        b"server at [IPV4] and [IPV4] responded").hexdigest()
+    assert out[3].clean_fingerprint == hashlib.md5(
+        b"no sensitive content here at all").hexdigest()
