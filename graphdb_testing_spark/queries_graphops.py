@@ -523,3 +523,51 @@ def q_typed_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing = oriented.select("etype", F.col("a").alias("u"), F.col("b").alias("v"))
     tri = wedges.join(closing, ["etype", "u", "v"])
     return tri.groupBy("etype").agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# strongest edges with vertex names (attribute join over the physmap)
+# ---------------------------------------------------------------------------
+
+_STRONGEST_ORACLE = """
+WITH directed AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk, CAST(COUNT(*) AS BIGINT) AS wgt
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT p.p_name AS part_name, s.s_name AS supplier_name, d.wgt FROM (
+  SELECT pk, sk, wgt,
+         ROW_NUMBER() OVER (ORDER BY wgt DESC, pk, sk) AS rnk
+  FROM directed
+) d JOIN part p ON p.p_partkey = d.pk
+    JOIN supplier s ON s.s_suppkey = d.sk
+WHERE d.rnk <= 20
+"""
+
+
+@register("strongest_edges_named", _STRONGEST_ORACLE)
+def q_strongest_edges_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest part–supplier co-occurrence edges resolved back
+    to names — the id→attribute join a user-facing result needs
+    (M8 physmap direction: internal ids out, names in), deterministic
+    (weight, pk, sk) tie-break."""
+    from pyspark.sql import Window
+
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    part = datasets.load_table(spark, sf_dir, "part")
+    supp = datasets.load_table(spark, sf_dir, "supplier")
+    directed = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.count("*").cast("long").alias("wgt"))
+    w = Window.orderBy(F.desc("wgt"), F.asc("pk"), F.asc("sk"))
+    top = directed.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 20
+    )
+    return (
+        top.join(part, top.pk == part.p_partkey)
+        .join(supp, top.sk == supp.s_suppkey)
+        .select(
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier_name"),
+            "wgt",
+        )
+    )

@@ -462,3 +462,36 @@ def q_weekly_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").over(w) / F.count("*").over(w).cast("double"), 6
         ).alias("moving_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# percentile ranks of order totals (percent_rank window surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_percentiles",
+    """
+SELECT o_orderkey,
+       ROUND(o_totalprice, 2) AS total,
+       ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6)
+         AS pct_rank,
+       CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+         AS quartile
+FROM orders
+""",
+)
+def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + quartile of every order by total price
+    (deterministic (price, key) order) — the remaining ranking-window
+    surface next to row_number/rank/ntile-by-group."""
+    from pyspark.sql import Window
+
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
