@@ -1149,3 +1149,77 @@ def q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rich-club coefficient curve
+# ---------------------------------------------------------------------------
+
+_RICHCLUB_ORACLE = oracles.with_user_edges(
+    body="""
+SELECT k,
+       CAST(nk AS BIGINT) AS n_rich,
+       CAST(ek AS BIGINT) AS rich_edges,
+       ROUND(CASE WHEN nk < 2 THEN 0.0
+             ELSE 2.0 * ek / (nk * (nk - 1e0)) END, 6) AS phi
+FROM (
+  SELECT t.k,
+         (SELECT COUNT(*) FROM deg d WHERE d.deg > t.k) AS nk,
+         (SELECT COUNT(*) FROM nbrs e
+          JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst
+          WHERE e.src < e.dst AND da.deg > t.k AND db.deg > t.k) AS ek
+  FROM (SELECT UNNEST(generate_series(1, 40, 4)) AS k) t
+)
+""",
+    extra_ctes="""
+nbrs AS (SELECT DISTINCT src, dst FROM user_edges),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM nbrs GROUP BY 1)""",
+)
+
+
+@register("rich_club", _RICHCLUB_ORACLE)
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club curve φ(k): among vertices of degree > k, the
+    fraction of possible edges present, for k = 1,5,…,37 — do hubs
+    preferentially interconnect?  One degree table joined to the
+    canonical edges, cross-joined against the tiny k grid (10 rows
+    broadcast), two conditional aggregates."""
+    g = datasets.user_graph(spark, sf_dir)
+    nbrs = g.edges.select("src", "dst").distinct().localCheckpoint()
+    deg = nbrs.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    ).localCheckpoint()
+    ks = g.edges.sparkSession.createDataFrame(
+        [(k,) for k in range(1, 41, 4)], "k long"
+    )
+    nk = deg.crossJoin(F.broadcast(ks)).filter(F.col("deg") > F.col("k")).groupBy(
+        "k"
+    ).agg(F.count("*").cast("long").alias("n_rich"))
+    canon = (
+        nbrs.filter(F.col("src") < F.col("dst"))
+        .join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "da"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "db"), "dst")
+    )
+    ek = (
+        canon.crossJoin(F.broadcast(ks))
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("rich_edges"))
+    )
+    return (
+        ks.join(nk, "k", "left")
+        .join(ek, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_rich", F.lit(0)).alias("n_rich"),
+            F.coalesce("rich_edges", F.lit(0)).alias("rich_edges"),
+            F.round(
+                F.when(F.coalesce("n_rich", F.lit(0)) < 2, 0.0).otherwise(
+                    2.0
+                    * F.coalesce("rich_edges", F.lit(0))
+                    / (F.col("n_rich") * (F.col("n_rich") - 1.0))
+                ),
+                6,
+            ).alias("phi"),
+        )
+    )

@@ -571,3 +571,60 @@ def q_strongest_edges_named(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wgt",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bipartite projection with cosine weighting (item-item CF kernel)
+# ---------------------------------------------------------------------------
+
+_COPROJ_ORACLE = """
+WITH bi AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+deg AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY sk),
+co AS (
+  SELECT a.sk AS a_sk, b.sk AS b_sk, CAST(COUNT(*) AS BIGINT) AS common_parts
+  FROM bi a JOIN bi b ON a.pk = b.pk AND a.sk < b.sk
+  GROUP BY 1, 2
+)
+SELECT c.a_sk, c.b_sk, c.common_parts,
+       ROUND(c.common_parts / SQRT(CAST(da.deg * db.deg AS DOUBLE)), 6)
+         AS cosine
+FROM co c JOIN deg da ON da.sk = c.a_sk JOIN deg db ON db.sk = c.b_sk
+WHERE c.common_parts >= 3
+"""
+
+
+@register("supplier_cooccurrence", _COPROJ_ORACLE)
+def q_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier–supplier similarity by shared parts: the bipartite
+    projection with cosine weighting (``common / √(deg_a·deg_b)``) —
+    the item-item collaborative-filtering kernel.  Wedge join keyed on
+    the part (bounded by part degree, AQE-splittable); pairs below 3
+    common parts pruned before the output."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    bi = li.select(
+        F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk")
+    ).distinct().localCheckpoint()
+    deg = bi.groupBy("sk").agg(F.count("*").cast("long").alias("deg"))
+    a = bi.select(F.col("sk").alias("a_sk"), "pk")
+    b = bi.select(F.col("sk").alias("b_sk"), "pk")
+    co = (
+        a.join(b, "pk")
+        .filter(F.col("a_sk") < F.col("b_sk"))
+        .groupBy("a_sk", "b_sk")
+        .agg(F.count("*").cast("long").alias("common_parts"))
+        .filter(F.col("common_parts") >= 3)
+    )
+    return (
+        co.join(deg.withColumnRenamed("sk", "a_sk").withColumnRenamed("deg", "da"), "a_sk")
+        .join(deg.withColumnRenamed("sk", "b_sk").withColumnRenamed("deg", "db"), "b_sk")
+        .select(
+            "a_sk",
+            "b_sk",
+            "common_parts",
+            F.round(
+                F.col("common_parts")
+                / F.sqrt((F.col("da") * F.col("db")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
