@@ -628,3 +628,46 @@ def q_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# edge lifetime stats (M6 time metadata: time_recent - time_first)
+# ---------------------------------------------------------------------------
+
+_LIFETIME_ORACLE = (
+    _TIMED_ORACLE.split("thr AS")[0]
+    + """
+lived AS (
+  SELECT src, dst, time_recent - time_first AS lifetime_us
+  FROM folded WHERE wgt IS NOT NULL AND wgt > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(CASE WHEN lifetime_us = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_touch,
+       CAST(MIN(lifetime_us) AS BIGINT) AS min_life_us,
+       CAST(MAX(lifetime_us) AS BIGINT) AS max_life_us,
+       CAST(SUM(lifetime_us) AS BIGINT) AS total_life_us
+FROM lived
+"""
+)
+
+
+@register("edge_lifetime_stats", _LIFETIME_ORACLE)
+def q_edge_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime (``time_recent - time_first``) summary of the replayed
+    timestamped edge table — how long edges stay active, the M6
+    metadata viewed as churn statistics; integer micros throughout."""
+    acts = datasets.actions_stream(spark, sf_dir)
+    edges = upd.apply_actions_timed(None, acts)
+    life = edges.filter(F.col("wgt") > 0).select(
+        (F.col("time_recent") - F.col("time_first")).alias("lifetime_us")
+    )
+    return life.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("lifetime_us") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_single_touch"),
+        F.min("lifetime_us").cast("long").alias("min_life_us"),
+        F.max("lifetime_us").cast("long").alias("max_life_us"),
+        F.sum("lifetime_us").cast("long").alias("total_life_us"),
+    )
