@@ -495,3 +495,33 @@ def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# portable SQL-text interface: ONE string is both the Spark query
+# (spark.sql over registered views) and the DuckDB oracle
+# ---------------------------------------------------------------------------
+
+_PORTABLE_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY 1, 2, 3
+"""
+
+
+@register("sql_text_interface", _PORTABLE_SQL)
+def q_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string entrypoint: the registered oracle text itself is
+    executed by ``spark.sql`` over a temp view — one ANSI-portable
+    statement (EXTRACT / CAST / FLOOR / conditional aggregation,
+    per-row cent quantization for order-independent sums) produces the
+    identical result on both engines.  Demonstrates that the engine's
+    declarative surface is not DataFrame-only."""
+    datasets.load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_PORTABLE_SQL)
