@@ -39,6 +39,22 @@ def indexed_adjacency(edges: DataFrame) -> DataFrame:
     )
 
 
+
+def _seed_walkers(vertices: DataFrame, start_every: int) -> DataFrame:
+    """Step-0 walker state ``(walk_id, step, vertex)`` from every
+    vertex with ``id % start_every == 0`` (shared by all three walk
+    variants), materialized once."""
+    return (
+        vertices.filter(F.col("src") % start_every == 0)
+        .select(
+            F.col("src").alias("walk_id"),
+            F.lit(0).alias("step"),
+            F.col("src").alias("vertex"),
+        )
+        .localCheckpoint()
+    )
+
+
 def random_walks(
     edges: DataFrame,
     walk_length: int = 3,
@@ -56,16 +72,7 @@ def random_walks(
     """
     adj = indexed_adjacency(edges).localCheckpoint()
     degs = adj.select("src", "deg").distinct()
-    seeds = (
-        degs.select("src")
-        .filter(F.col("src") % start_every == 0)
-        .select(
-            F.col("src").alias("walk_id"),
-            F.lit(0).alias("step"),
-            F.col("src").alias("vertex"),
-        )
-    )
-    out = seeds.localCheckpoint()
+    out = _seed_walkers(degs.select("src"), start_every)
     cur = out
     for s in range(1, walk_length + 1):
         # two equi-joins: degree lookup to compute the pick, then the
@@ -212,16 +219,7 @@ def weighted_random_walks(
     precomputed alias table."""
     adj = weighted_adjacency(edges).localCheckpoint()
     totals = adj.select("src", "total_w").distinct()
-    seeds = (
-        totals.select("src")
-        .filter(F.col("src") % start_every == 0)
-        .select(
-            F.col("src").alias("walk_id"),
-            F.lit(0).alias("step"),
-            F.col("src").alias("vertex"),
-        )
-    )
-    out = seeds.localCheckpoint()
+    out = _seed_walkers(totals.select("src"), start_every)
     cur = out
     for s in range(1, walk_length + 1):
         with_pick = (
@@ -277,16 +275,8 @@ def node2vec_walks(
     nbrs = edges.select("src", "dst").distinct().localCheckpoint()
     adj = indexed_adjacency(edges).localCheckpoint()
     degs = adj.select("src", "deg").distinct()
-    seeds = (
-        degs.select("src")
-        .filter(F.col("src") % start_every == 0)
-        .select(
-            F.col("src").alias("walk_id"),
-            F.lit(0).alias("step"),
-            F.col("src").alias("vertex"),
-        )
-    )
-    out = seeds.localCheckpoint()
+    seeds = _seed_walkers(degs.select("src"), start_every)
+    out = seeds
     # step 1: uniform (no previous vertex) — identical to random_walks
     first = (
         seeds.select("walk_id", "vertex")
