@@ -1223,3 +1223,56 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph contraction: shard-level super-graph (coarsening step)
+# ---------------------------------------------------------------------------
+
+_CONTRACT_ORACLE = oracles.with_user_edges(
+    body=f"""
+SELECT LEAST(e.src % {_N_SHARDS}, e.dst % {_N_SHARDS}) AS src_part,
+       GREATEST(e.src % {_N_SHARDS}, e.dst % {_N_SHARDS}) AS dst_part,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(e.wgt) AS BIGINT) AS total_weight
+FROM dedup_edges e
+GROUP BY 1, 2
+""",
+    extra_ctes="""
+dedup_edges AS (
+  SELECT src, dst, MAX(wgt) AS wgt FROM user_edges
+  WHERE src < dst GROUP BY src, dst
+)""",
+)
+
+
+@register("partition_supergraph", _CONTRACT_ORACLE)
+def q_partition_supergraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract the user graph by its hash placement (id % 8): one
+    super-edge per partition pair carrying edge count and total weight
+    (self-loops = intra-partition mass) — the coarsening step every
+    multilevel algorithm (Louvain contraction, multilevel
+    partitioning) iterates, and the partition-traffic matrix a
+    placement optimizer consumes.  Relabel projection + one
+    re-aggregation; the contracted graph is what the next level
+    recurses on at 100 TB."""
+    g = datasets.user_graph(spark, sf_dir)
+    canon = (
+        g.edges.filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.max("wgt").alias("wgt"))
+    )
+    sp = F.pmod(F.col("src"), F.lit(_N_SHARDS))
+    dp = F.pmod(F.col("dst"), F.lit(_N_SHARDS))
+    return (
+        canon.select(
+            F.least(sp, dp).alias("src_part"),
+            F.greatest(sp, dp).alias("dst_part"),
+            "wgt",
+        )
+        .groupBy("src_part", "dst_part")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum("wgt").cast("long").alias("total_weight"),
+        )
+    )
