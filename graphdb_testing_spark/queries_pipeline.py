@@ -784,3 +784,68 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means cluster purity vs ground-truth labels (clustering evaluation)
+# ---------------------------------------------------------------------------
+
+_PURITY_ORACLE = f"""
+WITH assign AS ({_KMEANS_ORACLE.strip()}),
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+cl AS (
+  SELECT a.cluster_id, l.label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM assign a JOIN lab l USING (vec_id)
+  GROUP BY 1, 2
+),
+tot AS (SELECT cluster_id, CAST(SUM(n) AS BIGINT) AS size FROM cl GROUP BY 1),
+best AS (
+  SELECT cluster_id, label AS majority_label, n AS majority_n FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY n DESC, label) AS rn
+    FROM cl
+  ) WHERE rn = 1
+)
+SELECT t.cluster_id, t.size, b.majority_label, b.majority_n,
+       ROUND(b.majority_n / CAST(t.size AS DOUBLE), 6) AS purity
+FROM tot t JOIN best b USING (cluster_id)
+"""
+
+
+@register("kmeans_cluster_purity", _PURITY_ORACLE)
+def q_kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purity of each k-means cluster against the embeddings'
+    ground-truth ``label`` column: majority-label fraction per
+    assigned cluster (deterministic argmax tie-break) — the standard
+    external clustering-quality evaluation, composed from the
+    oracle-checked assignment round."""
+    from pyspark.sql import Window
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    assign = simsearch.kmeans_assign(emb, k=8).select("vec_id", "cluster_id")
+    lab = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    cl = (
+        assign.join(lab, "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = cl.groupBy("cluster_id").agg(F.sum("n").cast("long").alias("size"))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("label"))
+    best = (
+        cl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("majority_n"),
+        )
+    )
+    return tot.join(best, "cluster_id").select(
+        "cluster_id",
+        "size",
+        "majority_label",
+        "majority_n",
+        F.round(F.col("majority_n") / F.col("size").cast("double"), 6).alias(
+            "purity"
+        ),
+    )

@@ -525,3 +525,55 @@ def q_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative surface is not DataFrame-only."""
     datasets.load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_PORTABLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# conversion lag quantiles (view -> purchase latency per user)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conversion_lag_quantiles",
+    """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+  FROM events GROUP BY user_id
+),
+lags AS (
+  SELECT CAST(t_buy - t_view AS DOUBLE) AS lag_us
+  FROM firsts WHERE t_view IS NOT NULL AND t_buy > t_view
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(lag_us, 0.5) / 1000000.0, 3) AS p50_lag_s,
+       ROUND(quantile_cont(lag_us, 0.9) / 1000000.0, 3) AS p90_lag_s
+FROM lags
+""",
+)
+def q_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and p90 latency from first view to first purchase across
+    converting users — exact interpolated quantiles over integer-micro
+    lags (the `event_value_quantiles` idiom on a derived funnel
+    metric)."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_buy"),
+    )
+    lags = firsts.filter(
+        F.col("t_view").isNotNull() & (F.col("t_buy") > F.col("t_view"))
+    ).select((F.col("t_buy") - F.col("t_view")).cast("double").alias("lag_us"))
+    # micro-lags are ~1e11: ROUND(x, 6) at that magnitude is beyond
+    # double precision and the two engines' interpolation differs in
+    # the last ulp — report seconds at millisecond resolution instead
+    return lags.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(lag_us, 0.5)") / 1_000_000.0, 3).alias(
+            "p50_lag_s"
+        ),
+        F.round(F.expr("percentile(lag_us, 0.9)") / 1_000_000.0, 3).alias(
+            "p90_lag_s"
+        ),
+    )
