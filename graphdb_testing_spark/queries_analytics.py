@@ -1276,3 +1276,61 @@ def q_partition_supergraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wgt").cast("long").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# degree inequality: Gini coefficient of the degree distribution
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = oracles.with_user_edges(
+    body="""
+SELECT CAST(n AS BIGINT) AS n_vertices,
+       CAST(total AS BIGINT) AS total_degree,
+       ROUND(2.0 * weighted / (n * CAST(total AS DOUBLE))
+             - (n + 1e0) / n, 6) AS gini
+FROM (
+  SELECT COUNT(*) AS n, SUM(deg) AS total,
+         SUM(CAST(rnk AS BIGINT) * deg) AS weighted
+  FROM (
+    SELECT deg, ROW_NUMBER() OVER (ORDER BY deg, id) AS rnk
+    FROM deg
+  )
+)
+""",
+    extra_ctes="""
+nbrs AS (SELECT DISTINCT src, dst FROM user_edges),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM nbrs GROUP BY 1)""",
+)
+
+
+@register("degree_gini", _GINI_ORACLE)
+def q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the degree distribution (0 = egalitarian,
+    →1 = hub-dominated): the sorted-rank formula ``2·Σ(i·dᵢ)/(n·Σd)
+    − (n+1)/n`` with integer rank-weighted sums and one final
+    division.  The global sort is over the degree VALUES (one row per
+    vertex — at 100 TB, approximate via quantile bucketing)."""
+    from pyspark.sql import Window
+
+    g = datasets.user_graph(spark, sf_dir)
+    nbrs = g.edges.select("src", "dst").distinct()
+    deg = nbrs.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    ranked = deg.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("deg", "id")).cast("long")
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("deg").cast("long").alias("total"),
+        F.sum(F.col("rnk") * F.col("deg")).cast("long").alias("weighted"),
+    )
+    return agg.select(
+        F.col("n").alias("n_vertices"),
+        F.col("total").alias("total_degree"),
+        F.round(
+            2.0 * F.col("weighted") / (F.col("n") * F.col("total").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
