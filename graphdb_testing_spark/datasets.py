@@ -195,6 +195,43 @@ def typed_user_graph(spark: SparkSession, sf_dir: str) -> Graph:
     return Graph(edges=sym.select("src", "dst", "wgt", "etype"))
 
 
+def directed_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed orientation of the user co-participation graph.
+
+    Each undirected co-occurrence pair ``(u < v)`` becomes exactly one
+    directed edge, oriented by the portable hash draw
+    ``hash_mod("dir", [u, v], 2)`` (:mod:`hashutil`) — a deterministic
+    pseudo-random orientation, so a connected co-occurrence core
+    yields non-trivial SCCs while DAG fringes stay singletons.
+    Matches :data:`oracles.DIRECTED_EDGES_CTE`.
+
+    Schema: ``(src LONG, dst LONG)``, distinct.
+    """
+    ensure_utc(spark)
+    from .hashutil import hash_mod
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    flip = hash_mod("dir", [F.col("u"), F.col("v")], F.lit(2)) == 1
+    return pairs.select(
+        F.when(flip, F.col("v")).otherwise(F.col("u")).alias("src"),
+        F.when(flip, F.col("u")).otherwise(F.col("v")).alias("dst"),
+    )
+
+
 def actions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic update stream derived from ``events``.
 

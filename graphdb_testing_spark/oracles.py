@@ -81,6 +81,35 @@ def with_typed_edges(body: str, extra_ctes: str = "") -> str:
     return f"WITH {ctes}\n{body}"
 
 
+#: Directed orientation of the user co-participation graph (one edge
+#: per pair, direction = portable md5 draw).  Lockstep with
+#: :func:`datasets.directed_user_graph`.
+DIRECTED_EDGES_CTE = """
+dpairs AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM events a JOIN events b
+    ON a.event_type = b.event_type
+   AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+   AND a.user_id < b.user_id
+),
+dedges AS (
+  SELECT CASE WHEN ('0x' || substr(md5('dir|' || u::VARCHAR || '|' || v::VARCHAR), 1, 8))::BIGINT % 2 = 1
+              THEN v ELSE u END AS src,
+         CASE WHEN ('0x' || substr(md5('dir|' || u::VARCHAR || '|' || v::VARCHAR), 1, 8))::BIGINT % 2 = 1
+              THEN u ELSE v END AS dst
+  FROM dpairs
+)
+"""
+
+
+def with_directed_edges(body: str, extra_ctes: str = "", recursive: bool = False) -> str:
+    ctes = DIRECTED_EDGES_CTE.strip()
+    if extra_ctes:
+        ctes += ",\n" + extra_ctes.strip()
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return f"{kw} {ctes}\n{body}"
+
+
 #: FIXTURES.md §2.3 — complement-encoded action stream.  Lockstep with
 #: :func:`datasets.actions_stream`.
 ACTIONS_CTE = """

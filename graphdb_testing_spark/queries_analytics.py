@@ -1334,3 +1334,39 @@ def q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (directed completion of the CC kernel)
+# ---------------------------------------------------------------------------
+
+_SCC_ORACLE = oracles.with_directed_edges(
+    """
+SELECT r1.a AS id, CAST(MIN(r1.b) AS BIGINT) AS scc_id
+FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+GROUP BY r1.a
+""",
+    extra_ctes="""
+verts AS (SELECT src AS v FROM dedges UNION SELECT dst FROM dedges),
+reach(a, b) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN dedges e ON e.src = r.b
+)
+""",
+    recursive=True,
+)
+
+
+@register("scc_components", _SCC_ORACLE)
+def q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the hash-oriented user graph
+    (directed completion of ``static_components.c``; Multistep
+    trim/color/settle — :mod:`operators.scc`).  The oracle is the
+    mutual-reachability definition itself: ``scc_id(v) = min{u :
+    u →* v ∧ v →* u}`` over a recursive closure — independent of the
+    engine's peeling strategy."""
+    from .operators.scc import strongly_connected_components
+
+    dedges = datasets.directed_user_graph(spark, sf_dir)
+    return strongly_connected_components(dedges)

@@ -112,3 +112,43 @@ def test_densest_peeling_finds_planted_clique(spark):
     best = max(trace, key=lambda r: r.density)
     assert best.density == 2.5 and best.nv == 6 and best.ne == 15
     assert trace[0].density < 2.5  # the full graph is less dense
+
+
+def test_scc_matches_networkx(spark):
+    """SCC on a deterministic pseudo-random orientation agrees with
+    networkx.strongly_connected_components (partition equality)."""
+    nx = pytest.importorskip("networkx")
+    from graphdb_testing_spark.operators.scc import strongly_connected_components
+
+    # deterministic digraph: cycles + DAG tails + isolated-ish fringe
+    n = 60
+    pairs = set()
+    for v in range(n):
+        pairs.add((v, (v * 7 + 3) % n))
+        if v % 3 == 0:
+            pairs.add((v, (v * 5 + 11) % n))
+    pairs = {(u, v) for (u, v) in pairs if u != v}
+    df = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    got = {
+        (r.id, r.scc_id)
+        for r in strongly_connected_components(df, max_outer=60).collect()
+    }
+    g = nx.DiGraph(sorted(pairs))
+    want = {
+        (v, min(comp))
+        for comp in nx.strongly_connected_components(g)
+        for v in comp
+    }
+    assert got == want
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    """Two 3-cycles joined by a one-way bridge stay separate SCCs."""
+    from graphdb_testing_spark.operators.scc import strongly_connected_components
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 10), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        (r.id, r.scc_id) for r in strongly_connected_components(df).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (10, 10), (11, 10), (12, 10)}

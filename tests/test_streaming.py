@@ -319,6 +319,15 @@ def test_streaming_debounce_state_across_batches(spark, tmp_path):
     half = t.num_rows // 2
     pq.write_table(t.slice(0, half), f"{stream_dir}/part-0.parquet")
     pq.write_table(t.slice(half), f"{stream_dir}/part-1.parquet")
+    # the operator's contract is micro-batches in event-time order;
+    # Spark's file source orders by modification time, and both writes
+    # can land in the same mtime tick — pin strictly increasing mtimes
+    # so the batch order is deterministic under suite load
+    import os, time
+
+    now = time.time()
+    os.utime(f"{stream_dir}/part-0.parquet", (now - 10, now - 10))
+    os.utime(f"{stream_dir}/part-1.parquet", (now, now))
     q = streaming_debounce(
         spark, str(stream_dir), query_name="t_debounce2", max_files_per_trigger=1
     )
