@@ -22,6 +22,7 @@ from graphdb_testing_spark import queries_curation  # noqa: F401  (registers)
 from graphdb_testing_spark import queries_graphops  # noqa: F401  (registers)
 from graphdb_testing_spark import queries_pipeline  # noqa: F401  (registers)
 from graphdb_testing_spark import queries_relational  # noqa: F401  (registers)
+from graphdb_testing_spark import queries_sketches  # noqa: F401  (registers)
 from graphdb_testing_spark import queries_temporal  # noqa: F401  (registers)
 from graphdb_testing_spark.operators.components import (
     component_sizes,

@@ -416,3 +416,53 @@ def scrub_pii(
     return docs.select(
         F.col(id_col).alias("doc_id"), *counts, F.md5(clean).alias("clean_fingerprint")
     )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, total_grams, boiler_grams, boiler_ratio_milli)`` —
+    cross-document boilerplate detection (the C4/RefinedWeb repeated-
+    line filter re-expressed for line-less corpora): a word ``n``-gram
+    is *boilerplate* when its document frequency reaches ``min_df``;
+    each doc reports how much of its text such grams cover.
+
+    Scale shape: one explode + two hash-partitioned aggregations.  The
+    boilerplate gram list is df-bounded (≤ corpus_grams / min_df rows)
+    and joins back via semi-join on the 60-bit gram digest — never a
+    text-payload shuffle.  ``boiler_ratio_milli`` is an exact integer
+    (``1000·k//total``), so the oracle comparison is float-free.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    ).select("doc_id", _hash_prefix(F.col("gram"), 15).alias("gh"))
+    df_counts = grams.distinct().groupBy("gh").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    boiler = df_counts.filter(F.col("df") >= min_df).select("gh")
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("total_grams")
+    )
+    boiler_hits = (
+        grams.join(boiler, "gh", "semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("boiler_grams"))
+    )
+    return (
+        per_doc.join(boiler_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_grams",
+            F.coalesce("boiler_grams", F.lit(0)).cast("long").alias("boiler_grams"),
+        )
+        # integer floor-div keeps the ratio float-free on both engines
+        .withColumn(
+            "boiler_ratio_milli",
+            F.expr("(1000 * boiler_grams) div total_grams").cast("long"),
+        )
+    )

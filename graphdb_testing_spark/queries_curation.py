@@ -453,3 +453,43 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the engine parity of the patterns and the replacement."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return curation.scrub_pii(docs)
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate detection (repeated-span filter)
+# ---------------------------------------------------------------------------
+
+_BOILER_ORACLE = (
+    "WITH "
+    + _GRAMS_CTE.format(n=2, hi=1)
+    + """,
+gh AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM grams),
+boiler AS (
+  SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS df FROM gh GROUP BY gh)
+  WHERE df >= 10
+),
+per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_grams FROM gh GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS boiler_grams
+  FROM gh SEMI JOIN boiler USING (gh) GROUP BY doc_id
+)
+SELECT p.doc_id, p.total_grams,
+       COALESCE(h.boiler_grams, 0) AS boiler_grams,
+       CAST((1000 * COALESCE(h.boiler_grams, 0)) // p.total_grams AS BIGINT)
+         AS boiler_ratio_milli
+FROM per_doc p LEFT JOIN hits h USING (doc_id)
+"""
+)
+
+
+@register("boilerplate_stats", _BOILER_ORACLE)
+def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span (boilerplate) coverage per doc —
+    the C4/RefinedWeb repeated-line filter for line-less corpora
+    (:func:`functions.curation.boilerplate_stats`).  n=2/min_df=10
+    fits the synthetic corpus's gram-frequency profile; production
+    corpora use longer grams and a df threshold scaled to corpus
+    size.  The boiler list is df-bounded and joins via 60-bit digest
+    semi-join — no text payload crosses a shuffle twice."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return curation.boilerplate_stats(docs, n=2, min_df=10)

@@ -130,3 +130,19 @@ def test_scrub_pii_redacts_and_counts(spark):
         b"server at [IPV4] and [IPV4] responded").hexdigest()
     assert out[3].clean_fingerprint == hashlib.md5(
         b"no sensitive content here at all").hexdigest()
+
+
+def test_boilerplate_stats_flags_repeated_spans(spark):
+    from graphdb_testing_spark.functions.curation import boilerplate_stats
+
+    rows = [(i, "common span here unique%d tail" % i) for i in range(10)]
+    rows.append((99, "totally different words entirely"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.total_grams, r.boiler_grams, r.boiler_ratio_milli)
+        for r in boilerplate_stats(docs, n=2, min_df=10).collect()
+    }
+    # "common span" and "span here" appear in 10 docs -> boilerplate;
+    # "here uniqueN" / "uniqueN tail" are per-doc singletons
+    assert out[0] == (4, 2, 500)
+    assert out[99] == (3, 0, 0)

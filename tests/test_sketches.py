@@ -1,0 +1,53 @@
+"""Deterministic-sketch tests: HLL accuracy, merge law, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphdb_testing_spark.functions import sketches
+
+
+def test_hll_estimate_accuracy(spark):
+    """Raw HLL with m=64 has ~1.04/sqrt(64) = 13% standard error;
+    assert the estimate lands within 3σ of a 5k-distinct truth."""
+    n = 5000
+    df = spark.range(n).select(
+        F.lit("k").alias("key"), F.col("id").alias("v")
+    )
+    regs = sketches.hll_registers(df, ["key"], "v")
+    est = sketches.hll_estimate(regs, ["key"]).collect()[0]["est_milli"] / 1000
+    assert abs(est - n) / n < 0.40
+
+
+def test_hll_merge_is_registerwise_max(spark):
+    """Sketching two halves then max-merging registers equals
+    sketching the union — the associativity law a distributed sink
+    relies on."""
+    a = spark.range(0, 3000).select(F.lit("k").alias("key"), F.col("id").alias("v"))
+    b = spark.range(2000, 6000).select(
+        F.lit("k").alias("key"), F.col("id").alias("v")
+    )
+    whole = sketches.hll_registers(a.unionAll(b), ["key"], "v")
+    merged = (
+        sketches.hll_registers(a, ["key"], "v")
+        .unionAll(sketches.hll_registers(b, ["key"], "v"))
+        .groupBy("key", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    e1 = sketches.hll_estimate(whole, ["key"]).collect()[0]["est_milli"]
+    e2 = sketches.hll_estimate(merged, ["key"]).collect()[0]["est_milli"]
+    assert e1 == e2
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    """Distinct counting: replicating every value 7× leaves the
+    register state (and so the estimate) unchanged."""
+    base = spark.range(1000).select(F.lit("k").alias("key"), F.col("id").alias("v"))
+    dup = base.crossJoin(spark.range(7)).select("key", "v")
+    e1 = sketches.hll_estimate(
+        sketches.hll_registers(base, ["key"], "v"), ["key"]
+    ).collect()[0]["est_milli"]
+    e2 = sketches.hll_estimate(
+        sketches.hll_registers(dup, ["key"], "v"), ["key"]
+    ).collect()[0]["est_milli"]
+    assert e1 == e2
