@@ -1370,3 +1370,90 @@ def q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dedges = datasets.directed_user_graph(spark, sf_dir)
     return strongly_connected_components(dedges)
+
+
+# ---------------------------------------------------------------------------
+# Bipartiteness / odd-cycle detection via BFS parity
+# ---------------------------------------------------------------------------
+
+
+def _parity_check(edges, max_depth: int = 32) -> DataFrame:
+    """One-row ``(n_reached, n_odd_edges, is_bipartite)`` over a
+    symmetric edge table: BFS parity from the min-id root; an edge
+    whose endpoints share parity witnesses an odd cycle.  Both the
+    distance loop and the parity join are the plans BFS already uses —
+    no new shuffle shapes."""
+    from .operators.bfs import bfs
+
+    e = edges.select("src", "dst")
+    source = int(e.agg(F.min("src").alias("s")).collect()[0]["s"])
+    dist = bfs(e, source, max_depth=max_depth)
+    par = dist.select("id", (F.col("dist") % 2).alias("par"))
+    odd = (
+        e.filter(F.col("src") < F.col("dst"))
+        .join(par.select(F.col("id").alias("src"), F.col("par").alias("ps")), "src")
+        .join(par.select(F.col("id").alias("dst"), F.col("par").alias("pd")), "dst")
+        .filter(F.col("ps") == F.col("pd"))
+    )
+    return (
+        dist.agg(F.count("*").cast("long").alias("n_reached"))
+        .crossJoin(odd.agg(F.count("*").cast("long").alias("n_odd_edges")))
+        .select(
+            "n_reached",
+            "n_odd_edges",
+            (F.col("n_odd_edges") == 0).cast("long").alias("is_bipartite"),
+        )
+    )
+
+
+def _parity_oracle(edge_view: str) -> str:
+    return f"""
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_reached,
+       CAST(o.n_odd AS BIGINT) AS n_odd_edges,
+       CAST(o.n_odd = 0 AS BIGINT) AS is_bipartite
+FROM (
+  SELECT COUNT(*) AS n_odd
+  FROM {edge_view} e JOIN d a ON a.id = e.src JOIN d b ON b.id = e.dst
+  WHERE e.src < e.dst AND a.dist % 2 = b.dist % 2
+) o
+"""
+
+
+_PARITY_CTES = """
+bfsr(id, dist) AS (
+  SELECT (SELECT MIN(src) FROM {view}), 0
+  UNION
+  SELECT e.dst, b.dist + 1 FROM {view} e JOIN bfsr b ON e.src = b.id
+  WHERE b.dist < 32
+),
+d AS (SELECT id, MIN(dist) AS dist FROM bfsr GROUP BY id)
+"""
+
+
+@register(
+    "odd_cycle_check",
+    oracles.with_user_edges(
+        _parity_oracle("user_edges"),
+        extra_ctes=_PARITY_CTES.format(view="user_edges"),
+    ).replace("WITH ", "WITH RECURSIVE ", 1),
+)
+def q_odd_cycle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odd-cycle witness count on the (triangle-rich, hence non-
+    bipartite) user graph — BFS-parity 2-coloring check."""
+    g = datasets.user_graph(spark, sf_dir)
+    return _parity_check(g.edges)
+
+
+@register(
+    "bipartite_check",
+    oracles.with_edges(
+        _parity_oracle("edges"),
+        extra_ctes=_PARITY_CTES.format(view="edges"),
+    ).replace("WITH ", "WITH RECURSIVE ", 1),
+)
+def q_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive control: the part–supplier graph is bipartite by
+    construction, so the same parity machinery must report zero odd
+    edges and ``is_bipartite = 1``."""
+    g = datasets.part_supplier_graph(spark, sf_dir)
+    return _parity_check(g.edges)

@@ -577,3 +577,67 @@ def q_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_lag_s"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-series anomaly detection: hourly z-scores with integer moments
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+moments AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cnt) AS BIGINT) AS s, CAST(SUM(cnt * cnt) AS BIGINT) AS sq
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hour_epoch, h.cnt,
+       CAST(FLOOR(1000.0 * (h.cnt * m.n - m.s) /
+                  SQRT(CAST(m.n * m.sq - m.s * m.s AS DOUBLE))) AS BIGINT)
+         AS z_milli
+FROM hourly h JOIN moments m USING (event_type)
+WHERE m.n * m.sq - m.s * m.s > 0
+"""
+
+
+@register("hourly_anomalies", _ANOMALY_ORACLE)
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series anomaly score: z-score of each hour's event count
+    against its event type's own distribution.  The moments are exact
+    BIGINT sums (``n·Σc² − (Σc)²``), so the only floats are one
+    multiply, one IEEE-correctly-rounded sqrt, and one divide —
+    bit-deterministic across engines, hence hash-checkable; the same
+    trick is what makes the two-pass variance shuffle-free (moments
+    ride the same groupBy as the counts).  Variance-zero series are
+    excluded on both sides."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("long").alias("hour_epoch"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    moments = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sq"),
+    )
+    var_num = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    return (
+        hourly.join(F.broadcast(moments), "event_type")
+        .filter(var_num > 0)
+        .select(
+            "event_type",
+            "hour_epoch",
+            "cnt",
+            F.floor(
+                F.lit(1000.0)
+                * (F.col("cnt") * F.col("n") - F.col("s"))
+                / F.sqrt(var_num.cast("double"))
+            )
+            .cast("long")
+            .alias("z_milli"),
+        )
+    )

@@ -317,3 +317,60 @@ def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension building (state-change history intervals)
+# ---------------------------------------------------------------------------
+
+_SENTINEL_US = 9223372036854775807  # open interval: "until further notice"
+
+_SCD2_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us,
+         LAG(event_type) OVER w AS prev_state
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, state, ts_us
+  FROM ordered WHERE prev_state IS NULL OR prev_state <> state
+)
+SELECT user_id, state,
+       ts_us AS valid_from_us,
+       COALESCE(LEAD(ts_us) OVER w2, {_SENTINEL_US}) AS valid_to_us,
+       CAST(LEAD(ts_us) OVER w2 IS NULL AS BIGINT) AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, state)
+"""
+
+
+@register("user_state_history", _SCD2_ORACLE)
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: collapse each
+    user's event stream into state-change validity intervals
+    ``[valid_from, valid_to)`` with an open-ended current row — the
+    standard lag-filter-lead gaps-and-islands plan.  Both windows
+    share the ``user_id`` partition key, so the whole query is ONE
+    hash shuffle; at 100 TB the state table partitions by user and
+    never materializes the un-collapsed stream."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    changes = ordered.filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "state")
+    lead_us = F.lead("ts_us").over(w2)
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts_us").alias("valid_from_us"),
+        F.coalesce(lead_us, F.lit(_SENTINEL_US)).alias("valid_to_us"),
+        lead_us.isNull().cast("long").alias("is_current"),
+    )

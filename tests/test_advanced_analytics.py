@@ -152,3 +152,15 @@ def test_scc_two_cycles_and_bridge(spark):
         (r.id, r.scc_id) for r in strongly_connected_components(df).collect()
     }
     assert got == {(0, 0), (1, 0), (2, 0), (10, 10), (11, 10), (12, 10)}
+
+
+def test_parity_check_even_and_odd_cycle(spark):
+    from graphdb_testing_spark.queries_analytics import _parity_check
+    from tests.conftest import edges_df
+
+    even = edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    r = _parity_check(even).collect()[0]
+    assert (r.n_reached, r.n_odd_edges, r.is_bipartite) == (4, 0, 1)
+    odd = edges_df(spark, [(0, 1), (1, 2), (2, 0)])
+    r = _parity_check(odd).collect()[0]
+    assert (r.n_odd_edges, r.is_bipartite) == (1, 0)

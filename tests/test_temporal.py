@@ -127,3 +127,31 @@ def test_range_join_interval_spanning_many_buckets(spark):
     assert got == [100, 150, 200, 250, 300, 350, 400]
     # no duplicate matches despite the interval covering ~6 buckets
     assert out.count() == out.dropDuplicates(["pid", "iid"]).count()
+
+
+def test_scd2_collapses_runs_and_marks_current(spark):
+    from graphdb_testing_spark.queries import all_queries  # noqa: F401
+    import graphdb_testing_spark.queries_temporal  # noqa: F401
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "a", 0.0, "{}"),
+        (2, "2024-01-01 01:00:00", 10, "a", 0.0, "{}"),  # same state: collapsed
+        (3, "2024-01-01 02:00:00", 10, "b", 0.0, "{}"),
+        (4, "2024-01-01 03:00:00", 10, "a", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = all_queries()["user_state_history"](spark, d).orderBy("valid_from_us")
+    hist = [(r.state, r.is_current) for r in out.collect()]
+    assert hist == [("a", 0), ("b", 0), ("a", 1)]
+    spans = out.collect()
+    # intervals chain: each valid_to equals the next valid_from
+    assert spans[0].valid_to_us == spans[1].valid_from_us
+    assert spans[1].valid_to_us == spans[2].valid_from_us
