@@ -1457,3 +1457,67 @@ def q_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges and ``is_bipartite = 1``."""
     g = datasets.part_supplier_graph(spark, sf_dir)
     return _parity_check(g.edges)
+
+
+# ---------------------------------------------------------------------------
+# Butterfly counting (bipartite 4-cycles) on the part-supplier graph
+# ---------------------------------------------------------------------------
+
+_BUTTERFLY_ORACLE = """
+WITH bip AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+pdeg AS (SELECT p, COUNT(*) AS d FROM bip GROUP BY p),
+codeg AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS c
+  FROM bip a JOIN bip b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM pdeg) AS n_wedges,
+       CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n_butterflies
+FROM codeg
+"""
+
+
+@register("butterfly_count", _BUTTERFLY_ORACLE)
+def q_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterflies (2×2 bicliques / 4-cycles) and wedges of the
+    part-supplier bipartite graph — the bipartite analog of the
+    triangle census (Wang et al., "Vertex priority based butterfly
+    counting", VLDB'19).  Wedges pivot on the part side (the side
+    with bounded degree here), co-degrees aggregate per supplier
+    pair; at 100 TB the pair join is keyed by part, so skew follows
+    max part degree — cap or salt hub parts the same way the
+    triangle kernel orients by degree.  All counts are exact
+    integers."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    # materialize the deduped bipartite edge list once — both the
+    # wedge and the co-degree branch read it, and the pair join fans
+    # out of it twice
+    bip = (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    wedges = (
+        bip.groupBy("p")
+        .agg(F.count("*").alias("d"))
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2)
+            .cast("long")
+            .alias("n_wedges")
+        )
+    )
+    a = bip.alias("a")
+    b = bip.alias("b")
+    butterflies = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2)
+            .cast("long")
+            .alias("n_butterflies")
+        )
+    )
+    return wedges.crossJoin(butterflies)

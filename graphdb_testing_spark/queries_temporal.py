@@ -374,3 +374,55 @@ def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(lead_us, F.lit(_SENTINEL_US)).alias("valid_to_us"),
         lead_us.isNull().cast("long").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       CAST((1000 * n) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS prob_milli
+FROM pairs
+"""
+
+
+@register("event_transitions", _TRANSITIONS_ORACLE)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts + probabilities between
+    consecutive event types per user — the sequence-mining building
+    block (next-event prediction, funnel discovery).  One window
+    shuffle on ``user_id``, one aggregation on the (tiny) type-pair
+    key, integer milli-probabilities so the oracle is float-free."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn("total", F.sum("n").over(wp))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("(1000 * n) div total").cast("long").alias("prob_milli"),
+        )
+    )
