@@ -1521,3 +1521,113 @@ def q_butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return wedges.crossJoin(butterflies)
+
+
+# ---------------------------------------------------------------------------
+# Maximal independent set (parallel greedy, bounded rounds)
+# ---------------------------------------------------------------------------
+
+from .operators.mis import greedy_mis, mis_oracle_sql  # noqa: E402
+
+
+@register(
+    "mis_6round",
+    oracles.with_user_edges(
+        "SELECT id, status FROM mis_result",
+        # materialize the (events self-join) edge view once — the
+        # round chain references it 2x/round and DuckDB inlines
+        # non-materialized CTEs at every use
+        extra_ctes="ue AS MATERIALIZED (SELECT src, dst FROM user_edges),\n"
+        + mis_oracle_sql("ue", rounds=6),
+    ),
+)
+def q_mis_6round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel greedy MIS by id-priority on the user graph, 6
+    unrolled rounds (= the sequential greedy MIS once converged;
+    status -1 reports any unconverged residue honestly).  Each round
+    is one semi-filtered min-aggregation plus two anti-joins on a
+    geometrically shrinking state — the Blelloch-style parallel
+    greedy schedule."""
+    g = datasets.user_graph(spark, sf_dir)
+    return greedy_mis(g.edges, rounds=6)
+
+
+# ---------------------------------------------------------------------------
+# Weisfeiler-Leman color refinement (2 rounds) — structural signatures
+# ---------------------------------------------------------------------------
+
+
+def _wl_round_spark(nbrs: DataFrame, colors: DataFrame, salt: str) -> DataFrame:
+    """One WL round: new_color(v) = H(own color # sorted multiset of
+    neighbor colors).  ``nbrs`` is the distinct symmetric edge list,
+    ``colors`` is ``(id, c)``."""
+    from .hashutil import hash_prefix
+
+    nbr_colors = (
+        nbrs.join(colors.select(F.col("id").alias("dst"), F.col("c").alias("nc")), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.array_join(
+                F.expr("transform(sort_array(collect_list(nc)), x -> cast(x as string))"),
+                ",",
+            ).alias("ms")
+        )
+    )
+    return (
+        colors.join(nbr_colors, "id")
+        .select(
+            "id",
+            hash_prefix(
+                F.concat_ws("", F.lit(salt + "|"), F.col("c").cast("string"),
+                            F.lit("#"), F.col("ms")),
+                15,
+            ).alias("c"),
+        )
+    )
+
+
+_WL_ORACLE = oracles.with_user_edges(
+    "SELECT id, degree, c1, c2 FROM wl2",
+    extra_ctes="""
+nbrs AS MATERIALIZED (SELECT DISTINCT src, dst FROM user_edges),
+c0 AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS c FROM nbrs GROUP BY src),
+wl1 AS MATERIALIZED (
+  SELECT n.src AS id, b.c AS c,
+         ('0x' || substr(md5('wl1|' || b.c::VARCHAR || '#' ||
+            string_agg(a.c::VARCHAR, ',' ORDER BY a.c)), 1, 15))::BIGINT AS c1
+  FROM nbrs n JOIN c0 a ON a.id = n.dst JOIN c0 b ON b.id = n.src
+  GROUP BY n.src, b.c
+),
+wl2 AS (
+  SELECT n.src AS id, b.c AS degree, b.c1 AS c1,
+         ('0x' || substr(md5('wl2|' || b.c1::VARCHAR || '#' ||
+            string_agg(a.c1::VARCHAR, ',' ORDER BY a.c1)), 1, 15))::BIGINT AS c2
+  FROM nbrs n JOIN wl1 a ON a.id = n.dst JOIN wl1 b ON b.id = n.src
+  GROUP BY n.src, b.c, b.c1
+)
+""",
+)
+
+
+@register("wl_refinement", _WL_ORACLE)
+def q_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of 1-WL (color refinement) over the user graph —
+    the canonical structural-equivalence signature (graph-isomorphism
+    features, GNN expressivity baseline).  Each round is one
+    edge ⋈ color join + a sorted-multiset aggregation; the multiset
+    digest is the portable 60-bit hash, so colors match the oracle
+    exactly.  At 100 TB: identical shape to one PageRank round plus a
+    per-vertex sort of neighbor colors (bounded by max degree)."""
+    g = datasets.user_graph(spark, sf_dir)
+    nbrs = g.edges.select("src", "dst").distinct().localCheckpoint()
+    c0 = nbrs.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wl1 = _wl_round_spark(nbrs, c0, "wl1")
+    wl2 = _wl_round_spark(nbrs, wl1, "wl2")
+    return (
+        c0.select("id", F.col("c").alias("degree"))
+        .join(wl1.select("id", F.col("c").alias("c1")), "id")
+        .join(wl2.select("id", F.col("c").alias("c2")), "id")
+        .select("id", "degree", "c1", "c2")
+    )

@@ -164,3 +164,31 @@ def test_parity_check_even_and_odd_cycle(spark):
     odd = edges_df(spark, [(0, 1), (1, 2), (2, 0)])
     r = _parity_check(odd).collect()[0]
     assert (r.n_odd_edges, r.is_bipartite) == (1, 0)
+
+
+def test_greedy_mis_independent_and_maximal(spark):
+    from graphdb_testing_spark.operators.mis import greedy_mis
+    from tests.conftest import edges_df
+
+    # deterministic quasi-random graph
+    pairs = sorted({(min(u, (u * 13 + 5) % 40), max(u, (u * 13 + 5) % 40))
+                    for u in range(40)
+                    if u != (u * 13 + 5) % 40})
+    e = edges_df(spark, pairs)
+    res = {r.id: r.status for r in greedy_mis(e, rounds=12).collect()}
+    assert -1 not in res.values()  # converged
+    mis = {v for v, s in res.items() if s == 1}
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    # independence
+    assert all(not (adj.get(u, set()) & mis) for u in mis)
+    # maximality: every non-MIS vertex has an MIS neighbor
+    assert all(adj.get(v, set()) & mis for v in res if v not in mis)
+    # equals the sequential greedy-by-id MIS
+    seq = set()
+    for v in sorted(adj):
+        if not (adj[v] & seq):
+            seq.add(v)
+    assert mis == seq
