@@ -1631,3 +1631,72 @@ def q_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(wl2.select("id", F.col("c").alias("c2")), "id")
         .select("id", "degree", "c1", "c2")
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-hop ego networks for sampled roots
+# ---------------------------------------------------------------------------
+
+_EGO_ORACLE = oracles.with_user_edges(
+    """
+SELECT b.root,
+       CAST(COUNT(*) AS BIGINT) AS ball_size,
+       CAST(COUNT(*) FILTER (b.dist = 1) AS BIGINT) AS n_hop1,
+       CAST(COUNT(*) FILTER (b.dist = 2) AS BIGINT) AS n_hop2,
+       CAST((SELECT COUNT(*) / 2 FROM user_edges e
+             JOIN ball x ON x.root = b.root AND x.id = e.src
+             JOIN ball y ON y.root = b.root AND y.id = e.dst)
+         AS BIGINT) AS internal_edges
+FROM ball b GROUP BY b.root
+""",
+    extra_ctes="""
+roots AS (SELECT src AS root FROM user_edges GROUP BY src ORDER BY src LIMIT 4),
+l0 AS (SELECT root, root AS id, 0 AS dist FROM roots),
+l1 AS (
+  SELECT DISTINCT f.root, e.dst AS id, 1 AS dist
+  FROM l0 f JOIN user_edges e ON e.src = f.id
+  WHERE e.dst NOT IN (SELECT id FROM l0 x WHERE x.root = f.root)
+),
+l2 AS (
+  SELECT DISTINCT f.root, e.dst AS id, 2 AS dist
+  FROM l1 f JOIN user_edges e ON e.src = f.id
+  WHERE NOT EXISTS (SELECT 1 FROM l0 x WHERE x.root = f.root AND x.id = e.dst)
+    AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.root = f.root AND x.id = e.dst)
+),
+ball AS MATERIALIZED (
+  SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l2
+)
+""",
+)
+
+
+@register("ego_networks", _EGO_ORACLE)
+def q_ego_networks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-2 ego-network summaries for the 4 smallest-id roots:
+    ball size by hop plus internal (induced) edge count — the
+    neighborhood-sampling primitive of GraphSAGE-style training and
+    the reference's per-vertex exploration loop.  Multi-root BFS runs
+    all roots in one compound-keyed frontier; the induced-edge count
+    is two semi-joins of the edge list against the ball."""
+    from .operators.bfs import multi_source_bfs
+
+    g = datasets.user_graph(spark, sf_dir)
+    e = g.edges.select("src", "dst")
+    roots = [
+        int(r.src)
+        for r in e.groupBy("src").count().orderBy("src").limit(4).collect()
+    ]
+    ball = multi_source_bfs(e, roots, max_depth=2).localCheckpoint()
+    per_hop = ball.groupBy("root").agg(
+        F.count("*").cast("long").alias("ball_size"),
+        F.sum((F.col("dist") == 1).cast("long")).alias("n_hop1"),
+        F.sum((F.col("dist") == 2).cast("long")).alias("n_hop2"),
+    )
+    inner = (
+        e.join(ball.select("root", F.col("id").alias("src")), "src")
+        .join(ball.select(F.col("root").alias("r2"), F.col("id").alias("dst")), "dst")
+        .filter(F.col("root") == F.col("r2"))
+        .groupBy("root")
+        .agg((F.count("*") / 2).cast("long").alias("internal_edges"))
+    )
+    return per_hop.join(inner, "root")

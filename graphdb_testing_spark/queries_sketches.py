@@ -49,3 +49,297 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "event_type").select(
         "event_type", "n_exact", "est_milli"
     )
+
+
+# ---------------------------------------------------------------------------
+# single-pass equi-width histogram quantiles vs exact order statistics
+# ---------------------------------------------------------------------------
+
+_NBINS = 1000
+_HISTQ_ORACLE = f"""
+WITH stats AS (
+  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+),
+bins AS (
+  SELECT e.event_type,
+         LEAST(CAST(FLOOR((e.value - s.mn) * {_NBINS}.0 / (s.mx - s.mn)) AS BIGINT),
+               {_NBINS - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events e JOIN stats s USING (event_type)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM bins
+),
+targets AS (
+  SELECT s.event_type, p.p_milli,
+         CAST(CEIL(s.n * p.p_milli / 1000.0) AS BIGINT) AS rank, s.mn, s.mx, s.n
+  FROM stats s CROSS JOIN (VALUES (500), (950), (990)) AS p(p_milli)
+),
+approx AS (
+  SELECT t.event_type, t.p_milli,
+         MIN(c.bin) AS qbin, ANY_VALUE(t.mn) AS mn, ANY_VALUE(t.mx) AS mx
+  FROM targets t JOIN cum c
+    ON c.event_type = t.event_type AND c.cum >= t.rank
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn
+  FROM events
+),
+exact AS (
+  SELECT t.event_type, t.p_milli, r.value AS exact_val
+  FROM targets t JOIN ranked r
+    ON r.event_type = t.event_type AND r.rn = t.rank
+)
+SELECT a.event_type, CAST(a.p_milli AS BIGINT) AS p_milli, a.qbin,
+       ROUND(a.mn + a.qbin * (a.mx - a.mn) / {_NBINS}.0, 6) AS approx_q,
+       ROUND(e.exact_val, 6) AS exact_q
+FROM approx a JOIN exact e USING (event_type, p_milli)
+"""
+
+
+@register("histogram_quantiles", _HISTQ_ORACLE)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a single-pass 1000-bin equi-width
+    histogram (the classic fixed-state quantile sketch: state is
+    O(bins) per key however large the input), side-by-side with the
+    exact order statistic.  Bin arithmetic is one IEEE multiply +
+    divide + floor, so the sketch — like the HLL above — is
+    bit-deterministic and hash-checkable.  At 100 TB the histogram is
+    a map-side-combining groupBy; the exact path's per-key global sort
+    is the thing the sketch exists to avoid."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count("*").cast("long").alias("n"),
+    )
+    bins = (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    * F.lit(float(_NBINS))
+                    / (F.col("mx") - F.col("mn"))
+                ).cast("long"),
+                F.lit(_NBINS - 1),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cum = bins.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("event_type").orderBy("bin"))
+    )
+    ps = F.explode(F.array(*[F.lit(p) for p in (500, 950, 990)])).alias("p_milli")
+    targets = stats.select("event_type", "mn", "mx", "n", ps).withColumn(
+        "rank", F.ceil(F.col("n") * F.col("p_milli") / F.lit(1000.0)).cast("long")
+    )
+    approx = (
+        targets.join(cum, "event_type")
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("event_type", "p_milli")
+        .agg(
+            F.min("bin").alias("qbin"),
+            F.first("mn").alias("mn"),
+            F.first("mx").alias("mx"),
+        )
+    )
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("value"))
+        .alias("rn"),
+    )
+    exact = targets.join(
+        ranked,
+        (targets.event_type == ranked.event_type) & (ranked.rn == targets.rank),
+    ).select(targets.event_type, "p_milli", F.col("value").alias("exact_val"))
+    return (
+        approx.join(exact, ["event_type", "p_milli"])
+        .select(
+            "event_type",
+            F.col("p_milli").cast("long").alias("p_milli"),
+            "qbin",
+            F.round(
+                F.col("mn") + F.col("qbin") * (F.col("mx") - F.col("mn")) / F.lit(float(_NBINS)),
+                6,
+            ).alias("approx_q"),
+            F.round("exact_val", 6).alias("exact_q"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (k=2, m=8192) with measured false positives
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 8192
+
+
+def _bloom_h(salt: str, expr: str) -> str:
+    return (
+        f"('0x' || substr(md5('{salt}|' || CAST({expr} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {_BLOOM_M}"
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH build AS (SELECT DISTINCT o_custkey AS k FROM orders),
+bits AS MATERIALIZED (
+  SELECT {_bloom_h("bloom1", "k")} AS pos FROM build
+  UNION
+  SELECT {_bloom_h("bloom2", "k")} AS pos FROM build
+),
+probe AS (
+  SELECT c_custkey AS k,
+         {_bloom_h("bloom1", "c_custkey")} AS h1,
+         {_bloom_h("bloom2", "c_custkey")} AS h2
+  FROM customer
+),
+flags AS (
+  SELECT p.k,
+         CAST(p.h1 IN (SELECT pos FROM bits)
+              AND p.h2 IN (SELECT pos FROM bits) AS BIGINT) AS maybe,
+         CAST(p.k IN (SELECT k FROM build) AS BIGINT) AS truly
+  FROM probe p
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(truly) AS BIGINT) AS n_true_members,
+       CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+       CAST(SUM(CASE WHEN maybe = 1 AND truly = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positives,
+       CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_set_bits
+FROM flags
+"""
+
+
+@register("bloom_prune_stats", _BLOOM_ORACLE)
+def q_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, measured: build a k=2/m=8192
+    filter over ``orders.o_custkey``, probe every customer, and report
+    the true-member / maybe / false-positive split plus filter
+    occupancy.  The filter here is its position-set relational form
+    (≤ m rows, broadcastable); the packed-words physical form is a
+    trivial re-encoding — what the oracle certifies is the hash/bit
+    math and the measured FP rate that makes runtime join pruning
+    (Spark's own ``spark.sql.optimizer.runtime.bloomFilter``) safe to
+    reason about."""
+    from .hashutil import hash_mod
+
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    build = orders.select(F.col("o_custkey").alias("k")).distinct()
+    bits = (
+        build.select(hash_mod("bloom1", [F.col("k")], F.lit(_BLOOM_M)).alias("pos"))
+        .unionAll(
+            build.select(hash_mod("bloom2", [F.col("k")], F.lit(_BLOOM_M)).alias("pos"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    probe = cust.select(
+        F.col("c_custkey").alias("k"),
+        hash_mod("bloom1", [F.col("c_custkey")], F.lit(_BLOOM_M)).alias("h1"),
+        hash_mod("bloom2", [F.col("c_custkey")], F.lit(_BLOOM_M)).alias("h2"),
+    )
+    b1 = bits.select(F.col("pos").alias("h1")).withColumn("f1", F.lit(1))
+    b2 = bits.select(F.col("pos").alias("h2")).withColumn("f2", F.lit(1))
+    truth = build.withColumn("t", F.lit(1))
+    flags = (
+        probe.join(F.broadcast(b1), "h1", "left")
+        .join(F.broadcast(b2), "h2", "left")
+        .join(truth, "k", "left")
+        .select(
+            (F.col("f1").isNotNull() & F.col("f2").isNotNull())
+            .cast("long")
+            .alias("maybe"),
+            F.col("t").isNotNull().cast("long").alias("truly"),
+        )
+    )
+    n_bits = bits.select(F.count("*").cast("long").alias("n_set_bits"))
+    return (
+        flags.agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.sum("truly").cast("long").alias("n_true_members"),
+            F.sum("maybe").cast("long").alias("n_maybe"),
+            F.sum(((F.col("maybe") == 1) & (F.col("truly") == 0)).cast("long"))
+            .cast("long")
+            .alias("n_false_positives"),
+        )
+        .crossJoin(n_bits)
+    )
+
+
+# ---------------------------------------------------------------------------
+# order-independent content digests (pipeline integrity checks)
+# ---------------------------------------------------------------------------
+
+_DIGEST_ORACLE = """
+WITH ev AS (
+  SELECT ('0x' || substr(md5('dg|' || event_id::VARCHAR || '|' ||
+          user_id::VARCHAR || '|' || event_type), 1, 15))::BIGINT AS h
+  FROM events
+),
+od AS (
+  SELECT ('0x' || substr(md5('dg|' || o_orderkey::VARCHAR || '|' ||
+          o_custkey::VARCHAR || '|' || o_orderstatus), 1, 15))::BIGINT AS h
+  FROM orders
+),
+li AS (
+  SELECT ('0x' || substr(md5('dg|' || l_orderkey::VARCHAR || '|' ||
+          l_linenumber::VARCHAR || '|' || l_partkey::VARCHAR || '|' ||
+          l_suppkey::VARCHAR), 1, 15))::BIGINT AS h
+  FROM lineitem
+)
+SELECT 'events' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS digest FROM ev
+UNION ALL
+SELECT 'orders', CAST(COUNT(*) AS BIGINT), CAST(bit_xor(h) AS BIGINT) FROM od
+UNION ALL
+SELECT 'lineitem', CAST(COUNT(*) AS BIGINT), CAST(bit_xor(h) AS BIGINT) FROM li
+"""
+
+
+@register("table_digests", _DIGEST_ORACLE)
+def q_table_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content digest per table: XOR of 60-bit row
+    digests over the key columns — the data-level analog of the
+    reference's ``consistency_check``.  XOR is associative/commutative
+    and width-preserving, so the digest computes in one map-side-
+    combining pass with no sort at any scale, and any single-row
+    corruption flips it.  (Key columns only: float/timestamp
+    formatting is engine-specific, integers and strings are not.)"""
+    from .hashutil import hash_prefix
+
+    def digest(df: DataFrame, name: str, cols: list[str]) -> DataFrame:
+        h = hash_prefix(
+            F.concat_ws("|", F.lit("dg"), *[F.col(c).cast("string") for c in cols]),
+            15,
+        )
+        return df.select(h.alias("h")).agg(
+            F.lit(name).alias("tbl"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("digest"),
+        )
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    od = datasets.load_table(spark, sf_dir, "orders")
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    return (
+        digest(ev, "events", ["event_id", "user_id", "event_type"])
+        .unionAll(digest(od, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"]))
+        .unionAll(
+            digest(li, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+        )
+    )
