@@ -1700,3 +1700,154 @@ def q_ego_networks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count("*") / 2).cast("long").alias("internal_edges"))
     )
     return per_hop.join(inner, "root")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (5 rounds, max-normalized) on the directed graph
+# ---------------------------------------------------------------------------
+
+
+def _hits_oracle(iters: int = 5) -> str:
+    ctes = [
+        "dverts AS MATERIALIZED (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges)",
+        "hits0 AS (SELECT id, 1e0 AS hub, 1e0 AS auth FROM dverts)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""araw{i} AS MATERIALIZED (
+  SELECT v.id, COALESCE(s.x, 0e0) AS a FROM dverts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(h.hub) AS x
+    FROM dedges e JOIN hits{p} h ON h.id = e.src GROUP BY e.dst) s
+  ON s.id = v.id)"""
+        )
+        ctes.append(
+            f"""hraw{i} AS MATERIALIZED (
+  SELECT v.id, COALESCE(s.x, 0e0) AS h FROM dverts v LEFT JOIN (
+    SELECT e.src AS id, SUM(a.a) AS x
+    FROM dedges e JOIN araw{i} a ON a.id = e.dst GROUP BY e.src) s
+  ON s.id = v.id)"""
+        )
+        ctes.append(
+            f"""hits{i} AS MATERIALIZED (
+  SELECT h.id, h.h / (SELECT MAX(h2.h) FROM hraw{i} h2) AS hub,
+         a.a / (SELECT MAX(a2.a) FROM araw{i} a2) AS auth
+  FROM hraw{i} h JOIN araw{i} a USING (id))"""
+        )
+    return oracles.with_directed_edges(
+        body=f"SELECT id, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS auth FROM hits{iters}",
+        extra_ctes=",\n".join(ctes),
+    )
+
+
+@register("hits_5iter", _hits_oracle(5))
+def q_hits_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS on the hash-oriented user graph: 5 unrolled
+    rounds of auth := Aᵀ·hub, hub := A·auth, each max-normalized
+    (max, unlike an L2 sum, is order-independent — so the only
+    cross-engine float risk is the same last-ulp SUM tolerance the
+    PageRank oracle already carries, absorbed by ROUND 6).  Per round:
+    two edge ⋈ state joins + aggregations, the PageRank shuffle shape
+    twice."""
+    dedges = datasets.directed_user_graph(spark, sf_dir).localCheckpoint()
+    verts = (
+        dedges.select(F.col("src").alias("id"))
+        .unionAll(dedges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    state = verts.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    for _ in range(5):
+        araw = (
+            verts.join(
+                dedges.join(
+                    state.select(F.col("id").alias("src"), "hub"), "src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("hub").alias("x")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("x", F.lit(0.0)).alias("a"))
+            .localCheckpoint()
+        )
+        hraw = (
+            verts.join(
+                dedges.join(araw.select(F.col("id").alias("dst"), "a"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("a").alias("x")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("x", F.lit(0.0)).alias("h"))
+            .localCheckpoint()
+        )
+        amax = araw.agg(F.max("a")).collect()[0][0]
+        hmax = hraw.agg(F.max("h")).collect()[0][0]
+        state = (
+            hraw.join(araw, "id")
+            .select(
+                "id",
+                (F.col("h") / F.lit(hmax)).alias("hub"),
+                (F.col("a") / F.lit(amax)).alias("auth"),
+            )
+            .localCheckpoint()
+        )
+    return state.select("id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality, integer-exact (alpha = 1/4, 4 rounds)
+# ---------------------------------------------------------------------------
+
+
+def _katz_oracle(iters: int = 4) -> str:
+    ctes = [
+        "kverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM user_edges)",
+        "k0 AS (SELECT id, CAST(1 AS BIGINT) AS k FROM kverts)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT v.id, CAST({4 ** i} + COALESCE(s.x, 0) AS BIGINT) AS k
+  FROM kverts v LEFT JOIN (
+    SELECT e.src AS id, SUM(p.k) AS x
+    FROM user_edges e JOIN k{i - 1} p ON p.id = e.dst GROUP BY e.src) s
+  ON s.id = v.id)"""
+        )
+    return oracles.with_user_edges(
+        body=f"SELECT id, k AS katz_num FROM k{iters}",
+        extra_ctes=",\n".join(ctes),
+    )
+
+
+@register("katz_4round", _katz_oracle(4))
+def q_katz_4round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality with α = 1/4 kept in EXACT integers: the
+    recurrence ``k_r(v) = 4^r + Σ_nbr k_{r-1}(u)`` satisfies
+    ``k_r / 4^r = Σ_{j≤r} α^j (A^j 1)(v)`` — the truncated Katz
+    series — with zero float arithmetic anywhere, so the oracle
+    equality is exact, not ROUND-absorbed.  BIGINT holds through
+    round r while Σdeg^r < 2^63 (true far beyond this corpus; at
+    web-graph scale switch the accumulator to DECIMAL(38,0) —
+    same plan)."""
+    g = datasets.user_graph(spark, sf_dir)
+    edges = g.edges.select("src", "dst").localCheckpoint()
+    verts = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    k = verts.select("id", F.lit(1).cast("long").alias("k"))
+    for i in range(1, 5):
+        k = (
+            verts.join(
+                edges.join(k.select(F.col("id").alias("dst"), "k"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("k").alias("x")),
+                "id",
+                "left",
+            )
+            .select(
+                "id",
+                (F.lit(4**i) + F.coalesce("x", F.lit(0))).cast("long").alias("k"),
+            )
+            .localCheckpoint()
+        )
+    return k.select("id", F.col("k").alias("katz_num"))

@@ -726,3 +726,74 @@ def streaming_heavy_hitters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_hll(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "hll_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of the batch HLL distinct-count sketch
+    (:mod:`functions.sketches`): per ``event_type``, state is the 64
+    register maxima, merged register-wise across micro-batches — the
+    associative merge law is exactly what makes the sketch a legal
+    streaming aggregate with O(m) state per key.
+
+    The hash/rank arithmetic runs JVM-side *before* the stateful
+    operator (``hll_rho`` is plain column math), so the pandas side
+    only does a vectorized per-register ``groupby(...).max()`` —
+    no per-row Python.  Emits ``(event_type, n_seen, est_milli)``
+    per batch; the row with the largest ``n_seen`` per key is the
+    final estimate and equals the batch sketch bit-for-bit (parity
+    test in ``test_streaming.py``).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.sketches import HLL_ALPHA, HLL_M, hll_rho
+
+    def upd(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            (regs, n_seen) = state.get
+            regs = list(regs)
+        else:
+            regs, n_seen = [0] * HLL_M, 0
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            n_seen += len(pdf)
+            for reg, mx in pdf.groupby("register")["rho"].max().items():
+                if mx > regs[int(reg)]:
+                    regs[int(reg)] = int(mx)
+        state.update((regs, n_seen))
+        s = sum(2.0 ** -r for r in regs)
+        est = HLL_ALPHA * HLL_M * HLL_M / s
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n_seen],
+                "est_milli": [int(est * 1000 // 1)],
+            }
+        )
+
+    ev = _events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    )
+    reg, rho = hll_rho(F.col("user_id"))
+    hashed = ev.select("event_type", reg.alias("register"), rho.alias("rho"))
+    out = hashed.groupBy("event_type").applyInPandasWithState(
+        upd,
+        outputStructType="event_type string, n_seen long, est_milli long",
+        stateStructType="regs array<long>, n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

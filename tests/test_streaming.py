@@ -449,3 +449,43 @@ def test_streaming_heavy_hitters_misra_gries_guarantee(spark, tmp_path):
     assert 7 in kept  # the true heavy hitter always survives
     # counter never overcounts and undercounts by at most N/(cap+1)
     assert kept[7] <= true_count and true_count - kept[7] <= 100 // 5
+
+
+def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
+    """Register-wise max across micro-batches == one-shot batch
+    sketch: the final streamed estimate equals the batch est_milli
+    bit-for-bit for every event_type."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.queries import all_queries
+    import graphdb_testing_spark.queries_sketches  # noqa: F401
+    from graphdb_testing_spark.streaming.workflow import streaming_hll
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "hll_stream"
+    stream_dir.mkdir()
+    t = pq.read_table(f"{sf}/events.parquet")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), f"{stream_dir}/part-0.parquet")
+    pq.write_table(t.slice(half), f"{stream_dir}/part-1.parquet")
+    now = time.time()
+    os.utime(f"{stream_dir}/part-0.parquet", (now - 10, now - 10))
+    os.utime(f"{stream_dir}/part-1.parquet", (now, now))
+    q = streaming_hll(
+        spark, str(stream_dir), query_name="t_hll", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "select event_type, est_milli from (select *, row_number() over"
+        " (partition by event_type order by n_seen desc) rn from t_hll)"
+        " where rn = 1"
+    ).collect()
+    got = {r.event_type: r.est_milli for r in rows}
+    batch = {
+        r.event_type: r.est_milli
+        for r in all_queries()["hll_distinct_users"](spark, sf).collect()
+    }
+    assert got == batch
