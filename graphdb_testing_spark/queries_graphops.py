@@ -671,3 +671,99 @@ def q_edge_lifetime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("lifetime_us").cast("long").alias("max_life_us"),
         F.sum("lifetime_us").cast("long").alias("total_life_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# adjacency delta-gap compression stats (WebGraph-style storage model)
+# ---------------------------------------------------------------------------
+
+_GAP_ORACLE = oracles.with_edges(
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(LENGTH(bin(gap))) AS BIGINT) AS total_gap_bits,
+       CAST(64 * COUNT(*) AS BIGINT) AS raw_bits,
+       CAST((1000 * SUM(LENGTH(bin(gap)))) // (64 * COUNT(*)) AS BIGINT)
+         AS ratio_milli
+FROM (
+  SELECT CASE WHEN lag IS NULL THEN dst + 1 ELSE dst - lag END AS gap
+  FROM (
+    SELECT src, dst, LAG(dst) OVER (PARTITION BY src ORDER BY dst) AS lag
+    FROM edges
+  )
+)
+""",
+)
+
+
+@register("adjacency_gap_stats", _GAP_ORACLE)
+def q_adjacency_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-gap encoding cost of the sorted adjacency lists
+    (Boldi/Vigna WebGraph model): per vertex, neighbors are stored as
+    first-id+1 then successive gaps; the bit cost of a gap is
+    ``len(bin(gap))``.  Reports total gap bits vs 64-bit raw and the
+    milli compression ratio — the storage-design companion to the CSR
+    export (S13).  One per-src window + one aggregation; ``bin()``
+    exists verbatim on both engines so the bit math is portable."""
+    g = datasets.part_supplier_graph(spark, sf_dir)
+    w = Window.partitionBy("src").orderBy("dst")
+    gaps = g.edges.select(
+        "src", "dst", F.lag("dst").over(w).alias("lg")
+    ).select(
+        F.when(F.col("lg").isNull(), F.col("dst") + 1)
+        .otherwise(F.col("dst") - F.col("lg"))
+        .alias("gap")
+    )
+    return gaps.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(F.length(F.bin("gap"))).cast("long").alias("total_gap_bits"),
+        (F.lit(64) * F.count("*")).cast("long").alias("raw_bits"),
+    ).select(
+        "n_edges",
+        "total_gap_bits",
+        "raw_bits",
+        F.expr("(1000 * total_gap_bits) div raw_bits").cast("long").alias("ratio_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy join: customer names within edit distance 1
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH blocked AS (
+  SELECT c_custkey AS k, c_name AS name, substr(c_name, 1, 13) AS blk
+  FROM customer
+)
+SELECT a.k AS a_key, b.k AS b_key,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.k < b.k
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
+@register("fuzzy_name_pairs", _FUZZY_ORACLE)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: candidate pairs share a 13-char name
+    prefix block, survivors are within Levenshtein distance 1 — the
+    entity-resolution join shape (block → verify) that never goes
+    all-pairs.  ``levenshtein`` is the same unit-cost DP on both
+    engines, so distances are exact integers.  At 100 TB the block key
+    fans out the shuffle; skewed blocks salt like any hot join key."""
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    blocked = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.substring("c_name", 1, 13).alias("blk"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.k") < F.col("b.k")))
+        .select(
+            F.col("a.k").alias("a_key"),
+            F.col("b.k").alias("b_key"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )

@@ -426,3 +426,154 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * n) div total").cast("long").alias("prob_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal motifs: time-respecting 2-paths within a delta window
+# ---------------------------------------------------------------------------
+
+_DELTA_US = 30 * 60 * 1_000_000  # 30 minutes
+
+_T2P_ORACLE = f"""
+WITH inter AS (
+  SELECT a.user_id AS src, b.user_id AS dst, epoch_us(b.ts) AS t
+  FROM events a JOIN events b
+    ON a.event_type = b.event_type
+   AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+   AND a.user_id <> b.user_id
+   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+),
+paths AS (
+  SELECT i1.dst AS mid
+  FROM inter i1 JOIN inter i2
+    ON i2.src = i1.dst
+   AND i2.t > i1.t
+   AND i2.t - i1.t <= {_DELTA_US}
+)
+SELECT mid AS user_id, CAST(COUNT(*) AS BIGINT) AS n_2paths
+FROM paths GROUP BY mid
+"""
+
+
+@register("temporal_2paths", _T2P_ORACLE)
+def q_temporal_2paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting 2-path motif count per middle vertex: u→v
+    followed by v→w within 30 minutes (Paranjape/Benson/Leskovec,
+    "Motifs in temporal networks", WSDM'17 — the δ-temporal M_2
+    family).  Interactions are time-ordered co-occurrences; the motif
+    join is vertex-keyed with a range predicate — at 100 TB, bucket
+    the time axis (operators/temporal.range_join) so the inequality
+    never degrades to a nested-loop join; at this fixture's density
+    the equi-key join carries it."""
+    ev = datasets.load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("ts"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    inter = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.hour") == F.col("b.hour"))
+        & (F.col("a.user_id") != F.col("b.user_id"))
+        & (
+            (F.col("a.ts") < F.col("b.ts"))
+            | ((F.col("a.ts") == F.col("b.ts")) & (F.col("a.event_id") < F.col("b.event_id")))
+        ),
+    ).select(
+        F.col("a.user_id").alias("src"),
+        F.col("b.user_id").alias("dst"),
+        F.col("b.t_us").alias("t"),
+    ).localCheckpoint()
+    i1 = inter.alias("i1")
+    i2 = inter.alias("i2")
+    return (
+        i1.join(
+            i2,
+            (F.col("i2.src") == F.col("i1.dst"))
+            & (F.col("i2.t") > F.col("i1.t"))
+            & (F.col("i2.t") - F.col("i1.t") <= F.lit(_DELTA_US)),
+        )
+        .groupBy(F.col("i1.dst").alias("user_id"))
+        .agg(F.count("*").cast("long").alias("n_2paths"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pairs: event-type co-occurrence support + lift
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d, event_type
+  FROM events
+),
+nb AS (SELECT CAST(COUNT(DISTINCT (user_id, d)) AS BIGINT) AS n FROM baskets),
+supp AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS s
+  FROM baskets GROUP BY event_type
+),
+pair_supp AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.d = b.d AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.support,
+       CAST((1000 * p.support * nb.n) // (sa.s * sb.s) AS BIGINT) AS lift_milli
+FROM pair_supp p
+JOIN supp sa ON sa.event_type = p.type_a
+JOIN supp sb ON sb.event_type = p.type_b
+CROSS JOIN nb
+"""
+
+
+@register("frequent_type_pairs", _BASKET_ORACLE)
+def q_frequent_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule co-occurrence: baskets = (user, day) sets of
+    event types; per pair, support and integer milli-lift
+    ``1000·supp(ab)·N / (supp(a)·supp(b))`` — the Apriori first level
+    re-expressed as two hash aggregations and a basket-keyed
+    self-join.  Supports/lifts are exact integers, so the oracle is
+    float-free; at 100 TB the pair space is |types|² (tiny) while the
+    shuffles stay keyed on baskets."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d"), "event_type"
+    ).distinct().localCheckpoint()
+    nb = baskets.select("user_id", "d").distinct().count()
+    supp = baskets.groupBy("event_type").agg(F.count("*").cast("long").alias("s"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair_supp = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+    )
+    sa = supp.select(F.col("event_type").alias("type_a"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("event_type").alias("type_b"), F.col("s").alias("sb"))
+    return (
+        pair_supp.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "support",
+            F.expr(f"(1000 * support * {nb}) div (sa * sb)")
+            .cast("long")
+            .alias("lift_milli"),
+        )
+    )
