@@ -849,3 +849,95 @@ def q_kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: 8x8 integer-exact PQ codes over embeddings
+# ---------------------------------------------------------------------------
+
+_PQ_SUBS = 8  # subspaces
+_PQ_DIM = 8  # dims per subspace
+_PQ_K = 16  # codewords per subspace (deterministic: first 16 vectors)
+
+_PQ_ORACLE = f"""
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS iv
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, s, iv[s * {_PQ_DIM} + 1 : s * {_PQ_DIM} + {_PQ_DIM}] AS sub
+  FROM iv, UNNEST(generate_series(0, {_PQ_SUBS - 1})) t(s)
+),
+cb AS (SELECT vec_id AS cid, s, sub AS csub FROM subs WHERE vec_id < {_PQ_K}),
+dists AS (
+  SELECT d.vec_id, d.s, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, {_PQ_DIM}),
+           i -> (d.sub[i] - c.csub[i]) * (d.sub[i] - c.csub[i]))) AS BIGINT)
+           AS dist
+  FROM subs d JOIN cb c USING (s)
+),
+ranked AS (
+  SELECT vec_id, s, cid, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+  FROM dists
+)
+SELECT vec_id, CAST(s AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS code, dist
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("pq_codes", _PQ_ORACLE)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., "Product
+    quantization for nearest neighbor search", TPAMI'11): embeddings
+    are scaled ×1024 and floored to BIGINT, split into 8 subspaces of
+    8 dims, and each sub-vector is assigned its nearest of 16
+    deterministic codewords (the first 16 vectors' sub-vectors —
+    codebook *training* is k-means, already covered by
+    ``kmeans_assign``; assignment is the part that runs over the full
+    100 TB corpus).  Integerizing first makes every distance an exact
+    BIGINT, so argmin ties and the oracle comparison are exact, and
+    the distance kernel is ``zip_with`` + ``aggregate`` column math —
+    no UDF.  The codebook (128 rows) broadcasts; the scan is one pass."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1024) as bigint))"
+        ).alias("iv"),
+    )
+    s_col = F.explode(
+        F.array(*[F.lit(s) for s in range(_PQ_SUBS)])
+    ).alias("s")
+    subs = iv.select("vec_id", "iv", s_col).select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(iv, s * {_PQ_DIM} + 1, {_PQ_DIM})").alias("sub"),
+    )
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "s", F.col("sub").alias("csub")
+    )
+    dists = subs.join(F.broadcast(cb), "s").select(
+        "vec_id",
+        "s",
+        "cid",
+        F.expr(
+            "aggregate(zip_with(sub, csub, (a, b) -> (a - b) * (a - b)),"
+            " cast(0 as bigint), (acc, x) -> acc + x)"
+        ).alias("dist"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id", "s").orderBy("dist", "cid")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("s").cast("long").alias("subspace"),
+            F.col("cid").cast("long").alias("code"),
+            "dist",
+        )
+    )
