@@ -941,3 +941,130 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance top-k (the ANN serving path over PQ codes)
+# ---------------------------------------------------------------------------
+
+_PQ_NQ = 5  # query vectors (vec_ids 16..20 — outside the codebook)
+_PQ_TOPK = 10
+
+_PQ_ADC_ORACLE = f"""
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS iv
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, s, iv[s * {_PQ_DIM} + 1 : s * {_PQ_DIM} + {_PQ_DIM}] AS sub
+  FROM iv, UNNEST(generate_series(0, {_PQ_SUBS - 1})) t(s)
+),
+cb AS (SELECT vec_id AS cid, s, sub AS csub FROM subs WHERE vec_id < {_PQ_K}),
+dists AS (
+  SELECT d.vec_id, d.s, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, {_PQ_DIM}),
+           i -> (d.sub[i] - c.csub[i]) * (d.sub[i] - c.csub[i]))) AS BIGINT)
+           AS dist
+  FROM subs d JOIN cb c USING (s)
+),
+codes AS (
+  SELECT vec_id, s, cid AS code FROM (
+    SELECT vec_id, s, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+    FROM dists)
+  WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS q_id, s, sub AS qsub FROM subs
+  WHERE vec_id >= {_PQ_K} AND vec_id < {_PQ_K + _PQ_NQ}
+),
+lut AS (
+  SELECT q.q_id, q.s, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, {_PQ_DIM}),
+           i -> (q.qsub[i] - c.csub[i]) * (q.qsub[i] - c.csub[i]))) AS BIGINT)
+           AS d
+  FROM queries q JOIN cb c USING (s)
+),
+adc AS (
+  SELECT l.q_id, c.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+  FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.code
+  WHERE c.vec_id NOT IN (SELECT q_id FROM queries)
+  GROUP BY 1, 2
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_dist
+FROM (
+  SELECT q_id, vec_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+  FROM adc)
+WHERE rank <= {_PQ_TOPK}
+"""
+
+
+@register("pq_adc_topk", _PQ_ADC_ORACLE)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric distance computation (ADC): each query builds an
+    8×16 lookup table of exact integer sub-distances to the codebook,
+    then every document's distance is Σ LUT[s, code(d,s)] — ONE
+    equi-join of the (vec_id, subspace, code) table against a
+    broadcast LUT plus a sum, never touching raw vectors at serving
+    time.  This is why PQ wins at 100 TB: the scan is over 8-byte
+    codes, not 256-byte vectors.  Top-10 per query by (dist, id) —
+    all-integer, exact oracle."""
+    from pyspark.sql import Window
+
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1024) as bigint))"
+        ).alias("iv"),
+    )
+    s_col = F.explode(F.array(*[F.lit(s) for s in range(_PQ_SUBS)])).alias("s")
+    subs = iv.select("vec_id", "iv", s_col).select(
+        "vec_id", "s", F.expr(f"slice(iv, s * {_PQ_DIM} + 1, {_PQ_DIM})").alias("sub")
+    ).localCheckpoint()
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "s", F.col("sub").alias("csub")
+    )
+    sqdist = (
+        "aggregate(zip_with({a}, {b}, (a, b) -> (a - b) * (a - b)),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    dists = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "cid",
+        F.expr(sqdist.format(a="sub", b="csub")).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("dist", "cid")
+    codes = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("cid").alias("code"))
+    )
+    queries = subs.filter(
+        (F.col("vec_id") >= _PQ_K) & (F.col("vec_id") < _PQ_K + _PQ_NQ)
+    ).select(F.col("vec_id").alias("q_id"), "s", F.col("sub").alias("qsub"))
+    lut = queries.join(F.broadcast(cb), "s").select(
+        "q_id",
+        F.col("s").alias("ls"),
+        F.col("cid").alias("lcid"),
+        F.expr(sqdist.format(a="qsub", b="csub")).alias("d"),
+    )
+    adc = (
+        codes.filter(
+            (F.col("vec_id") < _PQ_K) | (F.col("vec_id") >= _PQ_K + _PQ_NQ)
+        )
+        .join(
+            F.broadcast(lut),
+            (F.col("s") == F.col("ls")) & (F.col("code") == F.col("lcid")),
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").cast("long").alias("adc_dist"))
+    )
+    wq = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "adc_dist")
+    )
