@@ -1068,3 +1068,70 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PQ_TOPK)
         .select("q_id", F.col("rank").cast("long").alias("rank"), "vec_id", "adc_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of exact and IVF ANN rankings
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    from .queries import all_oracles
+
+    o = all_oracles()
+    return f"""
+WITH exact_r AS (SELECT * FROM ({o["ann_cosine_topk"]})),
+ivf_r AS (SELECT * FROM ({o["ivf_ann_topk"]})),
+u AS (
+  SELECT query_id, vec_id, rank FROM exact_r
+  UNION ALL
+  SELECT query_id, vec_id, rank FROM ivf_r
+),
+sc AS (
+  SELECT query_id, vec_id,
+         CAST(FLOOR(1e6 * SUM(1e0 / ({_RRF_K} + rank))) AS BIGINT) AS rrf_micro
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, rrf_micro
+FROM (
+  SELECT query_id, vec_id, rrf_micro,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf_micro DESC, vec_id) AS rank
+  FROM sc)
+WHERE rank <= 10
+"""
+
+
+@register("rrf_fusion", _rrf_oracle())
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09) of
+    the exact-cosine and IVF ANN rankings: ``Σ 1/(60+rank)`` over the
+    systems that returned the item, re-ranked — the standard hybrid-
+    retrieval combiner.  Both input rankings are tiny per-query
+    relations; the fuse is one union + aggregation keyed on
+    (query, item).  Scores are floored micro-units of a ≤2-term IEEE
+    sum — deterministic on both engines."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact_r = simsearch.cosine_topk(emb, queries, k=10).select(
+        "query_id", "vec_id", "rank"
+    )
+    ivf_r = simsearch.ivf_topk(
+        emb, queries, k=10, bucket_dims=8, multiprobe=True
+    ).select("query_id", "vec_id", "rank")
+    u = exact_r.unionAll(ivf_r)
+    sc = u.groupBy("query_id", "vec_id").agg(
+        F.floor(F.lit(1e6) * F.sum(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank"))))
+        .cast("long")
+        .alias("rrf_micro")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), "vec_id")
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "rrf_micro")
+    )

@@ -641,3 +641,50 @@ def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("z_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exponential recency decay, exact in integers (2^-age_days weights)
+# ---------------------------------------------------------------------------
+
+_RECENCY_ORACLE = """
+WITH ref AS (SELECT MAX(epoch_us(ts)) AS r FROM events),
+aged AS (
+  SELECT user_id,
+         (ref.r - epoch_us(ts)) // 86400000000 AS age_days
+  FROM events CROSS JOIN ref
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN age_days <= 40
+                     THEN (1::BIGINT << CAST(40 - age_days AS INTEGER))
+                     ELSE 0 END) AS BIGINT) AS recency_num
+FROM aged GROUP BY user_id
+"""
+
+
+@register("recency_scores", _RECENCY_ORACLE)
+def q_recency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially decayed activity score per user:
+    ``Σ 2^-age_days``, kept EXACT by scaling to the integer
+    ``Σ 2^(40-age)`` (the score is ``recency_num / 2^40``).  Decay
+    aggregations are how feature stores summarize unbounded histories
+    in one pass; the dyadic base makes the distributed sum
+    order-independent and the oracle float-free.  One scalar
+    reference (max ts) + one map-side-combining groupBy."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.unix_micros("ts")).alias("r"))
+    aged = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        ((F.col("r") - F.unix_micros("ts")) / F.lit(86400000000)).cast("long").alias("age_days"),
+    )
+    return aged.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("age_days") <= 40,
+                F.expr("shiftleft(cast(1 as bigint), cast(40 - age_days as int))"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("recency_num"),
+    )
