@@ -1851,3 +1851,144 @@ def q_katz_4round(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return k.select("id", F.col("k").alias("katz_num"))
+
+
+# ---------------------------------------------------------------------------
+# Local clustering: PPR sweep cut (Andersen–Chung–Lang)
+# ---------------------------------------------------------------------------
+
+_SWEEP_K = 30
+
+
+def _sweep_oracle(iters: int = 5) -> str:
+    ctes = [
+        "ue AS MATERIALIZED (SELECT src, dst FROM user_edges)",
+        "deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM ue GROUP BY src)",
+        "seed AS (SELECT MIN(id) AS s FROM deg)",
+        """p0 AS (
+  SELECT d.id, d.degree,
+         CASE WHEN d.id = (SELECT s FROM seed) THEN 1e0 ELSE 0e0 END AS pr
+  FROM deg d)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT d.id, d.degree,
+         CASE WHEN d.id = (SELECT s FROM seed) THEN 0.15e0 ELSE 0e0 END
+           + 0.85e0 * COALESCE(m.mass, 0e0) AS pr
+  FROM deg d LEFT JOIN (
+    SELECT e.src AS id, SUM(p.pr / p.degree) AS mass
+    FROM ue e JOIN p{i - 1} p ON e.dst = p.id GROUP BY e.src
+  ) m ON d.id = m.id)"""
+        )
+    ctes.append(
+        f"""ranked AS MATERIALIZED (
+  SELECT id, degree,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(FLOOR(1e9 * pr / degree) AS BIGINT) DESC, id) AS rnk
+  FROM p{iters})"""
+    )
+    ctes.append(
+        """epairs AS MATERIALIZED (
+  SELECT LEAST(a.rnk, b.rnk) AS rmin, GREATEST(a.rnk, b.rnk) AS rmax
+  FROM ue e JOIN ranked a ON a.id = e.src JOIN ranked b ON b.id = e.dst
+  WHERE e.src < e.dst)"""
+    )
+    ctes.append(
+        f"""ks AS (
+  SELECT rnk AS k, id, degree,
+         SUM(degree) OVER (ORDER BY rnk) AS vol
+  FROM ranked WHERE rnk <= {_SWEEP_K})"""
+    )
+    ctes.append(
+        """cuts AS (
+  SELECT k.k, CAST(COALESCE(SUM(
+           CASE WHEN p.rmin <= k.k AND p.rmax > k.k THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS cut
+  FROM ks k CROSS JOIN epairs p GROUP BY k.k)"""
+    )
+    body = """
+SELECT k.k AS rank, k.id, CAST(k.vol AS BIGINT) AS vol, c.cut,
+       CASE WHEN LEAST(k.vol, (SELECT SUM(degree) FROM deg) - k.vol) > 0
+            THEN CAST((1000 * c.cut) //
+                 LEAST(k.vol, (SELECT SUM(degree) FROM deg) - k.vol) AS BIGINT)
+            ELSE -1 END AS cond_milli
+FROM ks k JOIN cuts c ON c.k = k.k
+"""
+    return oracles.with_user_edges(body, extra_ctes=",\n".join(ctes))
+
+
+@register("ppr_sweep_cut", _sweep_oracle(5))
+def q_ppr_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Andersen–Chung–Lang local clustering: rank vertices by
+    degree-normalized personalized-PageRank from the min-id seed,
+    then sweep the first 30 prefixes reporting cut, volume, and
+    integer milli-conductance.  Cut counting is a containment join of
+    the 30 prefix rows (broadcast) against per-edge rank intervals —
+    exact integers; at larger sweep widths switch to the
+    difference-array prefix-sum form (same relations, no cross).
+    The global rank window is over one small PPR-support vector; at
+    100 TB rank via range partitioning (physmap idiom)."""
+    from pyspark.sql import Window
+
+    from .operators.pagerank import personalized_pagerank
+
+    g = datasets.user_graph(spark, sf_dir)
+    edges = g.edges.select("src", "dst").localCheckpoint()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    seed = int(deg.agg(F.min("id")).collect()[0][0])
+    pr = personalized_pagerank(g.edges, [seed], num_iter=5)
+    scored = pr.join(deg, "id").select(
+        "id",
+        "degree",
+        F.floor(F.lit(1e9) * F.col("pr") / F.col("degree")).cast("long").alias("sq"),
+    )
+    wr = Window.orderBy(F.desc("sq"), "id")
+    ranked = scored.select(
+        "id", "degree", F.row_number().over(wr).alias("rnk")
+    ).localCheckpoint()
+    ra = ranked.select(F.col("id").alias("src"), F.col("rnk").alias("ra"))
+    rb = ranked.select(F.col("id").alias("dst"), F.col("rnk").alias("rb"))
+    epairs = (
+        edges.filter(F.col("src") < F.col("dst"))
+        .join(ra, "src")
+        .join(rb, "dst")
+        .select(
+            F.least("ra", "rb").alias("rmin"), F.greatest("ra", "rb").alias("rmax")
+        )
+    )
+    wv = Window.orderBy("rnk")
+    ks = (
+        ranked.filter(F.col("rnk") <= _SWEEP_K)
+        .select("rnk", "id", "degree")
+        .withColumn("vol", F.sum("degree").over(wv))
+        .withColumnRenamed("rnk", "k")
+    )
+    cuts = (
+        epairs.join(
+            F.broadcast(ks.select("k")),
+            (F.col("rmin") <= F.col("k")) & (F.col("rmax") > F.col("k")),
+        )
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("cut"))
+    )
+    total_vol = deg.agg(F.sum("degree").alias("tv"))
+    return (
+        ks.join(cuts, "k", "left")
+        .crossJoin(F.broadcast(total_vol))
+        .select(
+            F.col("k").cast("long").alias("rank"),
+            "id",
+            F.col("vol").cast("long").alias("vol"),
+            F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
+            F.when(
+                F.least(F.col("vol"), F.col("tv") - F.col("vol")) > 0,
+                F.expr("(1000 * coalesce(cut, 0)) div least(vol, tv - vol)"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("cond_milli"),
+        )
+    )
