@@ -688,3 +688,110 @@ def q_recency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recency_num"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7-shaped volume shipping between nation pairs
+# ---------------------------------------------------------------------------
+
+_VOLUME_ORACLE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1e0 - l.l_discount)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE sn.n_nationkey <> cn.n_nationkey
+  AND sn.n_nationkey < 5 AND cn.n_nationkey < 5
+GROUP BY 1, 2, 3
+"""
+
+
+@register("volume_shipping", _VOLUME_ORACLE)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation revenue by (supplier nation,
+    customer nation, ship year) for a nation subset.  The fact table
+    joins two independent dimension chains — Catalyst broadcasts all
+    four dims, so the only big shuffle is the final group-by; money
+    stays DECIMAL until the end."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    od = datasets.load_table(spark, sf_dir, "orders")
+    cu = datasets.load_table(spark, sf_dir, "customer")
+    su = datasets.load_table(spark, sf_dir, "supplier")
+    na = datasets.load_table(spark, sf_dir, "nation")
+    cn = na.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("c_nk") < 5)
+    sn = na.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("s_nk") < 5)
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(cn), cu.c_nationkey == F.col("c_nk"))
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(sn), su.s_nationkey == F.col("s_nk"))
+        .filter(F.col("s_nk") != F.col("c_nk"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-shaped promotion revenue share per month
+# ---------------------------------------------------------------------------
+
+_PROMO_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS y,
+       CAST(EXTRACT(MONTH FROM l.l_shipdate) AS BIGINT) AS m,
+       CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(l.l_extendedprice * (1e0 - l.l_discount)
+                          AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+         AS promo_revenue,
+       CAST(SUM(CAST(l.l_extendedprice * (1e0 - l.l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1, 2
+"""
+
+
+@register("promo_revenue_share", _PROMO_ORACLE)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue vs total per ship month.
+    One broadcast of the part dim; conditional aggregation in the
+    same pass as the total (no second scan); exact DECIMAL money."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    pa = datasets.load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type"
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("y"),
+            F.month("l_shipdate").cast("long").alias("m"),
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
