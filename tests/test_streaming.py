@@ -489,3 +489,35 @@ def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
         for r in all_queries()["hll_distinct_users"](spark, sf).collect()
     }
     assert got == batch
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Exactly-once across restarts: a second run with the same
+    checkpointLocation must skip the already-committed file and apply
+    only the new one — final edges equal one-shot apply of all
+    actions (double-applying part 1 would double the weights)."""
+    import pyspark.sql.functions as SF
+
+    from graphdb_testing_spark.streaming.workflow import run_structured_stream
+
+    base = _edges(spark, [(1, 2, 5), (2, 1, 5)])
+    acts_dir = tmp_path / "acts"
+    acts_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    a1 = _actions(spark, [(0, 1, 2, 1)])
+    a1.coalesce(1).write.parquet(str(acts_dir / "batch1"))
+    mid = run_structured_stream(
+        spark, str(acts_dir / "*"), base, checkpoint_dir=ckpt
+    )
+    assert {(r.src, r.dst): r.wgt for r in mid.collect()} == {
+        (1, 2): 6,
+        (2, 1): 6,
+    }
+    a2 = _actions(spark, [(1, 1, 2, 1), (2, 3, 4, 1)])
+    a2.coalesce(1).write.parquet(str(acts_dir / "batch2"))
+    final = run_structured_stream(
+        spark, str(acts_dir / "*"), mid, checkpoint_dir=ckpt
+    )
+    got = {(r.src, r.dst): r.wgt for r in final.collect()}
+    # weight 7, not 8: batch1's +1 must NOT be re-applied on restart
+    assert got == {(1, 2): 7, (2, 1): 7, (3, 4): 1, (4, 3): 1}
