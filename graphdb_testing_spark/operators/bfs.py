@@ -165,3 +165,39 @@ def multi_source_bfs(
             dist = dist.localCheckpoint()
         frontier = nxt
     return dist
+
+
+def widest_path(
+    edges: DataFrame,
+    source: int,
+    rounds: int = 6,
+    inf: int = 1 << 60,
+) -> DataFrame:
+    """``(id, cap)`` — bounded-round max-bottleneck (widest) path from
+    ``source``: ``cap(v) = max over paths of the minimum edge weight``.
+
+    The (max, min) semiring twin of Bellman-Ford SSSP — same plan per
+    round (one join + one aggregate), opposite monotonicity; ``cap``
+    only ever increases, so ``rounds ≥ diameter`` reaches the exact
+    fixpoint.  Capacity planning / max-flow-lite over co-occurrence
+    weights."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", "wgt")
+    e = e.coalesce(iter_partitions(edges.count()))
+    cap = spark.createDataFrame(
+        [(int(source), int(inf))], "id long, cap long"
+    ).localCheckpoint()
+    reached = 1
+    for _ in range(rounds):
+        relaxed = e.join(state_hint(cap, reached), e.src == F.col("id")).select(
+            F.col("dst").alias("id"),
+            F.least(F.col("cap"), F.col("wgt")).alias("cap"),
+        )
+        cap = (
+            cap.unionAll(relaxed)
+            .groupBy("id")
+            .agg(F.max("cap").alias("cap"))
+            .localCheckpoint()
+        )
+        reached = cap.count()
+    return cap

@@ -1992,3 +1992,157 @@ def q_ppr_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cond_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Widest (max-bottleneck) path — the (max, min) semiring SSSP twin
+# ---------------------------------------------------------------------------
+
+_WIDEST_INF = 1 << 60
+
+
+def _widest_oracle(rounds: int = 6) -> str:
+    ctes = [
+        "ue AS MATERIALIZED (SELECT src, dst, wgt FROM user_edges)",
+        f"w0 AS (SELECT (SELECT MIN(src) FROM ue) AS id, CAST({_WIDEST_INF} AS BIGINT) AS cap)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT id, CAST(MAX(cap) AS BIGINT) AS cap FROM (
+    SELECT id, cap FROM w{i - 1}
+    UNION ALL
+    SELECT e.dst AS id, LEAST(w.cap, e.wgt) AS cap
+    FROM ue e JOIN w{i - 1} w ON w.id = e.src
+  ) GROUP BY id)"""
+        )
+    return oracles.with_user_edges(
+        body=f"SELECT id, cap FROM w{rounds}",
+        extra_ctes=",\n".join(ctes),
+    )
+
+
+@register("widest_path_6round", _widest_oracle(6))
+def q_widest_path_6round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-bottleneck capacities from the min-id vertex over
+    co-occurrence weights, 6 unrolled rounds (≥ the fixture's
+    diameter) — :func:`operators.bfs.widest_path`."""
+    from .operators.bfs import widest_path
+
+    g = datasets.user_graph(spark, sf_dir)
+    source = int(g.edges.agg(F.min("src")).collect()[0][0])
+    return widest_path(g.edges, source, rounds=6, inf=_WIDEST_INF)
+
+
+# ---------------------------------------------------------------------------
+# Percolation robustness: components under deterministic edge dropout
+# ---------------------------------------------------------------------------
+
+
+def _robust_level_sql(denom: int) -> str:
+    h = (
+        "('0x' || substr(md5('rob|' || u::VARCHAR || '|' || v::VARCHAR),"
+        " 1, 8))::BIGINT"
+    )
+    return f"""
+kept{denom} AS MATERIALIZED (
+  SELECT u, v FROM upairs_d WHERE {h} % {denom} = 0
+),
+ke{denom} AS (
+  SELECT u AS src, v AS dst FROM kept{denom}
+  UNION ALL SELECT v, u FROM kept{denom}
+),
+reach{denom}(id, label) AS (
+  SELECT src, src FROM ke{denom}
+  UNION
+  SELECT e.dst, r.label FROM ke{denom} e JOIN reach{denom} r ON e.src = r.id
+),
+lab{denom} AS (SELECT id, MIN(label) AS label FROM reach{denom} GROUP BY id),
+sizes{denom} AS (SELECT label, COUNT(*) AS c FROM lab{denom} GROUP BY label),
+row{denom} AS (
+  SELECT CAST({denom} AS BIGINT) AS inv_p,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM kept{denom}) AS n_edges,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lab{denom}) AS n_connected,
+         CAST((SELECT COUNT(*) FROM sizes{denom})
+              + (SELECT COUNT(*) FROM verts_d)
+              - (SELECT COUNT(*) FROM lab{denom}) AS BIGINT) AS n_components,
+         (SELECT CAST(COALESCE(MAX(c), 1) AS BIGINT) FROM sizes{denom}) AS giant_size
+)"""
+
+
+_ROBUST_ORACLE = (
+    "WITH RECURSIVE upairs_d AS MATERIALIZED ("
+    "  SELECT DISTINCT a.user_id AS u, b.user_id AS v"
+    "  FROM events a JOIN events b"
+    "    ON a.event_type = b.event_type"
+    "   AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)"
+    "   AND a.user_id < b.user_id"
+    "),\n"
+    # explicit DISTINCT over UNION ALL: inside WITH RECURSIVE, DuckDB
+    # treats a bare two-branch UNION CTE as a recursive candidate and
+    # loses the dedup
+    "verts_d AS (SELECT DISTINCT id FROM (SELECT u AS id FROM upairs_d"
+    " UNION ALL SELECT v FROM upairs_d)),\n"
+    + _robust_level_sql(2).strip().lstrip(",")
+    + ",\n"
+    + _robust_level_sql(4).strip()
+    + "\nSELECT * FROM row2 UNION ALL SELECT * FROM row4"
+)
+
+
+@register("robustness_curve", _ROBUST_ORACLE)
+def q_robustness_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond-percolation robustness: keep each undirected edge with
+    probability 1/2 then 1/4 (deterministic hash draw), and report
+    surviving edges, component count (isolated vertices are
+    singletons), and giant-component size per level — the resilience
+    curve infra teams use for partition/failure analysis.  Spark side
+    reuses the CC kernel per level over the hash-filtered edge list;
+    the vertex universe stays fixed so levels are comparable."""
+    from .hashutil import hash_mod
+    from .operators.components import connected_components
+
+    ev = datasets.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nv = (
+        pairs.select(F.col("u").alias("id"))
+        .unionAll(pairs.select(F.col("v").alias("id")))
+        .distinct()
+        .count()
+    )
+    rows = []
+    for denom in (2, 4):
+        kept = pairs.filter(
+            hash_mod("rob", [F.col("u"), F.col("v")], F.lit(denom)) == 0
+        ).localCheckpoint()
+        n_edges = kept.count()
+        edges = kept.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            kept.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        if n_edges:
+            labels = connected_components(edges)
+            n_connected = labels.count()
+            sizes = labels.groupBy("label").count()
+            n_comp = sizes.count() + nv - n_connected
+            giant = sizes.agg(F.max("count")).collect()[0][0]
+        else:
+            n_connected, n_comp, giant = 0, nv, 1
+        rows.append((denom, n_edges, n_connected, n_comp, int(giant)))
+    return pairs.sparkSession.createDataFrame(
+        rows, "inv_p long, n_edges long, n_connected long,"
+        " n_components long, giant_size long"
+    )

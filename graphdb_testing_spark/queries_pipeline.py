@@ -1135,3 +1135,75 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id", "rrf_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means UPDATE step, made oracle-exact by integerizing first
+# ---------------------------------------------------------------------------
+
+_KMU_ORACLE = """
+WITH iv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS iv,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cluster_id, v AS c FROM iv ORDER BY vec_id LIMIT 8
+),
+scored AS (
+  SELECT b.vec_id, c.cluster_id,
+         ROUND(SQRT(list_sum(list_transform(generate_series(1, 64),
+           i -> (b.v[i] - c.c[i]) * (b.v[i] - c.c[i])))), 6) AS dist
+  FROM iv b CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+    FROM scored)
+  WHERE rn = 1
+)
+SELECT a.cluster_id, CAST(t.i AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((1000 * SUM(b.iv[t.i])) // COUNT(*) AS BIGINT) AS centroid_milli
+FROM assign a JOIN iv b USING (vec_id), UNNEST(generate_series(1, 64)) t(i)
+GROUP BY a.cluster_id, t.i
+"""
+
+
+@register("kmeans_update", _KMU_ORACLE)
+def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lloyd UPDATE step (new centroids), exactly checkable: the
+    float mean is partition-order-dependent, so the update sums
+    1024-scaled integerized coordinates (exact BIGINT, associative)
+    and emits ``(1000·Σ) // n`` per (cluster, dim).  With assignment
+    (``kmeans_assign``) this closes the full distributed k-means
+    loop: broadcast centroids → assign → map-side-combining per-
+    (cluster, dim) integer sums — the 100 TB shape with no
+    order-sensitivity anywhere."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    assign = simsearch.kmeans_assign(emb, k=8).select("vec_id", "cluster_id")
+    iv = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1024) as bigint))"
+        ).alias("iv"),
+    )
+    dims = assign.join(iv, "vec_id").select(
+        "cluster_id", F.posexplode("iv").alias("pos", "val")
+    )
+    return (
+        dims.groupBy("cluster_id", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("val").alias("sv"),
+        )
+        .select(
+            "cluster_id",
+            "dim",
+            "n",
+            F.expr("(1000 * sv) div n").cast("long").alias("centroid_milli"),
+        )
+    )
