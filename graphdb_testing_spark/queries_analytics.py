@@ -2146,3 +2146,75 @@ def q_robustness_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "inv_p long, n_edges long, n_connected long,"
         " n_components long, giant_size long"
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS spanning tree (parent pointers) — S13-adjacent export
+# ---------------------------------------------------------------------------
+
+_BFS_TREE_ORACLE = oracles.with_user_edges(
+    """
+SELECT c.id, MIN(e.src) AS parent, c.dist
+FROM d c JOIN user_edges e ON e.dst = c.id
+JOIN d p ON p.id = e.src AND p.dist = c.dist - 1
+GROUP BY c.id, c.dist
+""",
+    extra_ctes="""
+bfsr(id, dist) AS (
+  SELECT (SELECT MIN(src) FROM user_edges), 0
+  UNION
+  SELECT e.dst, b.dist + 1 FROM user_edges e JOIN bfsr b ON e.src = b.id
+  WHERE b.dist < 32
+),
+d AS (SELECT id, MIN(dist) AS dist FROM bfsr GROUP BY id)
+""",
+).replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+@register("bfs_tree", _BFS_TREE_ORACLE)
+def q_bfs_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BFS spanning tree: every non-root vertex's parent
+    is its minimum-id neighbor one level closer to the root — the
+    spanning-forest artifact streaming-components engines maintain
+    (STINGER's tree repair) as one distance join + min-aggregate on
+    top of the existing BFS kernel."""
+    from .operators.bfs import bfs
+
+    g = datasets.user_graph(spark, sf_dir)
+    e = g.edges.select("src", "dst")
+    source = int(e.agg(F.min("src")).collect()[0][0])
+    dist = bfs(e, source, max_depth=32).localCheckpoint()
+    child = dist.select(F.col("id"), F.col("dist"))
+    par = dist.select(F.col("id").alias("src"), F.col("dist").alias("pdist"))
+    return (
+        e.join(child.withColumnRenamed("id", "dst"), "dst")
+        .join(par, "src")
+        .filter(F.col("pdist") == F.col("dist") - 1)
+        .groupBy(F.col("dst").alias("id"), "dist")
+        .agg(F.min("src").alias("parent"))
+        .select("id", "parent", "dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy maximal matching (bounded rounds, unrolled oracle)
+# ---------------------------------------------------------------------------
+
+from .operators.mis import greedy_matching, matching_oracle_sql  # noqa: E402
+
+
+@register(
+    "matching_6round",
+    oracles.with_user_edges(
+        "SELECT u, v, round FROM match_result",
+        extra_ctes="uem AS MATERIALIZED (SELECT src, dst FROM user_edges),\n"
+        + matching_oracle_sql("uem", rounds=6),
+    ),
+)
+def q_matching_6round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel greedy maximal matching on the user graph — the
+    locally-minimal-edge rounds of :func:`operators.mis.
+    greedy_matching` (a matching is an MIS of the line graph; same
+    geometric-shrink schedule)."""
+    g = datasets.user_graph(spark, sf_dir)
+    return greedy_matching(g.edges, rounds=6)

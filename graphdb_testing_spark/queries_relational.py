@@ -795,3 +795,88 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sweep-line peak concurrency of user sessions
+# ---------------------------------------------------------------------------
+
+_CONCURRENCY_ORACLE = """
+WITH marks AS (
+  SELECT user_id, epoch_us(ts) AS t
+  FROM events
+),
+sess AS (
+  SELECT user_id, MIN(t) AS s_start, MAX(t) + 1 AS s_end
+  FROM (
+    SELECT user_id, t,
+           SUM(CASE WHEN gap > 1800000000 OR gap IS NULL THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS sid
+    FROM (SELECT user_id, t,
+                 t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+          FROM marks)
+  ) GROUP BY user_id, sid
+),
+deltas AS (
+  SELECT s_start AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT s_end AS t, -1 FROM sess
+),
+sweep AS (
+  SELECT t, SUM(delta) AS d FROM deltas GROUP BY t
+),
+run AS (
+  SELECT t, SUM(d) OVER (ORDER BY t) AS live FROM sweep
+)
+SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_sessions,
+       CAST(MAX(live) AS BIGINT) AS peak_concurrent,
+       CAST((SELECT t FROM run ORDER BY live DESC, t LIMIT 1) AS BIGINT)
+         AS peak_at_us
+FROM run
+"""
+
+
+@register("peak_concurrency", _CONCURRENCY_ORACLE)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line maximum concurrency over 30-minute-gap user
+    sessions: ±1 deltas at session boundaries, running sum, global
+    max — the interval-overlap primitive (capacity planning, load
+    peaks).  Sessionization shuffles once on user; the sweep's
+    global running sum runs over boundary COUNTS (two rows per
+    session, pre-aggregated per timestamp) — at 100 TB, range-
+    partition the time axis and prefix-sum per partition (the
+    operators/prefix idiom)."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    marks = ev.select("user_id", F.unix_micros("ts").alias("t"))
+    wu = Window.partitionBy("user_id").orderBy("t")
+    gaps = marks.withColumn("gap", F.col("t") - F.lag("t").over(wu))
+    sess = (
+        gaps.withColumn(
+            "sid",
+            F.sum(
+                F.when(
+                    F.col("gap").isNull() | (F.col("gap") > 1_800_000_000), 1
+                ).otherwise(0)
+            ).over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("t").alias("s_start"), (F.max("t") + 1).alias("s_end"))
+        .localCheckpoint()
+    )
+    deltas = sess.select(F.col("s_start").alias("t"), F.lit(1).alias("delta")).unionAll(
+        sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    sweep = deltas.groupBy("t").agg(F.sum("delta").alias("d"))
+    run = sweep.withColumn("live", F.sum("d").over(Window.orderBy("t")))
+    n_sessions = sess.count()
+    peak = (
+        run.orderBy(F.desc("live"), "t")
+        .limit(1)
+        .select(
+            F.lit(n_sessions).cast("long").alias("n_sessions"),
+            F.col("live").cast("long").alias("peak_concurrent"),
+            F.col("t").cast("long").alias("peak_at_us"),
+        )
+    )
+    return peak

@@ -192,3 +192,19 @@ def test_greedy_mis_independent_and_maximal(spark):
         if not (adj[v] & seq):
             seq.add(v)
     assert mis == seq
+
+
+def test_greedy_matching_is_maximal_matching(spark):
+    from graphdb_testing_spark.operators.mis import greedy_matching
+    from tests.conftest import edges_df
+
+    pairs = sorted({(min(u, (u * 11 + 7) % 30), max(u, (u * 11 + 7) % 30))
+                    for u in range(30)
+                    if u != (u * 11 + 7) % 30})
+    e = edges_df(spark, pairs)
+    m = [(r.u, r.v) for r in greedy_matching(e, rounds=12).collect()]
+    used = [x for uv in m for x in uv]
+    assert len(used) == len(set(used))  # a matching: no vertex twice
+    # maximality: every unmatched edge touches a matched vertex
+    us = set(used)
+    assert all(u in us or v in us for u, v in pairs)
