@@ -206,3 +206,33 @@ def test_prefix_join_complete_on_random_corpora(spark, texts, t_idx):
         if union and round(len(sets[a] & sets[b]) / len(union), 6) >= threshold:
             want.add((a, b))
     assert got == want
+
+
+def test_hash_prefix_matches_duckdb_exactly(spark):
+    """The ONE portable hash (hashutil) must agree with the DuckDB
+    oracle idiom byte-for-byte on adversarial inputs: empty strings,
+    unicode, pipes (the delimiter), long strings, digits."""
+    import duckdb
+
+    from graphdb_testing_spark.hashutil import hash_prefix
+
+    samples = [
+        "", "a", "|", "a|b", "||", "0", "-1", "9" * 100,
+        "héllo wörld", "日本語テキスト", "emoji 🙂 test",
+        "match|123|456", "dir|1|2", "hll|42",
+        " leading", "trailing ", "tab\tsep", "new\nline",
+    ] + [f"key-{i*7919}" for i in range(50)]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    for width in (8, 15):
+        got = {
+            r.s: r.h
+            for r in df.select(
+                "s", hash_prefix(F.col("s"), width).alias("h")
+            ).collect()
+        }
+        con = duckdb.connect()
+        for s in samples:
+            want = con.execute(
+                f"SELECT ('0x' || substr(md5(?), 1, {width}))::BIGINT", [s]
+            ).fetchone()[0]
+            assert got[s] == want, (s, width, got[s], want)
