@@ -232,3 +232,36 @@ def insert_if_absent(edges: DataFrame, new_edges: DataFrame) -> DataFrame:
 def update_throughput(n_actions: int, seconds: float) -> float:
     """The M13 metric: actions applied per second (edges/sec)."""
     return n_actions / seconds if seconds > 0 else float("inf")
+
+
+def merge_rollup(
+    old: DataFrame,
+    delta_events: DataFrame,
+    keys: tuple[str, ...] = ("event_type", "hour_epoch"),
+) -> DataFrame:
+    """Incremental view maintenance for the hourly rollup: fold a
+    batch of new events into an existing ``(keys..., n, sum_value)``
+    aggregate WITHOUT rescanning history — the partial-aggregate
+    merge law (COUNT and DECIMAL SUM are associative/commutative, so
+    ``merge(agg(A), agg(B)) == agg(A ∪ B)`` exactly; the parity test
+    asserts bit-equality).  At 100 TB this is the difference between
+    reprocessing a day and reprocessing a table."""
+    delta = (
+        delta_events.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).cast("long").alias("hour_epoch"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+    )
+    return (
+        old.select(*keys, "n", F.col("sum_value").cast("decimal(18,6)").alias("sum_value"))
+        .unionAll(delta)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_value").cast("decimal(18,6)").alias("sum_value"),
+        )
+    )

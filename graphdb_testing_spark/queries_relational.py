@@ -880,3 +880,99 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return peak
+
+
+# ---------------------------------------------------------------------------
+# audience overlap: Jaccard of user sets between event types
+# ---------------------------------------------------------------------------
+
+_AUDIENCE_ORACLE = """
+WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM aud GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM aud a JOIN aud b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, i.n_common,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST((1000 * i.n_common) // (sa.n + sb.n - i.n_common) AS BIGINT)
+         AS jaccard_milli
+FROM inter i
+JOIN sz sa ON sa.event_type = i.type_a
+JOIN sz sb ON sb.event_type = i.type_b
+"""
+
+
+@register("audience_overlap", _AUDIENCE_ORACLE)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience Jaccard between event types: distinct-user sets,
+    user-keyed self-join for intersections, integer milli-Jaccard.
+    The |types|² output is tiny at any scale; the shuffles stay on
+    ``user_id`` — the segment-overlap primitive of audience
+    analytics."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct().localCheckpoint()
+    sz = aud.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    a = aud.alias("a")
+    b = aud.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_common", "n_a", "n_b",
+            F.expr("(1000 * n_common) div (n_a + n_b - n_common)")
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-table state-machine consistency crosstab (data quality)
+# ---------------------------------------------------------------------------
+
+_CONSISTENCY_ORACLE = """
+SELECT o.o_orderstatus, l.l_returnflag, l.l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3
+"""
+
+
+@register("order_status_crosstab", _CONSISTENCY_ORACLE)
+def q_order_status_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality crosstab over the order/lineitem state machine:
+    every (order status, return flag, line status) combination with
+    line and distinct-order counts — the contingency table a
+    validation suite diffs against the allowed-transitions set.  One
+    fact-keyed join (orders broadcasts), one aggregation."""
+    od = datasets.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderstatus", "l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        )
+    )

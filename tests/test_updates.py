@@ -85,3 +85,37 @@ def test_primitive_remove_and_insert_or_ignore(spark):
     assert got == {(3, 4): 1}
     got2 = as_map(insert_if_absent(base, _edges(spark, [(1, 2, 99), (5, 6, 7)])))
     assert got2 == {(1, 2): 5, (3, 4): 1, (5, 6): 7}
+
+
+def test_merge_rollup_equals_recompute(spark):
+    """IVM law: folding the second half of events into the first
+    half's rollup equals the one-shot rollup, bit-for-bit (COUNT and
+    DECIMAL SUM are associative)."""
+    from graphdb_testing_spark.datasets import load_table
+    from graphdb_testing_spark.operators.updates import merge_rollup
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").localCheckpoint()
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    first, second = ev.filter(ev.event_id <= mid), ev.filter(ev.event_id > mid)
+
+    def rollup(df):
+        return df.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).cast("long").alias("hour_epoch"),
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+
+    merged = merge_rollup(rollup(first), second)
+    want = {
+        (r.event_type, r.hour_epoch): (r.n, r.sum_value)
+        for r in rollup(ev).collect()
+    }
+    got = {
+        (r.event_type, r.hour_epoch): (r.n, r.sum_value)
+        for r in merged.collect()
+    }
+    assert got == want
