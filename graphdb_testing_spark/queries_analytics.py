@@ -2218,3 +2218,68 @@ def q_matching_6round(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometric-shrink schedule)."""
     g = datasets.user_graph(spark, sf_dir)
     return greedy_matching(g.edges, rounds=6)
+
+
+# ---------------------------------------------------------------------------
+# HADI-style distance distribution + sampled effective diameter
+# ---------------------------------------------------------------------------
+
+_DISTDIST_ORACLE = oracles.with_user_edges(
+    """
+SELECT CAST(d.dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(COUNT(*)) OVER (ORDER BY d.dist) AS BIGINT) AS cum_pairs,
+       CAST((SELECT MIN(x.dist) FROM (
+          SELECT dist, SUM(COUNT(*)) OVER (ORDER BY dist) AS c
+          FROM d GROUP BY dist) x
+        WHERE 10 * x.c >= 9 * (SELECT COUNT(*) FROM d)) AS BIGINT)
+         AS eff_diameter_p90
+FROM d GROUP BY d.dist
+""",
+    extra_ctes="""
+roots AS (SELECT src AS root FROM user_edges GROUP BY src ORDER BY src LIMIT 4),
+bfsr(root, id, dist) AS (
+  SELECT root, root, 0 FROM roots
+  UNION
+  SELECT b.root, e.dst, b.dist + 1
+  FROM user_edges e JOIN bfsr b ON e.src = b.id
+  WHERE b.dist < 32
+),
+d AS (SELECT root, id, MIN(dist) AS dist FROM bfsr GROUP BY root, id)
+""",
+).replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+@register("distance_distribution", _DISTDIST_ORACLE)
+def q_distance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled neighborhood function (HADI / ANF family, Kang et al.
+    ICDM'09): hop-distance histogram over 4 BFS roots with cumulative
+    pair counts and the sampled 90th-percentile effective diameter —
+    the one-number connectivity summary.  Multi-root BFS runs all
+    roots in one compound-keyed frontier; everything downstream is
+    two aggregations over (root, id, dist)."""
+    from pyspark.sql import Window
+
+    from .operators.bfs import multi_source_bfs
+
+    g = datasets.user_graph(spark, sf_dir)
+    e = g.edges.select("src", "dst")
+    roots = [
+        int(r.src)
+        for r in e.groupBy("src").count().orderBy("src").limit(4).collect()
+    ]
+    d = multi_source_bfs(e, roots, max_depth=32).localCheckpoint()
+    total = d.count()
+    hist = d.groupBy("dist").agg(F.count("*").cast("long").alias("n_pairs"))
+    cum = hist.withColumn(
+        "cum_pairs", F.sum("n_pairs").over(Window.orderBy("dist")).cast("long")
+    )
+    eff = (
+        cum.filter(10 * F.col("cum_pairs") >= 9 * total)
+        .agg(F.min("dist").cast("long").alias("eff_diameter_p90"))
+    )
+    return cum.crossJoin(F.broadcast(eff)).select(
+        F.col("dist").cast("long").alias("dist"),
+        "n_pairs",
+        "cum_pairs",
+        "eff_diameter_p90",
+    )

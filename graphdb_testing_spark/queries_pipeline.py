@@ -1207,3 +1207,74 @@ def q_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * sv) div n").cast("long").alias("centroid_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE training step 1: adjacent-pair merge counts
+# ---------------------------------------------------------------------------
+
+_BPE_MERGE_ORACLE = """
+WITH words AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> '' GROUP BY tok
+),
+pairs AS (
+  SELECT substr(tok, i, 1) AS left_sym, substr(tok, i + 1, 1) AS right_sym,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM words, UNNEST(generate_series(1, len(tok) - 1)) AS t(i)
+  WHERE len(tok) >= 2
+  GROUP BY 1, 2
+)
+SELECT left_sym, right_sym, n, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT left_sym, right_sym, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, left_sym, right_sym) AS rnk
+  FROM pairs)
+WHERE rnk <= 20
+"""
+
+
+@register("bpe_merge_counts", _BPE_MERGE_ORACLE)
+def q_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first byte-pair-encoding TRAINING step: frequency of every
+    adjacent symbol pair weighted by word frequency, top-20 merge
+    candidates (Sennrich et al., ACL'16).  The word-frequency table
+    collapses the corpus first (classic BPE optimization: pair counts
+    ride word counts, not raw text), so the explode is over the
+    vocabulary, not the corpus — the 100 TB trick.  Complements the
+    tokenizer-APPLICATION side (``bpe_token_counts``)."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    pairs = (
+        words.filter(F.length("tok") >= 2)
+        .select(
+            "freq",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1),"
+                    " i -> struct(substr(tok, i, 1) as l, substr(tok, i + 1, 1) as r))"
+                )
+            ).alias("pos", "pr"),
+        )
+        .select(
+            F.col("pr.l").alias("left_sym"),
+            F.col("pr.r").alias("right_sym"),
+            "freq",
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), "left_sym", "right_sym")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("left_sym", "right_sym", "n", F.col("rnk").cast("long").alias("rnk"))
+    )
