@@ -976,3 +976,85 @@ def q_order_status_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed OLS trend per series (exact sufficient statistics)
+# ---------------------------------------------------------------------------
+
+_TRENDS_ORACLE = """
+WITH ref AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+pts AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) - ref.t0) // 86400000000 AS BIGINT) AS x,
+         CAST(value AS DECIMAL(18,6)) AS y
+  FROM events CROSS JOIN ref
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(18,6)) * y) AS sxy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+         AS slope_per_day,
+       ROUND((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE)
+              - sx * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)) * sx) / n, 6)
+         AS intercept
+FROM stats
+WHERE n * sxx - sx * sx > 0
+"""
+
+
+@register("value_trends", _TRENDS_ORACLE)
+def q_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares trend (slope/day + intercept) of event
+    values, computed from EXACT sufficient statistics: integer day
+    offsets (Σx, Σx² in BIGINT) and DECIMAL value sums (Σy, Σxy) — the
+    sufficient-stats reduction is THE distributed regression pattern
+    (one map-side-combining pass, no per-partition float drift), and
+    makes the final double arithmetic bit-deterministic for the
+    oracle.  Degenerate single-day series are excluded on both
+    sides."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.min(F.unix_micros("ts")).alias("t0"))
+    pts = ev.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        ((F.unix_micros("ts") - F.col("t0")) / F.lit(86400000000))
+        .cast("long")
+        .alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    stats = pts.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,6)") * F.col("y")).alias("sxy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx") * F.col("sy").cast("double")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return (
+        stats.filter(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(slope, 6).alias("slope_per_day"),
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6
+            ).alias("intercept"),
+        )
+    )
