@@ -180,3 +180,72 @@ def global_clustering_coefficient(edges: DataFrame) -> float:
         F.sum(F.col("degree") * (F.col("degree") - 1)).alias("den"),
     ).collect()[0]
     return row["num"] / row["den"] if row["den"] else 0.0
+
+
+def triangle_delta(edges_after: DataFrame, new_pairs: DataFrame) -> DataFrame:
+    """``(id, d_ntri)`` — per-vertex triangle-count increments (2×
+    convention) caused by an insert-only batch: the triangles of the
+    post-insert graph that contain ≥ 1 new edge, each counted exactly
+    once.
+
+    This is the honest incremental algorithm of the reference's
+    streaming clustering-coefficient kernel
+    (``streaming_clustering_coefficients.c``: per new edge (u,v) the
+    update is |N(u) ∩ N(v)|): per new edge, common neighbors in the
+    post-insert adjacency; a triangle closed by SEVERAL new edges is
+    attributed to its lexicographically smallest new edge (the
+    reference's sequential insert order plays the same tie-break
+    role).  Cost: one adjacency join per side of the delta —
+    O(|delta| · d̄) work, independent of the total triangle count,
+    which is the entire point versus recompute.
+
+    ``new_pairs``: undirected ``(u, v)`` with ``u < v``, distinct,
+    genuinely absent before the batch (caller anti-joins).
+    ``edges_after``: the symmetric post-insert edge table.
+    """
+    adj = edges_after.select("src", "dst")
+    d = new_pairs.select("u", "v").distinct().localCheckpoint()
+    # common neighbors of (u, v) in the post-insert graph
+    wu = adj.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wv = adj.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    cand = (
+        d.join(wu, "u")
+        .join(wv, ["v", "w"])
+        .filter((F.col("w") != F.col("u")) & (F.col("w") != F.col("v")))
+    )
+    # attribute each triangle to its lex-min new edge: drop the
+    # candidate if either other side is ALSO a new edge with a
+    # smaller (u, v) tuple
+    d1 = d.select(F.col("u").alias("x1"), F.col("v").alias("y1"), F.lit(1).alias("n1"))
+    d2 = d.select(F.col("u").alias("x2"), F.col("v").alias("y2"), F.lit(1).alias("n2"))
+    cand = (
+        cand.join(
+            d1,
+            (F.col("x1") == F.least("u", "w")) & (F.col("y1") == F.greatest("u", "w")),
+            "left",
+        )
+        .join(
+            d2,
+            (F.col("x2") == F.least("v", "w")) & (F.col("y2") == F.greatest("v", "w")),
+            "left",
+        )
+        .filter(
+            (
+                F.col("n1").isNull()
+                | (
+                    F.struct(F.col("x1"), F.col("y1"))
+                    > F.struct(F.col("u"), F.col("v"))
+                )
+            )
+            & (
+                F.col("n2").isNull()
+                | (
+                    F.struct(F.col("x2"), F.col("y2"))
+                    > F.struct(F.col("u"), F.col("v"))
+                )
+            )
+        )
+        .select("u", "v", "w")
+    )
+    corners = cand.select(F.explode(F.array("u", "v", "w")).alias("id"))
+    return corners.groupBy("id").agg((2 * F.count("*")).alias("d_ntri"))

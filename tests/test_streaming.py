@@ -521,3 +521,39 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     got = {(r.src, r.dst): r.wgt for r in final.collect()}
     # weight 7, not 8: batch1's +1 must NOT be re-applied on restart
     assert got == {(1, 2): 7, (2, 1): 7, (3, 4): 1, (4, 3): 1}
+
+
+def test_incremental_triangles_equals_recompute_on_batches(spark):
+    """Insert-only batches where several NEW edges close the same
+    triangle (even all-new triangles) must attribute each triangle
+    once — maintained counts equal a cold recompute after every
+    batch."""
+    from graphdb_testing_spark.operators.triangles import triangles_per_vertex
+    from graphdb_testing_spark.streaming.workflow import IncrementalTriangles
+
+    # workflow edge tables are symmetric (apply_actions maintains
+    # both directions) — the base must honor the same invariant
+    base = _edges(
+        spark,
+        [(u, v, 1) for (a, b) in [(0, 1), (1, 2), (2, 3), (3, 4)]
+         for (u, v) in ((a, b), (b, a))],
+    )
+    alg = IncrementalTriangles()
+    wf = ActionStreamWorkflow(base, algs=[alg])
+    # batch 1: closes 0-1-2 AND adds the all-new triangle 5-6-7
+    # (edges (5,6),(6,7),(5,7) are all new -> lex-min attribution)
+    acts1 = _actions(
+        spark, [(0, 0, 2, 1), (1, 5, 6, 1), (2, 6, 7, 1), (3, 5, 7, 1)]
+    )
+    # batch 2: two new edges sharing triangle 2-3-4, plus re-insert of
+    # an existing edge (no adjacency change)
+    acts2 = _actions(spark, [(4, 2, 4, 1), (5, 0, 1, 1), (6, 1, 3, 1)])
+    for acts in (acts1, acts2):
+        wf.run(acts, batch_size=10)
+        got = {
+            r.id: r.ntri for r in wf.store.get("clustering").collect()
+        }
+        want = {
+            r.id: r.ntri for r in triangles_per_vertex(wf.edges).collect()
+        }
+        assert got == want
