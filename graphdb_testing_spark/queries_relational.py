@@ -1058,3 +1058,129 @@ def q_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intercept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# native session_window aggregation (the built-in sessionization path)
+# ---------------------------------------------------------------------------
+
+_SESSWIN_ORACLE = """
+WITH marks AS (
+  SELECT user_id, epoch_us(ts) AS t, value FROM events
+),
+islands AS (
+  SELECT user_id, t, value,
+         SUM(CASE WHEN gap > 1800000000 OR gap IS NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (SELECT user_id, t, value,
+               t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+        FROM marks)
+)
+SELECT user_id, MIN(t) AS session_start_us,
+       MAX(t) + 1800000000 AS window_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM islands GROUP BY user_id, sid
+"""
+
+
+@register("session_window_rollup", _SESSWIN_ORACLE)
+def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window(ts, gap)`` aggregation (the
+    built-in sessionization operator, batch twin of the streaming
+    session state store) — checked against the gaps-and-islands
+    formulation: same sessions, same aggregates; ``window.end`` is
+    last-event + gap by definition.  One user-keyed shuffle; the
+    native operator merges windows inside the aggregation, no window
+    function pass."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("window_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: per-user event-type count matrix
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (event_type = 'login') AS BIGINT) AS login,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY user_id
+"""
+
+
+@register("event_type_pivot", _PIVOT_ORACLE)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user feature matrix via the native ``pivot`` — the
+    long→wide reshape every feature store does; with the pivot values
+    listed explicitly Spark skips the distinct-scan and compiles to
+    the same conditional aggregation as the FILTER oracle."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "login", "purchase", "view"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+          for c in ("click", "error", "login", "purchase", "view")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# cumulative unique users per day (first-seen growth curve)
+# ---------------------------------------------------------------------------
+
+_CUMUNIQ_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS d FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT CAST(epoch(d) AS BIGINT) AS day_epoch,
+         CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY d
+)
+SELECT day_epoch, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day_epoch) AS BIGINT)
+         AS cumulative_users
+FROM daily
+"""
+
+
+@register("cumulative_unique_users", _CUMUNIQ_ORACLE)
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth curve: first-seen day per user, daily new-user counts,
+    running total — the exact cumulative-distinct pattern (a naive
+    windowed COUNT(DISTINCT) is quadratic state; first-seen + prefix
+    sum is one aggregation + one tiny ordered scan over days)."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("d")
+    )
+    daily = firsts.groupBy(F.col("d").cast("long").alias("day_epoch")).agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    return daily.withColumn(
+        "cumulative_users",
+        F.sum("new_users").over(Window.orderBy("day_epoch")).cast("long"),
+    )
