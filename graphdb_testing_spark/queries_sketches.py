@@ -343,3 +343,85 @@ def q_table_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
             digest(li, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: intersection cardinality via inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+_HLL_IX_ORACLE = (
+    "WITH "
+    + sketches.hll_oracle_sql(
+        "(SELECT 'click' AS side, user_id FROM events WHERE event_type = 'click'"
+        " UNION ALL"
+        " SELECT 'purchase', user_id FROM events WHERE event_type = 'purchase')",
+        "side",
+        "user_id",
+    ).strip()
+    + """,
+union_regs AS (
+  SELECT register, MAX(max_rho) AS max_rho FROM regs GROUP BY register
+),
+union_est AS (
+  SELECT CAST(FLOOR(1000.0 * 0.709 * 4096 /
+    ((64 - COUNT(*)) + SUM(POWER(2e0, -max_rho)))) AS BIGINT) AS u_milli
+  FROM union_regs
+),
+sides AS (
+  SELECT MAX(CASE WHEN side = 'click' THEN est_milli END) AS a_milli,
+         MAX(CASE WHEN side = 'purchase' THEN est_milli END) AS b_milli
+  FROM hll
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase')
+)
+SELECT s.a_milli, s.b_milli, u.u_milli,
+       s.a_milli + s.b_milli - u.u_milli AS inter_est_milli,
+       e.n_exact
+FROM sides s CROSS JOIN union_est u CROSS JOIN exact e
+"""
+)
+
+
+@register("hll_join_cardinality", _HLL_IX_ORACLE)
+def q_hll_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set-algebra: |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    est(A∪B) comes from register-wise MAX of the two sketches — the
+    join-cardinality estimation a cost-based planner runs before
+    choosing a strategy, here exactly reproducible (integer milli
+    estimates) next to the exact intersection."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("event_type").alias("side"), "user_id"
+    )
+    regs = sketches.hll_registers(tagged, ["side"], "user_id").localCheckpoint()
+    est = sketches.hll_estimate(regs, ["side"])
+    union_regs = regs.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    union_est = sketches.hll_estimate(
+        union_regs.withColumn("k", F.lit(1)), ["k"]
+    ).select(F.col("est_milli").alias("u_milli"))
+    sides = est.groupBy().agg(
+        F.max(F.when(F.col("side") == "click", F.col("est_milli"))).alias("a_milli"),
+        F.max(F.when(F.col("side") == "purchase", F.col("est_milli"))).alias("b_milli"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = clicks.join(purch, "user_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    return (
+        sides.crossJoin(F.broadcast(union_est))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "a_milli",
+            "b_milli",
+            "u_milli",
+            (F.col("a_milli") + F.col("b_milli") - F.col("u_milli")).alias(
+                "inter_est_milli"
+            ),
+            "n_exact",
+        )
+    )

@@ -577,3 +577,66 @@ def q_frequent_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average value per user (TWAP)
+# ---------------------------------------------------------------------------
+
+_TWAP_ORACLE = """
+WITH seq AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v, epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS t_next
+  FROM events
+),
+spans AS (
+  SELECT user_id, v, CAST(t_next - t AS BIGINT) AS dur
+  FROM seq WHERE t_next IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(dur) AS BIGINT) AS total_us,
+       ROUND(CAST(SUM(v * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 6)
+         AS twap
+FROM spans GROUP BY user_id
+HAVING SUM(dur) > 0
+"""
+
+
+@register("time_weighted_value", _TWAP_ORACLE)
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation holds until the
+    next one, weight = holding duration in µs.  ``Σ v·dur`` stays
+    DECIMAL (exact, order-independent) with integer durations, so the
+    one final double division is bit-deterministic — the metering /
+    billing aggregation shape.  One user-keyed window + one
+    aggregation."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    )
+    spans = seq.filter(F.col("t_next").isNotNull()).select(
+        "user_id", "v", (F.col("t_next") - F.col("t")).cast("long").alias("dur")
+    )
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum("dur").cast("long").alias("total_us"),
+            F.sum(F.col("v") * F.col("dur")).alias("sv"),
+        )
+        .filter(F.col("total_us") > 0)
+        .select(
+            "user_id",
+            "n_spans",
+            "total_us",
+            F.round(
+                F.col("sv").cast("double") / F.col("total_us").cast("double"), 6
+            ).alias("twap"),
+        )
+    )
