@@ -1184,3 +1184,98 @@ def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cumulative_users",
         F.sum("new_users").over(Window.orderBy("day_epoch")).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robust outlier detection: median absolute deviation (exact order stats)
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, value AS med FROM ranked
+  WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+),
+dev AS (
+  SELECT r.event_type, ABS(r.value - m.med) AS d, m.med
+  FROM ranked r JOIN med m USING (event_type)
+),
+dranked AS (
+  SELECT event_type, d, med,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, med, d AS mad FROM dranked
+  WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+)
+SELECT e.event_type,
+       ROUND(m.med, 6) AS median_r6,
+       ROUND(m.mad, 6) AS mad_r6,
+       CAST(COUNT(*) FILTER (ABS(e.value - m.med) > 3 * m.mad) AS BIGINT)
+         AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e JOIN mad m USING (event_type)
+GROUP BY e.event_type, m.med, m.mad
+"""
+
+
+@register("mad_outliers", _MAD_ORACLE)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per series: median and MAD as EXACT order
+    statistics (row ``ceil(n/2)`` of the sorted values — no
+    interpolation, so both engines pick the same element), outlier =
+    ``|x − med| > 3·MAD``.  Two per-key sorts + one counting pass;
+    at 100 TB swap the exact medians for the histogram sketch above
+    (same downstream logic)."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type").orderBy("value")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wt).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long")
+    ).select("event_type", F.col("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    dranked = dev.select(
+        "event_type",
+        "med",
+        "d",
+        F.row_number().over(wd).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    mad = dranked.filter(
+        F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long")
+    ).select("event_type", "med", F.col("d").alias("mad"))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("median_r6"),
+            F.round("mad", 6).alias("mad_r6"),
+            "n_outliers",
+            "n",
+        )
+    )
