@@ -767,3 +767,50 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# weakest ties: lowest-embeddedness edges (local-bridge spectrum)
+# ---------------------------------------------------------------------------
+
+_WEAK_TIES_ORACLE = oracles.with_user_edges(
+    """
+SELECT src, dst, sup, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT e.src, e.dst, CAST(COALESCE(t.sup, 0) AS BIGINT) AS sup,
+         ROW_NUMBER() OVER (ORDER BY COALESCE(t.sup, 0), e.src, e.dst) AS rnk
+  FROM (SELECT DISTINCT src, dst FROM user_edges WHERE src < dst) e
+  LEFT JOIN (
+    SELECT a.src AS s, b.src AS d, COUNT(*) AS sup
+    FROM (SELECT DISTINCT src, dst FROM user_edges) a
+    JOIN (SELECT DISTINCT src, dst FROM user_edges) b
+      ON a.dst = b.dst AND a.src < b.src
+    GROUP BY 1, 2) t
+  ON t.s = e.src AND t.d = e.dst)
+WHERE rnk <= 20
+""",
+)
+
+
+@register("weakest_ties", _WEAK_TIES_ORACLE)
+def q_weakest_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granovetter weak-tie spectrum: the 20 lowest-embeddedness
+    canonical edges (triangle support, zero = a true local bridge
+    whose removal stretches its endpoints to distance >= 3) — the
+    community-boundary signal, composed from the shared edge-support
+    kernel plus one top-k window."""
+    from pyspark.sql import Window
+
+    from .operators.triangles import edge_triangle_support
+
+    g = datasets.user_graph(spark, sf_dir)
+    nbrs = g.edges.select("src", "dst").distinct().localCheckpoint()
+    canon = nbrs.filter(F.col("src") < F.col("dst"))
+    sup = edge_triangle_support(canon).select(
+        "src", "dst", F.col("sup").cast("long").alias("sup")
+    )
+    w = Window.orderBy("sup", "src", "dst")
+    return (
+        sup.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("src", "dst", "sup", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -1278,3 +1278,59 @@ def q_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("left_sym", "right_sym", "n", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# integer-exact embedding norm statistics per label
+# ---------------------------------------------------------------------------
+
+_NORMS_ORACLE = """
+WITH iv AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS iv
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+           i -> iv[i] * iv[i])) AS BIGINT) AS norm2
+  FROM iv
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+       CAST(MAX(norm2) AS BIGINT) AS max_norm2,
+       CAST(SUM(norm2) // COUNT(*) AS BIGINT) AS mean_norm2
+FROM norms GROUP BY label
+"""
+
+
+@register("embedding_norms", _NORMS_ORACLE)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label squared-norm statistics over 1024-scaled integerized
+    embeddings — all-BIGINT (Σ of 64 products per vector, integer
+    floor-mean), the norm-distribution sanity check an embedding
+    pipeline runs before indexing (detects collapsed or exploding
+    vectors); one column-math pass + one aggregation."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.expr(
+            "aggregate(transform(embedding,"
+            " x -> cast(floor(cast(x as double) * 1024) as bigint)),"
+            " cast(0 as bigint), (acc, v) -> acc + v * v)"
+        ).alias("norm2"),
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("norm2").cast("long").alias("min_norm2"),
+            F.max("norm2").cast("long").alias("max_norm2"),
+            F.sum("norm2").alias("s2"),
+        )
+        .select(
+            "label", "n", "min_norm2", "max_norm2",
+            F.expr("s2 div n").cast("long").alias("mean_norm2"),
+        )
+    )
