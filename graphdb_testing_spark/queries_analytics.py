@@ -2283,3 +2283,119 @@ def q_distance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_pairs",
         "eff_diameter_p90",
     )
+
+
+# ---------------------------------------------------------------------------
+# SCC condensation DAG with topological levels
+# ---------------------------------------------------------------------------
+
+_CONDENSATION_ORACLE = oracles.with_directed_edges(
+    """
+SELECT c.scc_id,
+       CAST(COUNT(DISTINCT s.id) AS BIGINT) AS scc_size,
+       CAST(c.lvl AS BIGINT) AS level,
+       CAST((SELECT COUNT(*) FROM cedges x WHERE x.a = c.scc_id) AS BIGINT)
+         AS out_edges
+FROM lvl c JOIN sccs s ON s.scc_id = c.scc_id
+GROUP BY c.scc_id, c.lvl
+""",
+    extra_ctes="""
+sdedges AS MATERIALIZED (
+  SELECT src, dst FROM dedges
+  WHERE ('0x' || substr(md5('csub|' || src::VARCHAR || '|' || dst::VARCHAR),
+         1, 8))::BIGINT % 16 = 0
+),
+verts AS (SELECT src AS v FROM sdedges UNION SELECT dst FROM sdedges),
+reach(a, b) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN sdedges e ON e.src = r.b
+),
+sccs AS MATERIALIZED (
+  SELECT r1.a AS id, MIN(r1.b) AS scc_id
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+  GROUP BY r1.a
+),
+cedges AS MATERIALIZED (
+  SELECT DISTINCT sa.scc_id AS a, sb.scc_id AS b
+  FROM sdedges e JOIN sccs sa ON sa.id = e.src JOIN sccs sb ON sb.id = e.dst
+  WHERE sa.scc_id <> sb.scc_id
+),
+lvl(scc_id, lvl) AS (
+  SELECT scc_id, 0 FROM (SELECT DISTINCT scc_id FROM sccs)
+  UNION
+  SELECT c.b, l.lvl + 1 FROM lvl l JOIN cedges c ON c.a = l.scc_id
+  WHERE l.lvl < 64
+),
+lvl2 AS (SELECT scc_id, MAX(lvl) AS lvl FROM lvl GROUP BY scc_id)
+""",
+    recursive=True,
+).replace("FROM lvl c", "FROM lvl2 c").replace("c.lvl", "c.lvl")
+
+
+@register("scc_condensation", _CONDENSATION_ORACLE)
+def q_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG of the strongly connected components: one row
+    per SCC with its size, longest-path topological level, and
+    out-degree in the contracted DAG — the structure a scheduler (or
+    incremental evaluator) derives from any dependency graph.  Levels
+    by bounded longest-path relaxation over the (acyclic by
+    construction) contracted edge set; contraction is two label joins
+    + distinct."""
+    from .operators.scc import strongly_connected_components
+
+    from .hashutil import hash_mod
+
+    # keep 1/16 of the oriented edges: the full orientation is one
+    # giant SCC; the thinned graph has a real multi-SCC condensation
+    # (21 SCCs / giant 130 at sf0.01)
+    dedges = (
+        datasets.directed_user_graph(spark, sf_dir)
+        .filter(hash_mod("csub", [F.col("src"), F.col("dst")], F.lit(16)) == 0)
+        .localCheckpoint()
+    )
+    sccs = strongly_connected_components(dedges).localCheckpoint()
+    sa = sccs.select(F.col("id").alias("src"), F.col("scc_id").alias("a"))
+    sb = sccs.select(F.col("id").alias("dst"), F.col("scc_id").alias("b"))
+    cedges = (
+        dedges.join(sa, "src")
+        .join(sb, "dst")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint()
+    )
+    # longest-path levels: relax to fixpoint (DAG depth ≤ #SCCs)
+    lvl = sccs.select("scc_id").distinct().withColumn("lvl", F.lit(0)).localCheckpoint()
+    for _ in range(64):
+        relaxed = (
+            cedges.join(lvl.withColumnRenamed("scc_id", "a"), "a")
+            .select(F.col("b").alias("scc_id"), (F.col("lvl") + 1).alias("lvl"))
+            .unionAll(lvl)
+            .groupBy("scc_id")
+            .agg(F.max("lvl").alias("lvl"))
+            .localCheckpoint()
+        )
+        if (
+            relaxed.agg(F.sum("lvl")).collect()[0][0]
+            == lvl.agg(F.sum("lvl")).collect()[0][0]
+        ):
+            lvl = relaxed
+            break
+        lvl = relaxed
+    sizes = sccs.groupBy("scc_id").agg(
+        F.countDistinct("id").cast("long").alias("scc_size")
+    )
+    outdeg = cedges.groupBy(F.col("a").alias("scc_id")).agg(
+        F.count("*").alias("od")
+    )
+    return (
+        sizes.join(lvl, "scc_id")
+        .join(outdeg, "scc_id", "left")
+        .select(
+            "scc_id",
+            "scc_size",
+            F.col("lvl").cast("long").alias("level"),
+            F.coalesce("od", F.lit(0)).cast("long").alias("out_edges"),
+        )
+    )
