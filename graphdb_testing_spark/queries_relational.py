@@ -1279,3 +1279,50 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding (hopping) window counts: 1-hour windows every 15 minutes
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+WITH ev AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+hits AS (
+  SELECT e.event_type,
+         ((e.t - k.k * 900000000) // 3600000000) * 3600000000
+           + k.k * 900000000 AS ws
+  FROM ev e, UNNEST(generate_series(0, 3)) AS k(k)
+  WHERE ((e.t - k.k * 900000000) // 3600000000) * 3600000000
+          + k.k * 900000000 <= e.t
+)
+SELECT event_type, CAST(ws // 1000000 AS BIGINT) AS window_start_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM hits GROUP BY 1, 2
+"""
+
+
+@register("sliding_window_counts", _SLIDING_ORACLE)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup: 1-hour windows sliding every 15 minutes
+    via Spark's native ``window(ts, '1 hour', '15 minutes')`` — each
+    event lands in 4 windows; the oracle derives the same 4 aligned
+    window starts arithmetically (epoch-aligned, like Spark's).  The
+    overlap factor is the cost model: a slide of 1/k multiplies the
+    aggregation input k×, which is why watermarked incremental
+    aggregation (the streaming twin of this exact operator) matters
+    at scale."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "event_type",
+            (F.unix_micros("w.start") / 1_000_000).cast("long").alias(
+                "window_start_epoch"
+            ),
+            "n",
+        )
+    )
