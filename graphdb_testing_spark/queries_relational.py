@@ -1326,3 +1326,70 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# greedy set cover: suppliers covering the most uncovered parts
+# ---------------------------------------------------------------------------
+
+
+def _setcover_oracle(rounds: int = 5) -> str:
+    ctes = [
+        "cov AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem)",
+        "un0 AS (SELECT DISTINCT p FROM cov)",
+        "pick0 AS (SELECT CAST(NULL AS BIGINT) AS s WHERE FALSE)",
+    ]
+    for r in range(1, rounds + 1):
+        pr = r - 1
+        ctes.append(
+            f"""pick{r} AS MATERIALIZED (
+  SELECT s, CAST(n AS BIGINT) AS gain, {r} AS round FROM (
+    SELECT c.s, COUNT(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c.s) AS rn
+    FROM cov c SEMI JOIN un{pr} u ON c.p = u.p
+    GROUP BY c.s)
+  WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""un{r} AS MATERIALIZED (
+  SELECT u.p FROM un{pr} u
+  WHERE NOT EXISTS (SELECT 1 FROM cov c JOIN pick{r} k ON c.s = k.s
+                    WHERE c.p = u.p))"""
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT s, gain, CAST(round AS BIGINT) AS round FROM pick{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"WITH {','.join(ctes)}\n{picks}"
+
+
+@register("greedy_set_cover", _setcover_oracle(5))
+def q_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy set cover, 5 rounds: repeatedly pick the supplier
+    covering the most still-uncovered parts (ties to the smallest
+    key) — the (1−1/e) approximation that underlies source selection
+    / coverage-maximization in data acquisition.  Per round: one
+    semi-join + count aggregation + one anti-coverage filter; the
+    uncovered set shrinks monotonically."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    cov = (
+        li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    un = cov.select("p").distinct().localCheckpoint()
+    picks = []
+    for r in range(1, 6):
+        gains = (
+            cov.join(un, "p", "semi")
+            .groupBy("s")
+            .agg(F.count("*").cast("long").alias("gain"))
+        )
+        top = gains.orderBy(F.desc("gain"), "s").limit(1).collect()
+        if not top:  # everything covered — the oracle's picks go empty too
+            break
+        best = top[0]
+        picks.append((int(best.s), int(best.gain), r))
+        covered = cov.filter(F.col("s") == int(best.s)).select("p")
+        un = un.join(covered, "p", "left_anti").localCheckpoint()
+    return spark.createDataFrame(picks, "s long, gain long, round long")
