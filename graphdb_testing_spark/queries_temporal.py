@@ -640,3 +640,76 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# first-touch attribution: purchases credited to the earliest click
+# in the prior 7 days
+# ---------------------------------------------------------------------------
+
+_ATTRIB_ORACLE = """
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts, CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id AS c_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+),
+touch AS (
+  SELECT p.p_id, p.v, c.c_id, c.c_ts,
+         ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY c.c_ts, c.c_id) AS rn
+  FROM purchases p JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.c_ts <= p.p_ts AND p.p_ts <= c.c_ts + INTERVAL 7 DAY
+)
+SELECT CAST(epoch(date_trunc('day', c_ts)) AS BIGINT) AS click_day_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(v) AS DOUBLE) AS attributed_revenue
+FROM touch WHERE rn = 1
+GROUP BY 1
+"""
+
+
+@register("first_touch_attribution", _ATTRIB_ORACLE)
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing first-touch attribution: each purchase's value is
+    credited to the user's EARLIEST click in the preceding 7 days;
+    revenue rolls up by click day.  The candidate join is the bucketed
+    :func:`operators.temporal.range_join` (equi-join on
+    (user, time-bucket) — no nested-loop plan), then one per-purchase
+    first-touch window; money stays DECIMAL."""
+    from .operators.temporal import range_join
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("win_end"),
+    )
+    touch = range_join(
+        purchases.withColumnRenamed("p_ts", "ts"),
+        clicks,
+        on=["user_id"],
+        point_time="ts",
+        start="c_ts",
+        end="win_end",
+        bucket_us=7 * 86400 * 1_000_000,
+    )
+    w = Window.partitionBy("p_id").orderBy("c_ts", "c_id")
+    first = touch.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return first.groupBy(
+        F.date_trunc("day", F.col("c_ts")).cast("long").alias("click_day_epoch")
+    ).agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum("v").cast("double").alias("attributed_revenue"),
+    )
