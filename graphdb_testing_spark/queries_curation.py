@@ -493,3 +493,102 @@ def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join — no text payload crosses a shuffle twice."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return curation.boilerplate_stats(docs, n=2, min_df=10)
+
+
+# ---------------------------------------------------------------------------
+# safety blocklist filtering (token-level hit counts + flag)
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("slow", "error", "big")  # stand-in terms; real lists plug in
+
+_BLOCKLIST_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+hits AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN tok IN {_BLOCKLIST} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_tokens, 0) AS n_tokens,
+       CAST((1000 * COALESCE(h.n_hits, 0)) //
+            GREATEST(COALESCE(h.n_tokens, 0), 1) AS BIGINT) AS hit_ratio_milli,
+       CAST(COALESCE(h.n_hits, 0) > 0 AS BIGINT) AS flagged
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register("blocklist_hits", _BLOCKLIST_ORACLE)
+def q_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety/blocklist filtering: token-level hit counts, integer
+    milli hit-ratio, and a binary flag per document — the keyword
+    tier of a content-filter cascade (the regex/classifier tiers
+    share this exact plan shape: explode once, aggregate once).  The
+    tiny term set compiles to an IN-list predicate; real deployments
+    broadcast the list as a join when it outgrows a literal."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hits = toks.groupBy("doc_id").agg(
+        F.sum(F.col("tok").isin(*_BLOCKLIST).cast("long")).alias("n_hits"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.expr(
+                "(1000 * coalesce(n_hits, 0)) div greatest(coalesce(n_tokens, 0), 1)"
+            )
+            .cast("long")
+            .alias("hit_ratio_milli"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("long").alias("flagged"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic cross-validation folds
+# ---------------------------------------------------------------------------
+
+_CV_ORACLE = """
+WITH folds AS (
+  SELECT doc_id, lang, n_chars,
+         ('0x' || substr(md5('cv-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 5 AS fold
+  FROM documents
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM folds GROUP BY fold
+"""
+
+
+@register("cv_folds", _CV_ORACLE)
+def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold assignment by the portable hash (stable
+    under reruns, task retries, and repartitioning — the property a
+    train/validation split MUST have) with per-fold size and language
+    balance — the split audit a training pipeline gates on."""
+    from .hashutil import hash_mod
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    folds = docs.withColumn(
+        "fold", hash_mod("cv-v1", [F.col("doc_id")], F.lit(5))
+    )
+    return folds.groupBy(F.col("fold").cast("long").alias("fold")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
