@@ -2399,3 +2399,59 @@ def q_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("od", F.lit(0)).cast("long").alias("out_edges"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# friend-of-friend recommendations (common-neighbor top-k per root)
+# ---------------------------------------------------------------------------
+
+_FOF_ORACLE = oracles.with_user_edges(
+    """
+SELECT root, cand, n_common, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT r.root, w2.dst AS cand, CAST(COUNT(*) AS BIGINT) AS n_common,
+         ROW_NUMBER() OVER (PARTITION BY r.root
+                            ORDER BY COUNT(*) DESC, w2.dst) AS rnk
+  FROM (SELECT src AS root FROM ue GROUP BY src ORDER BY src LIMIT 4) r
+  JOIN ue w1 ON w1.src = r.root
+  JOIN ue w2 ON w2.src = w1.dst
+  WHERE w2.dst <> r.root
+    AND NOT EXISTS (SELECT 1 FROM ue e WHERE e.src = r.root AND e.dst = w2.dst)
+  GROUP BY r.root, w2.dst)
+WHERE rnk <= 5
+""",
+    extra_ctes="ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM user_edges)",
+)
+
+
+@register("fof_recommendations", _FOF_ORACLE)
+def q_fof_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friend-of-friend recommendation: for 4 roots, the top-5
+    non-neighbors ranked by common-neighbor count — the 2-hop wedge
+    join + existing-edge anti-join + per-root top-k that every social
+    recommender starts from (Adamic-Adar upgrades the count to an
+    inverse-log weight; both ride the same wedge plan)."""
+    from pyspark.sql import Window
+
+    g = datasets.user_graph(spark, sf_dir)
+    nbrs = g.edges.select("src", "dst").distinct().localCheckpoint()
+    roots = nbrs.select(F.col("src").alias("root")).distinct().orderBy("root").limit(4)
+    w1 = nbrs.select(F.col("src").alias("root"), F.col("dst").alias("mid"))
+    w2 = nbrs.select(F.col("src").alias("mid"), F.col("dst").alias("cand"))
+    wedges = (
+        F.broadcast(roots).join(w1, "root")
+        .join(w2, "mid")
+        .filter(F.col("cand") != F.col("root"))
+        .join(
+            nbrs.select(F.col("src").alias("root"), F.col("dst").alias("cand")),
+            ["root", "cand"],
+            "left_anti",
+        )
+        .groupBy("root", "cand")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    w = Window.partitionBy("root").orderBy(F.desc("n_common"), "cand")
+    return (
+        wedges.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("root", "cand", "n_common", F.col("rnk").cast("long").alias("rnk"))
+    )

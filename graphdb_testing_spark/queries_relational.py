@@ -1393,3 +1393,50 @@ def q_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         covered = cov.filter(F.col("s") == int(best.s)).select("p")
         un = un.join(covered, "p", "left_anti").localCheckpoint()
     return spark.createDataFrame(picks, "s long, gain long, round long")
+
+
+# ---------------------------------------------------------------------------
+# week-over-week revenue change
+# ---------------------------------------------------------------------------
+
+_WOW_ORACLE = """
+WITH weekly AS (
+  SELECT CAST(epoch(date_trunc('week', o_orderdate)) AS BIGINT) AS week_epoch,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT week_epoch, revenue,
+       LAG(revenue) OVER (ORDER BY week_epoch) AS prev_revenue,
+       CAST(CASE WHEN LAG(revenue) OVER (ORDER BY week_epoch) > 0
+            THEN FLOOR(1000.0 * (revenue - LAG(revenue) OVER (ORDER BY week_epoch))
+                       / LAG(revenue) OVER (ORDER BY week_epoch))
+            ELSE NULL END AS BIGINT) AS wow_change_milli
+FROM weekly
+"""
+
+
+@register("wow_revenue_change", _WOW_ORACLE)
+def q_wow_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue deltas: DECIMAL weekly sums, one
+    ordered LAG over the (tiny) week series, integer milli change —
+    the growth-report staple.  The global window runs over one row
+    per week, not per order."""
+    od = datasets.load_table(spark, sf_dir, "orders")
+    weekly = od.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("long").alias("week_epoch")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("week_epoch")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week_epoch",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev > 0, F.floor(F.lit(1000.0) * (F.col("revenue") - prev) / prev))
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("wow_change_milli"),
+    )
