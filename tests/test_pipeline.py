@@ -239,3 +239,36 @@ def test_jaccard_prefix_join_exact_vs_bruteforce(spark, docs):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_pq_adc_approximates_exact_ranking(spark):
+    """PQ-ADC top-1 must be a genuinely close neighbor: its exact
+    integerized distance is within 4x of the true nearest non-query
+    vector's distance for every query (coarse but codebook-free
+    bound on a 16-codeword quantizer)."""
+    from graphdb_testing_spark.queries import all_queries
+    import graphdb_testing_spark.queries_pipeline  # noqa: F401
+
+    sf = "/root/testdata/sf0.001"
+    adc = all_queries()["pq_adc_topk"](spark, sf).filter(F.col("rank") == 1)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1024) as bigint))"
+        ).alias("iv"),
+    )
+    import itertools
+
+    vecs = {r.vec_id: r.iv for r in emb.collect()}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for r in adc.collect():
+        q = vecs[r.q_id]
+        true_best = min(
+            d2(q, v) for vid, v in vecs.items()
+            if vid != r.q_id and not (16 <= vid < 21)
+        )
+        got = d2(q, vecs[r.vec_id])
+        assert got <= max(4 * true_best, true_best + 1)

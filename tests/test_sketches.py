@@ -51,3 +51,24 @@ def test_hll_duplicates_do_not_move_estimate(spark):
         sketches.hll_registers(dup, ["key"], "v"), ["key"]
     ).collect()[0]["est_milli"]
     assert e1 == e2
+
+
+def test_hll_intersection_estimate_sane(spark):
+    """Inclusion-exclusion intersection estimate lands within the
+    combined sketch error of the true overlap on controlled sets."""
+    from pyspark.sql import functions as SF
+
+    a = spark.range(0, 4000).select(SF.lit("a").alias("side"), SF.col("id").alias("v"))
+    b = spark.range(2000, 6000).select(SF.lit("b").alias("side"), SF.col("id").alias("v"))
+    regs = sketches.hll_registers(a.unionAll(b), ["side"], "v")
+    est = {
+        r.side: r.est_milli / 1000
+        for r in sketches.hll_estimate(regs, ["side"]).collect()
+    }
+    union_regs = regs.groupBy("register").agg(
+        F.max("max_rho").alias("max_rho")
+    ).withColumn("k", F.lit(1))
+    u = sketches.hll_estimate(union_regs, ["k"]).collect()[0]["est_milli"] / 1000
+    inter_est = est["a"] + est["b"] - u
+    # truth: |A∩B| = 2000; 3 sketches at ~13% sigma each
+    assert abs(inter_est - 2000) < 2000 * 0.9
