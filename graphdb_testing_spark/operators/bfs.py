@@ -182,22 +182,38 @@ def widest_path(
     fixpoint.  Capacity planning / max-flow-lite over co-occurrence
     weights."""
     spark = edges.sparkSession
-    e = edges.select("src", "dst", "wgt")
-    e = e.coalesce(iter_partitions(edges.count()))
+    # self-loops with weight = inf make the round a SINGLE
+    # join + groupBy.max (min(cap, inf) = cap keeps the old value), so
+    # the state is referenced once per round — linear plan growth, and
+    # rounds can be unrolled between checkpoints (the
+    # operators/components.py idiom)
+    ids = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    ne = edges.count()
+    e_self = (
+        edges.select("src", "dst", "wgt")
+        .unionAll(
+            ids.select(
+                F.col("id").alias("src"),
+                F.col("id").alias("dst"),
+                F.lit(int(inf)).alias("wgt"),
+            )
+        )
+        .coalesce(iter_partitions(ne))
+    )
+    nv = ids.count()
     cap = spark.createDataFrame(
         [(int(source), int(inf))], "id long, cap long"
     ).localCheckpoint()
-    reached = 1
-    for _ in range(rounds):
-        relaxed = e.join(state_hint(cap, reached), e.src == F.col("id")).select(
-            F.col("dst").alias("id"),
-            F.least(F.col("cap"), F.col("wgt")).alias("cap"),
-        )
-        cap = (
-            cap.unionAll(relaxed)
-            .groupBy("id")
-            .agg(F.max("cap").alias("cap"))
-            .localCheckpoint()
-        )
-        reached = cap.count()
+    done = 0
+    unroll = 3
+    while done < rounds:
+        k = min(unroll, rounds - done)
+        for _ in range(k):
+            cap = (
+                e_self.join(state_hint(cap, nv), e_self.src == F.col("id"))
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max(F.least(F.col("cap"), F.col("wgt"))).alias("cap"))
+            )
+        cap = cap.localCheckpoint()
+        done += k
     return cap
