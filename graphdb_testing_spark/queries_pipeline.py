@@ -1334,3 +1334,77 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("s2 div n").cast("long").alias("mean_norm2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall against exact shingle-Jaccard ground truth
+# ---------------------------------------------------------------------------
+
+_MH_RECALL_T = 0.35
+
+_MH_RECALL_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
+  FROM documents, UNNEST(generate_series(1, len(text) - 7)) AS t(i)
+  WHERE len(text) >= 8
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.a_id, i.b_id FROM inter i
+  JOIN sizes za ON za.doc_id = i.a_id
+  JOIN sizes zb ON zb.doc_id = i.b_id
+  WHERE i.i >= {_MH_RECALL_T} * (za.sz + zb.sz - i.i)
+),
+cand AS (SELECT a_id, b_id FROM ({{MINHASH}}) WHERE jaccard >= {_MH_RECALL_T}),
+hits AS (SELECT COUNT(*) AS n FROM truth SEMI JOIN cand USING (a_id, b_id))
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+       CAST((SELECT n FROM hits) AS BIGINT) AS n_found,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates
+"""
+
+
+def _mh_recall_oracle() -> str:
+    return _MH_RECALL_ORACLE.replace("{MINHASH}", _minhash_oracle().strip())
+
+
+@register("minhash_recall", _mh_recall_oracle())
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded MinHash-LSH pipeline against the EXACT
+    shingle-Jaccard ≥ 0.35 pair set (computed by shingle-key
+    inverted-index join — never all-pairs) — the dedup-quality twin
+    of ``ivf_recall``: how many true near-dup pairs the bands
+    surface, and at what candidate cost."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(docs).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    b = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("za")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("zb")), "b_id")
+        .filter(F.col("i") >= _MH_RECALL_T * (F.col("za") + F.col("zb") - F.col("i")))
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
+    cand = (
+        dedup.minhash_near_duplicates(docs, threshold=_MH_RECALL_T)
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
+    found = truth.join(cand, ["a_id", "b_id"], "semi")
+    return (
+        truth.agg(F.count("*").cast("long").alias("n_true_pairs"))
+        .crossJoin(found.agg(F.count("*").cast("long").alias("n_found")))
+        .crossJoin(cand.agg(F.count("*").cast("long").alias("n_candidates")))
+    )
