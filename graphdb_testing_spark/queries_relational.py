@@ -1440,3 +1440,78 @@ def q_wow_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wow_change_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# prequential anomaly scores: z against PRIOR hours only (streamable)
+# ---------------------------------------------------------------------------
+
+_PREQ_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, hour_epoch, cnt,
+         COUNT(*) OVER w AS n,
+         SUM(cnt) OVER w AS s,
+         SUM(cnt * cnt) OVER w AS sq
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_epoch, cnt,
+       CAST(n AS BIGINT) AS n_prior,
+       CAST(FLOOR(1000.0 * (cnt * n - s) /
+                  SQRT(CAST(n * sq - s * s AS DOUBLE))) AS BIGINT) AS z_milli
+FROM cum
+WHERE n >= 2 AND n * sq - s * s > 0
+"""
+
+
+@register("prequential_anomalies", _PREQ_ORACLE)
+def q_prequential_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (prequential) anomaly scores: each hour's count is
+    z-scored against the moments of STRICTLY PRIOR hours only — the
+    causally-valid scoring a live detector can actually compute
+    (`hourly_anomalies` is its full-series retrospective twin).  Same
+    exact-integer-moment trick, cumulative via one ordered window per
+    series; a streaming detector carries (n, Σc, Σc²) as state and
+    emits the identical score (parity test in test_streaming.py)."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("long").alias("hour_epoch"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hourly.select(
+        "event_type",
+        "hour_epoch",
+        "cnt",
+        F.count("*").over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("sq"),
+    )
+    var_num = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    return (
+        cum.filter((F.col("n") >= 2) & (var_num > 0))
+        .select(
+            "event_type",
+            "hour_epoch",
+            "cnt",
+            F.col("n").cast("long").alias("n_prior"),
+            F.floor(
+                F.lit(1000.0)
+                * (F.col("cnt") * F.col("n") - F.col("s"))
+                / F.sqrt(var_num.cast("double"))
+            )
+            .cast("long")
+            .alias("z_milli"),
+        )
+    )

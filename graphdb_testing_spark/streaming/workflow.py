@@ -860,3 +860,87 @@ def streaming_hll(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_prequential_anomalies(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "preq_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of ``prequential_anomalies``: per event type the
+    state is the current (open) hour's count plus the exact integer
+    moments (n, Σc, Σc²) of completed hours.  An hour is scored the
+    moment a later-hour event arrives (event-time order per key is
+    the file-source contract, as in ``streaming_debounce``), then
+    folded into the moments — so every emitted score uses STRICTLY
+    PRIOR hours only, bit-identical to the batch query (z is the same
+    IEEE arithmetic on the same integers; parity test gates it).
+
+    The per-batch work is one vectorized hourly groupby; the Python
+    loop is per HOUR (bounded by batch time-span), never per row.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def upd(key, pdf_iter, state: "GroupState"):
+        import math
+
+        import pandas as pd
+
+        if state.exists:
+            cur_hour, cur_cnt, n, s, sq = state.get
+        else:
+            cur_hour, cur_cnt, n, s, sq = None, 0, 0, 0, 0
+        out = []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            counts = pdf.groupby("hour_epoch").size().sort_index()
+            for hour, c in counts.items():
+                hour, c = int(hour), int(c)
+                if cur_hour is None:
+                    cur_hour, cur_cnt = hour, c
+                elif hour == cur_hour:
+                    cur_cnt += c
+                else:
+                    # close cur_hour: score, then fold into moments
+                    var_num = n * sq - s * s
+                    if n >= 2 and var_num > 0:
+                        z = math.floor(
+                            1000.0 * (cur_cnt * n - s) / math.sqrt(float(var_num))
+                        )
+                        out.append((key[0], cur_hour, cur_cnt, n, z))
+                    n, s, sq = n + 1, s + cur_cnt, sq + cur_cnt * cur_cnt
+                    cur_hour, cur_cnt = hour, c
+        state.update((cur_hour, cur_cnt, n, s, sq))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["event_type", "hour_epoch", "cnt", "n_prior", "z_milli"],
+            )
+
+    ev = _events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    ).select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("long").alias("hour_epoch"),
+    )
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        upd,
+        outputStructType=(
+            "event_type string, hour_epoch long, cnt long,"
+            " n_prior long, z_milli long"
+        ),
+        stateStructType=(
+            "cur_hour long, cur_cnt long, n long, s long, sq long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

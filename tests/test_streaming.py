@@ -557,3 +557,53 @@ def test_incremental_triangles_equals_recompute_on_batches(spark):
             r.id: r.ntri for r in triangles_per_vertex(wf.edges).collect()
         }
         assert got == want
+
+
+def test_streaming_prequential_matches_batch(spark, tmp_path):
+    """Every hour the stream closes scores identically to the batch
+    prequential query; only each type's final (still-open) hour and
+    variance-degenerate rows are absent."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.queries import all_queries
+    import graphdb_testing_spark.queries_relational  # noqa: F401
+    from graphdb_testing_spark.streaming.workflow import (
+        streaming_prequential_anomalies,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "preq_stream"
+    stream_dir.mkdir()
+    t = pq.read_table(f"{sf}/events.parquet").sort_by([("ts", "ascending")])
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), f"{stream_dir}/part-0.parquet")
+    pq.write_table(t.slice(half), f"{stream_dir}/part-1.parquet")
+    now = time.time()
+    os.utime(f"{stream_dir}/part-0.parquet", (now - 10, now - 10))
+    os.utime(f"{stream_dir}/part-1.parquet", (now, now))
+    q = streaming_prequential_anomalies(
+        spark, str(stream_dir), query_name="t_preq", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_type, r.hour_epoch): (r.cnt, r.n_prior, r.z_milli)
+        for r in spark.sql("select * from t_preq").collect()
+    }
+    assert got, "stream emitted nothing"
+    batch_rows = all_queries()["prequential_anomalies"](spark, sf).collect()
+    batch = {
+        (r.event_type, r.hour_epoch): (r.cnt, r.n_prior, r.z_milli)
+        for r in batch_rows
+    }
+    last_hour = {}
+    for r in batch_rows:
+        last_hour[r.event_type] = max(last_hour.get(r.event_type, 0), r.hour_epoch)
+    # every streamed score matches batch exactly
+    for k, v in got.items():
+        assert batch[k] == v, k
+    # nothing is missing except final open hours
+    missing = set(batch) - set(got)
+    assert all(h == last_hour[t] for (t, h) in missing)
