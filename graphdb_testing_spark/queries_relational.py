@@ -1515,3 +1515,71 @@ def q_prequential_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("z_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# activity churn: biggest first-half -> second-half drops
+# ---------------------------------------------------------------------------
+
+_CHURN_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+halves AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN epoch_us(ts) * 2 < b.lo + b.hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS first_half,
+         CAST(SUM(CASE WHEN epoch_us(ts) * 2 >= b.lo + b.hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS second_half
+  FROM events CROSS JOIN bounds b
+  GROUP BY user_id
+)
+SELECT user_id, first_half, second_half,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT user_id, first_half, second_half,
+         ROW_NUMBER() OVER (ORDER BY first_half - second_half DESC, user_id)
+           AS rnk
+  FROM halves WHERE first_half > 0)
+WHERE rnk <= 20
+"""
+
+
+@register("activity_churn", _CHURN_ORACLE)
+def q_activity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn shortlist: the 20 users whose event volume dropped most
+    between the observation window's first and second half (midpoint
+    split on the integer µs axis, so the split is exact) — the
+    engagement-decline report; one scalar bound + one conditional
+    aggregation + top-k."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    halves = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.unix_micros("ts") * 2 < F.col("lo") + F.col("hi")).cast("long")
+            ).alias("first_half"),
+            F.sum(
+                (F.unix_micros("ts") * 2 >= F.col("lo") + F.col("hi")).cast("long")
+            ).alias("second_half"),
+        )
+    )
+    w = Window.orderBy(
+        F.desc(F.col("first_half") - F.col("second_half")), "user_id"
+    )
+    return (
+        halves.filter(F.col("first_half") > 0)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "user_id",
+            F.col("first_half").cast("long"),
+            F.col("second_half").cast("long"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
