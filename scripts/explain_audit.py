@@ -118,6 +118,34 @@ def main() -> None:
 
     qs = all_queries()
     audit("decontamination", qs["decontamination"](spark, sf_dir))
+
+    # round-2 continuation additions (heaviest / most join-shaped)
+    from graphdb_testing_spark import queries_sketches  # noqa: F401 (registers)
+
+    qs = all_queries()
+    for name in (
+        "hll_distinct_users",
+        "boilerplate_stats",
+        "butterfly_count",
+        "temporal_2paths",
+        "pq_codes",
+        "pq_adc_topk",
+        "frequent_type_pairs",
+        "histogram_quantiles",
+        "bloom_prune_stats",
+        "user_state_history",
+        "hourly_anomalies",
+        "prequential_anomalies",
+        "first_touch_attribution",
+        "session_window_rollup",
+        "sliding_window_counts",
+        "fuzzy_name_pairs",
+        "kmeans_update",
+        "value_trends",
+        "fof_recommendations",
+        "audience_overlap",
+    ):
+        audit(name, qs[name](spark, sf_dir))
     audit("stratified_sample", qs["stratified_sample"](spark, sf_dir))
     audit("document_chunks", qs["document_chunks"](spark, sf_dir))
     audit("curation_decision", qs["curation_decision"](spark, sf_dir))
