@@ -2455,3 +2455,115 @@ def q_fof_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("root", "cand", "n_common", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Eulerian path/circuit feasibility (degree parity + connectivity)
+# ---------------------------------------------------------------------------
+
+_EULER_ORACLE = oracles.with_user_edges(
+    """
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+       (SELECT CAST(SUM(d) / 2 AS BIGINT) FROM deg) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE d % 2 = 1) AS n_odd,
+       CAST((SELECT COUNT(DISTINCT label) FROM lab) = 1 AS BIGINT)
+         AS is_connected,
+       CAST((SELECT COUNT(*) FROM deg WHERE d % 2 = 1) IN (0, 2)
+            AND (SELECT COUNT(DISTINCT label) FROM lab) = 1 AS BIGINT)
+         AS has_euler_path,
+       CAST((SELECT COUNT(*) FROM deg WHERE d % 2 = 1) = 0
+            AND (SELECT COUNT(DISTINCT label) FROM lab) = 1 AS BIGINT)
+         AS has_euler_circuit
+""",
+    extra_ctes="""
+ued AS MATERIALIZED (SELECT DISTINCT src, dst FROM user_edges),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM ued GROUP BY src),
+reach(id, label) AS (
+  SELECT src, src FROM ued
+  UNION
+  SELECT e.dst, r.label FROM ued e JOIN reach r ON e.src = r.id
+),
+lab AS (SELECT id, MIN(label) AS label FROM reach GROUP BY id)
+""",
+).replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+@register("eulerian_check", _EULER_ORACLE)
+def q_eulerian_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euler's theorem as a query: a connected graph has an Eulerian
+    circuit iff every degree is even, a path iff exactly 0 or 2 odd
+    degrees — one degree aggregation + the CC kernel; the classic
+    route-inspection feasibility check."""
+    from .operators.components import connected_components
+
+    g = datasets.user_graph(spark, sf_dir)
+    nbrs = g.edges.select("src", "dst").distinct().localCheckpoint()
+    deg = nbrs.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    n_comp = (
+        connected_components(nbrs).select("label").distinct().count()
+    )
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum((F.col("d") % 2 == 1).cast("long")).cast("long").alias("n_odd"),
+    )
+    return stats.select(
+        "n_vertices",
+        "n_edges",
+        "n_odd",
+        F.lit(1 if n_comp == 1 else 0).cast("long").alias("is_connected"),
+        (
+            F.col("n_odd").isin(0, 2) & F.lit(n_comp == 1)
+        ).cast("long").alias("has_euler_path"),
+        ((F.col("n_odd") == 0) & F.lit(n_comp == 1))
+        .cast("long")
+        .alias("has_euler_circuit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4-cycle (C4) counting via co-degree pairs
+# ---------------------------------------------------------------------------
+
+_C4_ORACLE = oracles.with_user_edges(
+    """
+SELECT CAST(SUM(c * (c - 1) / 2) / 2 AS BIGINT) AS n_4cycles,
+       CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n_codeg_pairs
+FROM codeg
+""",
+    extra_ctes="""
+uec AS MATERIALIZED (SELECT DISTINCT src, dst FROM user_edges),
+codeg AS (
+  SELECT a.src AS u, b.src AS v, COUNT(*) AS c
+  FROM uec a JOIN uec b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+""",
+)
+
+
+@register("four_cycle_count", _C4_ORACLE)
+def q_four_cycle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 4-cycle census: ``C4 = ½ Σ_{u<v} C(codeg(u,v), 2)``
+    (each cycle has two disjoint diagonals) — the quadrilateral
+    analog of the triangle census, and the bipartite butterfly
+    formula applied to a general graph.  Co-degrees come from one
+    wedge join keyed on the shared neighbor; at scale the join is
+    degree-oriented exactly like the triangle kernel."""
+    g = datasets.user_graph(spark, sf_dir)
+    nbrs = g.edges.select("src", "dst").distinct().localCheckpoint()
+    a = nbrs.alias("a")
+    b = nbrs.alias("b")
+    codeg = (
+        a.join(
+            b,
+            (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = F.sum(F.col("c") * (F.col("c") - 1) / 2)
+    return codeg.agg(
+        (pairs / 2).cast("long").alias("n_4cycles"),
+        pairs.cast("long").alias("n_codeg_pairs"),
+    )
