@@ -217,3 +217,62 @@ def widest_path(
         cap = cap.localCheckpoint()
         done += k
     return cap
+
+
+def two_shortest(
+    edges: DataFrame,
+    source: int,
+    rounds: int = 6,
+    sentinel: int = 1 << 60,
+) -> DataFrame:
+    """``(id, d1, d2)`` — the two smallest DISTINCT walk lengths from
+    ``source`` over integer edge weights, bounded rounds.
+
+    The k=2 instance of the k-shortest-distance semiring (values are
+    sorted pairs, ⊕ = two smallest distinct of the union, ⊗ = add the
+    edge weight to both): alternate-route awareness — how much worse
+    is plan B — with the same one-join-per-round plan as SSSP.
+    Unreached/absent second routes carry ``sentinel``.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", "wgt")
+    e = e.coalesce(iter_partitions(edges.count()))
+    st = spark.createDataFrame(
+        [(int(source), 0, int(sentinel))], "id long, d1 long, d2 long"
+    ).localCheckpoint()
+    for _ in range(rounds):
+        n_st = st.count()
+        relaxed = (
+            e.join(state_hint(st, n_st), e.src == F.col("id"))
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("d1") + F.col("wgt")).alias("a"),
+                F.when(
+                    F.col("d2") < F.lit(int(sentinel)), F.col("d2") + F.col("wgt")
+                ).otherwise(F.lit(int(sentinel))).alias("b"),
+            )
+        )
+        cand = (
+            st.select("id", F.col("d1").alias("d"))
+            .unionAll(st.filter(F.col("d2") < sentinel).select("id", F.col("d2").alias("d")))
+            .unionAll(relaxed.select("id", F.col("a").alias("d")))
+            .unionAll(
+                relaxed.filter(F.col("b") < sentinel).select("id", F.col("b").alias("d"))
+            )
+            .distinct()
+        )
+        best = cand.groupBy("id").agg(F.min("d").alias("d1"))
+        second = (
+            cand.join(best, "id")
+            .filter(F.col("d") > F.col("d1"))
+            .groupBy("id")
+            .agg(F.min("d").alias("d2"))
+        )
+        st = (
+            best.join(second, "id", "left")
+            .select(
+                "id", "d1", F.coalesce("d2", F.lit(int(sentinel))).alias("d2")
+            )
+            .localCheckpoint()
+        )
+    return st

@@ -2567,3 +2567,61 @@ def q_four_cycle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pairs / 2).cast("long").alias("n_4cycles"),
         pairs.cast("long").alias("n_codeg_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# two shortest distinct distances (k=2 semiring SSSP)
+# ---------------------------------------------------------------------------
+
+_K2_SENTINEL = 1 << 60
+
+
+def _two_shortest_oracle(rounds: int = 6) -> str:
+    ctes = [
+        "uew AS MATERIALIZED (SELECT src, dst, wgt FROM user_edges)",
+        f"s0 AS (SELECT (SELECT MIN(src) FROM uew) AS id,"
+        f" CAST(0 AS BIGINT) AS d1, CAST({_K2_SENTINEL} AS BIGINT) AS d2)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""cand{i} AS MATERIALIZED (
+  SELECT DISTINCT id, d FROM (
+    SELECT id, d1 AS d FROM s{p}
+    UNION ALL
+    SELECT id, d2 FROM s{p} WHERE d2 < {_K2_SENTINEL}
+    UNION ALL
+    SELECT e.dst, s.d1 + e.wgt FROM uew e JOIN s{p} s ON s.id = e.src
+    UNION ALL
+    SELECT e.dst, s.d2 + e.wgt FROM uew e JOIN s{p} s
+      ON s.id = e.src WHERE s.d2 < {_K2_SENTINEL}
+  ))"""
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT b.id, b.d1, COALESCE(x.d2, {_K2_SENTINEL}) AS d2 FROM
+    (SELECT id, MIN(d) AS d1 FROM cand{i} GROUP BY id) b
+  LEFT JOIN (
+    SELECT c.id, MIN(c.d) AS d2 FROM cand{i} c
+    JOIN (SELECT id, MIN(d) AS d1 FROM cand{i} GROUP BY id) m
+      ON m.id = c.id
+    WHERE c.d > m.d1 GROUP BY c.id) x
+  ON x.id = b.id)"""
+        )
+    return oracles.with_user_edges(
+        body=f"SELECT id, d1, d2 FROM s{rounds}",
+        extra_ctes=",\n".join(ctes),
+    )
+
+
+@register("two_shortest_6round", _two_shortest_oracle(6))
+def q_two_shortest_6round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best and second-best distinct route lengths from the min-id
+    vertex (k=2 shortest-distance semiring, 6 unrolled rounds) —
+    alternate-route robustness over co-occurrence weights; see
+    :func:`operators.bfs.two_shortest`."""
+    from .operators.bfs import two_shortest
+
+    g = datasets.user_graph(spark, sf_dir)
+    source = int(g.edges.agg(F.min("src")).collect()[0][0])
+    return two_shortest(g.edges, source, rounds=6, sentinel=_K2_SENTINEL)
