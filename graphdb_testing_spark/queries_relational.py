@@ -1583,3 +1583,135 @@ def q_activity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# range-partitioner split points (exact order-statistic boundaries)
+# ---------------------------------------------------------------------------
+
+_NSPLITS = 16
+
+_SPLITS_ORACLE = f"""
+WITH keys AS (SELECT DISTINCT user_id AS k FROM events),
+ranked AS (
+  SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS rn,
+         COUNT(*) OVER () AS n
+  FROM keys
+)
+SELECT CAST(b.b AS BIGINT) AS bucket, r.k AS split_key,
+       CAST(r.rn AS BIGINT) AS at_rank
+FROM (SELECT UNNEST(generate_series(1, {_NSPLITS - 1})) AS b) b
+JOIN ranked r ON r.rn = (r.n * b.b) // {_NSPLITS}
+"""
+
+
+@register("range_split_points", _SPLITS_ORACLE)
+def q_range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced range-partitioner boundaries: the 15 exact order
+    statistics at ranks ``⌊n·k/16⌋`` over the distinct key domain —
+    what a range shuffle / Z-order writer computes before laying out
+    files (Spark's own RangePartitioner samples; exact quantiles are
+    the ground truth it approximates)."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    keys = ev.select(F.col("user_id").alias("k")).distinct()
+    w = Window.orderBy("k")
+    ranked = keys.select(
+        "k",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    buckets = F.explode(
+        F.array(*[F.lit(b) for b in range(1, _NSPLITS)])
+    ).alias("bucket")
+    targets = ranked.select("k", "rn", "n", buckets).filter(
+        F.col("rn") == F.expr(f"(n * bucket) div {_NSPLITS}")
+    )
+    return targets.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("k").alias("split_key"),
+        F.col("rn").cast("long").alias("at_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# consistent-hash ring placement (4 nodes x 8 virtual nodes)
+# ---------------------------------------------------------------------------
+
+_RING_NODES = 4
+_RING_VNODES = 8
+
+_RING_ORACLE = f"""
+WITH vnodes AS (
+  SELECT n.n AS node, v.v AS vnode,
+         ('0x' || substr(md5('ring|' || n.n::VARCHAR || '|' || v.v::VARCHAR),
+          1, 8))::BIGINT AS token
+  FROM (SELECT UNNEST(generate_series(0, {_RING_NODES - 1})) AS n) n,
+       (SELECT UNNEST(generate_series(0, {_RING_VNODES - 1})) AS v) v
+),
+users AS (
+  SELECT DISTINCT user_id,
+         ('0x' || substr(md5('key|' || user_id::VARCHAR), 1, 8))::BIGINT
+           AS utoken
+  FROM events
+),
+assigned AS (
+  SELECT u.user_id,
+         COALESCE(
+           (SELECT vn.node FROM vnodes vn WHERE vn.token >= u.utoken
+            ORDER BY vn.token, vn.node LIMIT 1),
+           (SELECT vn.node FROM vnodes vn ORDER BY vn.token, vn.node LIMIT 1)
+         ) AS node
+  FROM users u
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM assigned GROUP BY node
+"""
+
+
+@register("hash_ring_assignment", _RING_ORACLE)
+def q_hash_ring_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring placement (Karger et al.; the
+    Dynamo/Cassandra sharding primitive): 4 nodes × 8 virtual-node
+    tokens on a 32-bit ring, each key owned by the first token
+    clockwise — virtual nodes are what keep the load spread tight and
+    make node addition move only 1/n of keys.  The 32-row token table
+    broadcasts; assignment is one sort-free min-over-qualifying
+    aggregation per key."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    from .hashutil import hash_prefix
+
+    spark_tokens = [
+        (n, v)
+        for n in range(_RING_NODES)
+        for v in range(_RING_VNODES)
+    ]
+    vn = spark.createDataFrame(spark_tokens, "node long, vnode long").select(
+        "node",
+        "vnode",
+        hash_prefix(
+            F.concat_ws("|", F.lit("ring"), F.col("node").cast("string"),
+                        F.col("vnode").cast("string")),
+            8,
+        ).alias("token"),
+    ).localCheckpoint()
+    wrap = vn.orderBy("token", "node").limit(1).collect()[0]
+    users = ev.select("user_id").distinct().select(
+        "user_id",
+        hash_prefix(
+            F.concat_ws("|", F.lit("key"), F.col("user_id").cast("string")), 8
+        ).alias("utoken"),
+    )
+    assigned = (
+        users.join(F.broadcast(vn), F.col("token") >= F.col("utoken"), "left")
+        .groupBy("user_id", "utoken")
+        .agg(
+            F.min(F.struct("token", "node")).alias("best")
+        )
+        .select(
+            "user_id",
+            F.coalesce(F.col("best.node"), F.lit(int(wrap.node))).alias("node"),
+        )
+    )
+    return assigned.groupBy(F.col("node").cast("long").alias("node")).agg(
+        F.count("*").cast("long").alias("n_users")
+    )
