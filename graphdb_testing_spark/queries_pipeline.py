@@ -1408,3 +1408,113 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(found.agg(F.count("*").cast("long").alias("n_found")))
         .crossJoin(cand.agg(F.count("*").cast("long").alias("n_candidates")))
     )
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix (classifier evaluation)
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from .queries import all_oracles
+
+    return f"""
+WITH pred AS ({all_oracles()["language_id"]})
+SELECT d.lang AS true_lang, p.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+@register("langid_confusion", _langid_confusion_oracle())
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language identifier against the
+    corpus's ground-truth ``lang`` labels — the evaluation loop for
+    any classifier stage in the curation cascade (per-class support
+    and error mass in one crosstab)."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    pred = textstats.language_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope of the word-frequency law (integer-quantized log OLS)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100
+
+_ZIPF_ORACLE = f"""
+WITH freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> '' GROUP BY tok
+),
+ranked AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rnk
+  FROM freq
+),
+pts AS (
+  SELECT CAST(FLOOR(1e6 * LN(CAST(rnk AS DOUBLE))) AS BIGINT) AS x,
+         CAST(FLOOR(1e6 * LN(CAST(f AS DOUBLE))) AS BIGINT) AS y
+  FROM ranked WHERE rnk <= {_ZIPF_TOP}
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT n AS n_terms,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+         AS zipf_slope
+FROM stats
+"""
+
+
+@register("zipf_slope", _ZIPF_ORACLE)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus: OLS slope of log-frequency
+    on log-rank over the top 100 terms.  Each log is quantized to
+    integer micros BEFORE summing (floor of 1e6·ln — the TF-IDF
+    idiom), so the sufficient statistics are exact BIGINTs and the
+    distributed sum is order-independent; natural text sits near
+    slope −1, so drift flags corpus anomalies (boilerplate floods,
+    template spam)."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("f"), "tok"))
+    ).filter(F.col("rnk") <= _ZIPF_TOP)
+    pts = ranked.select(
+        F.floor(F.lit(1e6) * F.log(F.col("rnk").cast("double"))).cast("long").alias("x"),
+        F.floor(F.lit(1e6) * F.log(F.col("f").cast("double"))).cast("long").alias("y"),
+    )
+    st = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return st.select(
+        F.col("n").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy"))
+            / (F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
