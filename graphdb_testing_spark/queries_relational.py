@@ -1715,3 +1715,51 @@ def q_hash_ring_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy(F.col("node").cast("long").alias("node")).agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew report (hot-key shares per fact relation)
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH ks AS (
+  SELECT 'events.user_id' AS relation_key, user_id AS k FROM events
+  UNION ALL
+  SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+),
+cnt AS (
+  SELECT relation_key, k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ks GROUP BY 1, 2
+)
+SELECT relation_key,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS hottest,
+       CAST((1000000 * MAX(c)) // SUM(c) AS BIGINT) AS top_share_micro
+FROM cnt GROUP BY relation_key
+"""
+
+
+@register("skew_report", _SKEW_ORACLE)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit: per fact-side key, the hottest key's row
+    count and micro-share — the number that decides between a plain
+    shuffle join, AQE skew splitting, and explicit salting
+    (`operators/skew.py`).  One union of key projections, one
+    two-level aggregation."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    ks = (
+        ev.select(F.lit("events.user_id").alias("relation_key"), F.col("user_id").alias("k"))
+        .unionAll(li.select(F.lit("lineitem.l_partkey"), F.col("l_partkey")))
+        .unionAll(li.select(F.lit("lineitem.l_suppkey"), F.col("l_suppkey")))
+    )
+    cnt = ks.groupBy("relation_key", "k").agg(F.count("*").cast("long").alias("c"))
+    return cnt.groupBy("relation_key").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("hottest"),
+        F.expr("(1000000 * max(c)) div sum(c)").cast("long").alias("top_share_micro"),
+    )

@@ -72,3 +72,32 @@ def test_hll_intersection_estimate_sane(spark):
     inter_est = est["a"] + est["b"] - u
     # truth: |A∩B| = 2000; 3 sketches at ~13% sigma each
     assert abs(inter_est - 2000) < 2000 * 0.9
+
+
+def test_table_digest_detects_single_row_change(spark, tmp_path):
+    """Flipping ONE key column in ONE row must flip the XOR digest
+    (and row counts stay equal — the case checksums exist for)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.queries import all_queries
+    import graphdb_testing_spark.queries_sketches  # noqa: F401
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "mutated"
+    d.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        os.symlink(f"{sf}/{t}.parquet", d / f"{t}.parquet")
+    tbl = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    tbl.loc[0, "user_id"] = tbl.loc[0, "user_id"] + 1
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(tbl), d / "events.parquet")
+    q = all_queries()["table_digests"]
+    base = {r.tbl: (r.n_rows, r.digest) for r in q(spark, sf).collect()}
+    mut = {r.tbl: (r.n_rows, r.digest) for r in q(spark, str(d)).collect()}
+    assert base["events"][0] == mut["events"][0]  # same row count
+    assert base["events"][1] != mut["events"][1]  # digest flips
+    assert base["orders"] == mut["orders"]  # untouched tables agree
