@@ -236,3 +236,70 @@ def test_hash_prefix_matches_duckdb_exactly(spark):
                 f"SELECT ('0x' || substr(md5(?), 1, {width}))::BIGINT", [s]
             ).fetchone()[0]
             assert got[s] == want, (s, width, got[s], want)
+
+
+actions_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),  # src
+        st.integers(min_value=0, max_value=12),  # dst
+        st.booleans(),  # delete?
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(acts=actions_strategy)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_apply_actions_matches_reference_model(spark, acts):
+    """Random action sequences against a 20-line Python model of the
+    reference merge semantics (complement-coded deletes, symmetric
+    application, weight accumulation, delete-wins-within-batch like
+    the engine's decode): final edge tables agree exactly."""
+    from graphdb_testing_spark.operators.updates import apply_actions
+
+    base = spark.createDataFrame(
+        [(0, 1, 2), (1, 0, 2), (2, 3, 1), (3, 2, 1)],
+        "src long, dst long, wgt long",
+    )
+    rows = []
+    for i, (u, v, is_del) in enumerate(acts):
+        if u == v:
+            continue
+        if is_del:
+            rows.append((i, -(u + 1), -(v + 1), 1))
+        else:
+            rows.append((i, u, v, 1))
+    if not rows:
+        return
+    batch = spark.createDataFrame(
+        rows, "seq long, src long, dst long, weight long"
+    )
+    got = {
+        (r.src, r.dst): r.wgt
+        for r in apply_actions(base, batch).collect()
+    }
+
+    # reference model: per undirected pair, deletes in the batch win
+    # over inserts of the same batch (decode splits dels first);
+    # inserts accumulate weight on both directions
+    model = {(0, 1): 2, (1, 0): 2, (2, 3): 1, (3, 2): 1}
+    ins: dict[tuple, int] = {}
+    dels = set()
+    for u, v, is_del in acts:
+        if u == v:
+            continue
+        key = (min(u, v), max(u, v))
+        if is_del:
+            dels.add(key)
+        else:
+            ins[key] = ins.get(key, 0) + 1
+    for (a, b) in dels:
+        model.pop((a, b), None)
+        model.pop((b, a), None)
+    for (a, b), w in ins.items():
+        if (a, b) in dels:
+            continue
+        model[(a, b)] = model.get((a, b), 0) + w
+        model[(b, a)] = model.get((b, a), 0) + w
+    assert got == model
