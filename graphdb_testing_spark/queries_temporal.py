@@ -713,3 +713,106 @@ def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_purchases"),
         F.sum("v").cast("double").alias("attributed_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-respecting earliest arrival (temporal reachability)
+# ---------------------------------------------------------------------------
+
+_EA_SENTINEL = 9223372036854775807
+
+
+def _earliest_arrival_oracle(rounds: int = 6) -> str:
+    inter = """
+tinter AS MATERIALIZED (
+  SELECT a.user_id AS src, b.user_id AS dst, epoch_us(b.ts) AS t
+  FROM events a JOIN events b
+    ON a.event_type = b.event_type
+   AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+   AND a.user_id <> b.user_id
+   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+),
+src0 AS (SELECT MIN(src) AS s, MIN(epoch_us(ts)) AS t0
+         FROM tinter, (SELECT MIN(ts) AS ts FROM events))"""
+    ctes = [
+        inter.strip(),
+        "a0 AS (SELECT s AS id, t0 - 1 AS arr FROM src0)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT id, MIN(arr) AS arr FROM (
+    SELECT id, arr FROM a{p}
+    UNION ALL
+    SELECT e.dst AS id, e.t AS arr
+    FROM tinter e JOIN a{p} s ON s.id = e.src
+    WHERE s.arr <= e.t
+  ) GROUP BY id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(arr AS BIGINT) AS arrival_us FROM a{rounds}"
+    )
+
+
+@register("earliest_arrival_6round", _earliest_arrival_oracle(6))
+def q_earliest_arrival_6round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting earliest arrival from the min-id user: a
+    temporal path may only traverse interactions in non-decreasing
+    time (Wu et al., "Path problems in temporal graphs", VLDB'14) —
+    information/contagion spread, NOT plain reachability.  State is
+    (vertex, min arrival µs); each round relaxes interactions whose
+    start is after the current arrival — the SSSP plan with a time
+    guard.  6 rounds ≥ the fixture's temporal diameter."""
+    ev = datasets.load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    tinter = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.user_id") != F.col("b.user_id"))
+            & (
+                (F.col("a.ts") < F.col("b.ts"))
+                | ((F.col("a.ts") == F.col("b.ts")) & (F.col("a.event_id") < F.col("b.event_id")))
+            ),
+        )
+        .select(
+            F.col("a.user_id").alias("src"),
+            F.col("b.user_id").alias("dst"),
+            F.col("b.t_us").alias("t"),
+        )
+        .localCheckpoint()
+    )
+    source = int(tinter.agg(F.min("src")).collect()[0][0])
+    t0 = int(ev.agg(F.min("t_us")).collect()[0][0])
+    spark_st = spark.createDataFrame(
+        [(source, t0 - 1)], "id long, arr long"
+    ).localCheckpoint()
+    st = spark_st
+    for _ in range(6):
+        n_st = st.count()
+        relaxed = (
+            tinter.join(
+                st.select(F.col("id").alias("src"), "arr"), "src"
+            )
+            .filter(F.col("arr") <= F.col("t"))
+            .select(F.col("dst").alias("id"), F.col("t").alias("arr"))
+        )
+        st = (
+            st.unionAll(relaxed)
+            .groupBy("id")
+            .agg(F.min("arr").alias("arr"))
+            .localCheckpoint()
+        )
+    return st.select("id", F.col("arr").alias("arrival_us"))
