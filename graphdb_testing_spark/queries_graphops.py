@@ -814,3 +814,30 @@ def q_weakest_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("src", "dst", "sup", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# typed degree profile: per-vertex degree vector across edge types
+# ---------------------------------------------------------------------------
+
+_TYPED_PROFILE_ORACLE = oracles.with_typed_edges(
+    """
+SELECT src AS id, etype, CAST(COUNT(*) AS BIGINT) AS deg,
+       CAST(SUM(wgt) AS BIGINT) AS wdeg
+FROM typed_edges GROUP BY src, etype
+"""
+)
+
+
+@register("typed_degree_profile", _TYPED_PROFILE_ORACLE)
+def q_typed_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex degree and weighted degree BY EDGE TYPE over the
+    typed multiplex graph — the reference's per-type adjacency view
+    (``stinger-defs.h:25``) as one grouped aggregation; the layer
+    profile feeds multiplex analytics (type entropy, layer
+    correlation)."""
+    g = datasets.typed_user_graph(spark, sf_dir)
+    return g.edges.groupBy(F.col("src").alias("id"), "etype").agg(
+        F.count("*").cast("long").alias("deg"),
+        F.sum("wgt").cast("long").alias("wdeg"),
+    )
