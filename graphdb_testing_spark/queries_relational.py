@@ -1763,3 +1763,107 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("long").alias("hottest"),
         F.expr("(1000000 * max(c)) div sum(c)").cast("long").alias("top_share_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# behavioral diversity: per-user event-type entropy (micro-quantized)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH cnts AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS total FROM cnts GROUP BY user_id),
+terms AS (
+  SELECT c.user_id,
+         CAST(FLOOR(1e6 * (LN(CAST(t.total AS DOUBLE)) - LN(CAST(c.c AS DOUBLE)))
+                    * c.c / t.total) AS BIGINT) AS e_micro
+  FROM cnts c JOIN tot t USING (user_id)
+)
+SELECT t.user_id, t.total AS n_events,
+       CAST(SUM(e.e_micro) AS BIGINT) AS entropy_micro
+FROM tot t JOIN terms e USING (user_id)
+GROUP BY t.user_id, t.total
+"""
+
+
+@register("user_type_entropy", _ENTROPY_ORACLE)
+def q_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity feature (bots are low-entropy, explorers high).  Each
+    term ``p·ln(1/p)`` is quantized to integer micros BEFORE the sum
+    (the TF-IDF/Zipf idiom), so the per-user total is an exact BIGINT
+    and partition order cannot move it."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    cnts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = cnts.groupBy("user_id").agg(F.sum("c").cast("long").alias("total"))
+    terms = cnts.join(tot, "user_id").select(
+        "user_id",
+        F.floor(
+            F.lit(1e6)
+            * (F.log(F.col("total").cast("double")) - F.log(F.col("c").cast("double")))
+            * F.col("c")
+            / F.col("total")
+        )
+        .cast("long")
+        .alias("e_micro"),
+    )
+    return (
+        tot.join(terms, "user_id")
+        .groupBy("user_id", F.col("total").alias("n_events"))
+        .agg(F.sum("e_micro").cast("long").alias("entropy_micro"))
+        .select("user_id", "n_events", "entropy_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# revenue concentration: customer Gini coefficient
+# ---------------------------------------------------------------------------
+
+_REV_GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM rev
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(SUM(r) AS DOUBLE) AS total_revenue,
+       ROUND(2e0 * CAST(SUM(rnk * r) AS DOUBLE)
+               / (MAX(n) * CAST(SUM(r) AS DOUBLE))
+             - (MAX(n) + 1e0) / MAX(n), 6) AS gini
+FROM ranked
+"""
+
+
+@register("revenue_gini", _REV_GINI_ORACLE)
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration across customers (Gini via the sorted
+    rank-weighted formula; DECIMAL money so Σ rnk·r is exact) — the
+    80/20 health metric; 0 = uniform spend, →1 = whale-dominated."""
+    od = datasets.load_table(spark, sf_dir, "orders")
+    rev = od.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    ranked = rev.select(
+        "r",
+        F.row_number().over(Window.orderBy("r", "o_custkey")).alias("rnk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum("r").cast("double").alias("total_revenue"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("rnk") * F.col("r")).cast("double")
+            / (F.max("n") * F.sum("r").cast("double"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
