@@ -944,3 +944,77 @@ def streaming_prequential_anomalies(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_funnel(
+    spark: SparkSession,
+    events_path: str,
+    stages: tuple = ("view", "click", "purchase"),
+    query_name: str = "funnel_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming funnel detector: per user, a tiny state machine
+    advances through ``stages`` on strictly-later timestamps and
+    emits ONE row the moment the final stage completes — the
+    real-time conversion trigger (the batch ``conversion_funnel``
+    query is the retrospective census of the same machine).
+
+    State = (current stage index, ts of the stage's event, done
+    flag); batch events are sorted per key (chunk concat + one sort,
+    the debounce discipline), the transition scan is a per-ROW loop
+    over a pandas frame already filtered to the stage alphabet —
+    bounded by the user's funnel-relevant events per batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stage_ix = {s: i for i, s in enumerate(stages)}
+
+    def upd(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            ix, last_us, done = state.get
+        else:
+            ix, last_us, done = -1, -(1 << 62), 0
+        out = []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks and not done:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_us", "event_id"]
+            )
+            for t, et in zip(pdf["ts_us"], pdf["event_type"]):
+                if done:
+                    break
+                nxt = ix + 1
+                if stage_ix.get(et) == nxt and t > last_us:
+                    ix, last_us = nxt, int(t)
+                    if ix == len(stages) - 1:
+                        done = 1
+                        out.append((key[0], int(t)))
+        state.update((ix, last_us, done))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "completed_at_us"])
+
+    ev = _events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    )
+    filt = ev.filter(F.col("event_type").isin(*stages)).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    out = filt.groupBy("user_id").applyInPandasWithState(
+        upd,
+        outputStructType="user_id long, completed_at_us long",
+        stateStructType="ix integer, last_us long, done integer",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -607,3 +607,57 @@ def test_streaming_prequential_matches_batch(spark, tmp_path):
     # nothing is missing except final open hours
     missing = set(batch) - set(got)
     assert all(h == last_hour[t] for (t, h) in missing)
+
+
+def test_streaming_funnel_matches_batch_state_machine(spark, tmp_path):
+    """Funnel completions streamed across two micro-batches equal a
+    batch replay of the same greedy state machine per user."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.streaming.workflow import streaming_funnel
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "funnel_stream"
+    stream_dir.mkdir()
+    t = pq.read_table(f"{sf}/events.parquet").sort_by([("ts", "ascending")])
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), f"{stream_dir}/part-0.parquet")
+    pq.write_table(t.slice(half), f"{stream_dir}/part-1.parquet")
+    now = time.time()
+    os.utime(f"{stream_dir}/part-0.parquet", (now - 10, now - 10))
+    os.utime(f"{stream_dir}/part-1.parquet", (now, now))
+    q = streaming_funnel(
+        spark, str(stream_dir), query_name="t_funnel", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.completed_at_us)
+        for r in spark.sql("select * from t_funnel").collect()
+    }
+    # batch replay of the same greedy machine
+    from graphdb_testing_spark.datasets import load_table
+
+    rows = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("t"))
+        .collect()
+    )
+    per_user = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.t, r.event_id)):
+        per_user.setdefault(r.user_id, []).append(r)
+    stages = {"view": 0, "click": 1, "purchase": 2}
+    want = set()
+    for uid, evs in per_user.items():
+        ix, last = -1, -(1 << 62)
+        for r in evs:
+            nxt = ix + 1
+            if stages[r.event_type] == nxt and r.t > last:
+                ix, last = nxt, r.t
+                if ix == 2:
+                    want.add((uid, r.t))
+                    break
+    assert got == want and len(want) > 0
