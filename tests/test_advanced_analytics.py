@@ -208,3 +208,42 @@ def test_greedy_matching_is_maximal_matching(spark):
     # maximality: every unmatched edge touches a matched vertex
     us = set(used)
     assert all(u in us or v in us for u, v in pairs)
+
+
+def test_scc_chain_of_cycles_with_tails(spark):
+    """Condensation chain: C1 -> C2 -> C3 (3 cycles bridged one-way)
+    plus DAG tails — exercises trim AND multi-round peeling."""
+    from graphdb_testing_spark.operators.scc import strongly_connected_components
+
+    pairs = [
+        (0, 1), (1, 2), (2, 0),          # C1
+        (2, 10),                          # bridge
+        (10, 11), (11, 12), (12, 10),     # C2
+        (12, 20),                         # bridge
+        (20, 21), (21, 20),               # C3
+        (21, 30), (30, 31),               # tail
+        (40, 0),                          # source tail into C1
+    ]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {}
+    for r in strongly_connected_components(df).collect():
+        got.setdefault(r.scc_id, set()).add(r.id)
+    comps = sorted(map(frozenset, got.values()), key=min)
+    assert comps == sorted(
+        [frozenset({0, 1, 2}), frozenset({10, 11, 12}), frozenset({20, 21}),
+         frozenset({30}), frozenset({31}), frozenset({40})],
+        key=min,
+    )
+
+
+def test_two_shortest_walk_values_on_path(spark):
+    """P3 path with unit weights: second-distinct walk length to the
+    far end is dist+2 (one back-and-forth detour)."""
+    from graphdb_testing_spark.operators.bfs import two_shortest
+    from tests.conftest import edges_df
+
+    e = edges_df(spark, [(0, 1), (1, 2)])
+    got = {r.id: (r.d1, r.d2) for r in two_shortest(e, 0, rounds=8).collect()}
+    assert got[0][0] == 0 and got[0][1] == 2  # 0 -> 1 -> 0
+    assert got[1] == (1, 3)
+    assert got[2] == (2, 4)
