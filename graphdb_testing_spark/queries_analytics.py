@@ -2625,3 +2625,84 @@ def q_two_shortest_6round(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = datasets.user_graph(spark, sf_dir)
     source = int(g.edges.agg(F.min("src")).collect()[0][0])
     return two_shortest(g.edges, source, rounds=6, sentinel=_K2_SENTINEL)
+
+
+# ---------------------------------------------------------------------------
+# link-prediction holdout evaluation (edge recovery by common neighbors)
+# ---------------------------------------------------------------------------
+
+_HOLDOUT_ORACLE = oracles.with_user_edges(
+    """
+SELECT CAST((SELECT COUNT(*) FROM held) AS BIGINT) AS n_held_out,
+       CAST(COUNT(*) FILTER (h.cn > 0) AS BIGINT) AS n_recoverable,
+       CAST((1000 * COUNT(*) FILTER (h.cn > 0)) //
+            GREATEST((SELECT COUNT(*) FROM held), 1) AS BIGINT)
+         AS recovery_milli,
+       CAST(MAX(h.cn) AS BIGINT) AS best_cn
+FROM (
+  SELECT hh.u, hh.v, COALESCE(c.cn, 0) AS cn
+  FROM held hh LEFT JOIN (
+    SELECT a.src AS u, b.src AS v, COUNT(*) AS cn
+    FROM kept a JOIN kept b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY 1, 2) c
+  ON c.u = hh.u AND c.v = hh.v) h
+""",
+    extra_ctes="""
+uel AS MATERIALIZED (SELECT DISTINCT src, dst FROM user_edges),
+held_c AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM uel
+  WHERE src < dst
+    AND ('0x' || substr(md5('hold|' || src::VARCHAR || '|' || dst::VARCHAR),
+         1, 8))::BIGINT % 10 = 0
+),
+held AS (SELECT u, v FROM held_c),
+kept AS MATERIALIZED (
+  SELECT e.src, e.dst FROM uel e
+  WHERE NOT EXISTS (SELECT 1 FROM held_c h
+                    WHERE (h.u = e.src AND h.v = e.dst)
+                       OR (h.u = e.dst AND h.v = e.src))
+)
+""",
+)
+
+
+@register("linkpred_holdout_eval", _HOLDOUT_ORACLE)
+def q_linkpred_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph-ML evaluation loop: hold out a deterministic 10% of
+    edges, score each held-out pair by common neighbors in the
+    RETAINED graph, report the recoverable fraction — the sanity
+    number behind every link-prediction benchmark (training-signal
+    leakage shows up here first).  Same wedge plan as Adamic-Adar,
+    restricted to the holdout via one join."""
+    from .hashutil import hash_mod
+
+    g = datasets.user_graph(spark, sf_dir)
+    uel = g.edges.select("src", "dst").distinct().localCheckpoint()
+    canon = uel.filter(F.col("src") < F.col("dst"))
+    held = canon.filter(
+        hash_mod("hold", [F.col("src"), F.col("dst")], F.lit(10)) == 0
+    ).select(F.col("src").alias("u"), F.col("dst").alias("v")).localCheckpoint()
+    held_sym = held.unionAll(
+        held.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    kept = uel.join(held_sym, ["src", "dst"], "left_anti").localCheckpoint()
+    a = kept.alias("a")
+    b = kept.alias("b")
+    cn = (
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count("*").alias("cn"))
+    )
+    scored = held.join(cn, ["u", "v"], "left").select(
+        F.coalesce("cn", F.lit(0)).alias("cn")
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_held_out"),
+        F.sum((F.col("cn") > 0).cast("long")).cast("long").alias("n_recoverable"),
+        F.expr(
+            "(1000 * sum(cast(cn > 0 as long))) div greatest(count(*), 1)"
+        )
+        .cast("long")
+        .alias("recovery_milli"),
+        F.max("cn").cast("long").alias("best_cn"),
+    )

@@ -1518,3 +1518,52 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding statistics (whitening audit, all-integer)
+# ---------------------------------------------------------------------------
+
+_DIMSTATS_ORACLE = """
+WITH iv AS (
+  SELECT list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS iv
+  FROM embeddings
+),
+dims AS (
+  SELECT t.i AS dim, iv[t.i] AS x
+  FROM iv, UNNEST(generate_series(1, 64)) t(i)
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS var_num,
+       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x
+FROM dims GROUP BY dim
+"""
+
+
+@register("embedding_dim_stats", _DIMSTATS_ORACLE)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension moments of the (1024-scaled integer) embedding
+    matrix — the whitening/standardization audit (dead dims have
+    var_num 0, dominant dims skew distance metrics).  ``var_num =
+    n·Σx² − (Σx)²`` stays an exact BIGINT; the normalizing transform
+    itself is then one broadcast join away."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> cast(floor(cast(x as double) * 1024) as bigint))"
+            )
+        ).alias("pos", "x")
+    ).select((F.col("pos") + 1).cast("long").alias("dim"), "x")
+    return dims.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sum_x"),
+        (F.count("*") * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        .cast("long")
+        .alias("var_num"),
+        F.min("x").cast("long").alias("min_x"),
+        F.max("x").cast("long").alias("max_x"),
+    )
