@@ -1867,3 +1867,102 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# supplier risk propagation through the order graph
+# ---------------------------------------------------------------------------
+
+_RISK_ORACLE = """
+WITH risky AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+exposed_lines AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(l_extendedprice * (1e0 - l_discount) AS DECIMAL(18,6)) AS v
+  FROM lineitem SEMI JOIN risky r ON l_suppkey = r.s_suppkey
+)
+SELECT CAST((SELECT COUNT(*) FROM risky) AS BIGINT) AS n_risky_suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_exposed_lines,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exposed_orders,
+       CAST(SUM(v) AS DOUBLE) AS exposed_revenue
+FROM exposed_lines
+"""
+
+
+@register("supplier_risk_exposure", _RISK_ORACLE)
+def q_supplier_risk_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk propagation: revenue flowing through suppliers in
+    distress (negative account balance) — the supply-chain exposure
+    rollup; one broadcast semi-join from the risk dim into the fact
+    table, DECIMAL-exact money."""
+    su = datasets.load_table(spark, sf_dir, "supplier")
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    risky = su.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    n_risky = risky.count()
+    exposed = li.join(
+        F.broadcast(risky), li.l_suppkey == risky.s_suppkey, "left_semi"
+    ).select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("v"),
+    )
+    return exposed.agg(
+        F.lit(n_risky).cast("long").alias("n_risky_suppliers"),
+        F.count("*").cast("long").alias("n_exposed_lines"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_exposed_orders"),
+        F.sum("v").cast("double").alias("exposed_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quartiles)
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(epoch_us(o_orderdate)) AS last_us,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS money
+  FROM orders GROUP BY o_custkey
+),
+coded AS (
+  SELECT o_custkey,
+         NTILE(4) OVER (ORDER BY last_us, o_custkey) AS r_q,
+         NTILE(4) OVER (ORDER BY freq, o_custkey) AS f_q,
+         NTILE(4) OVER (ORDER BY money, o_custkey) AS m_q
+  FROM per_cust
+)
+SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment_code,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM coded GROUP BY 1
+"""
+
+
+@register("rfm_segments", _RFM_ORACLE)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile codes for recency,
+    frequency, and monetary value (deterministic NTILE with custkey
+    tie-break), rolled up to segment populations — the classic CRM
+    partitioning; three ordered windows over the per-customer
+    aggregate (one row per customer, never the fact table)."""
+    od = datasets.load_table(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(
+        F.max(F.unix_micros("o_orderdate")).alias("last_us"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("money"),
+    )
+    coded = per_cust.select(
+        F.ntile(4).over(Window.orderBy("last_us", "o_custkey")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f_q"),
+        F.ntile(4).over(Window.orderBy("money", "o_custkey")).alias("m_q"),
+    )
+    return (
+        coded.select(
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+            .cast("long")
+            .alias("segment_code")
+        )
+        .groupBy("segment_code")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
