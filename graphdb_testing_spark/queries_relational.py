@@ -1966,3 +1966,62 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment_code")
         .agg(F.count("*").cast("long").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit across the star schema
+# ---------------------------------------------------------------------------
+
+_RI_ORACLE = """
+SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
+FROM customer c WHERE NOT EXISTS
+  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'supplier->nation', CAST(COUNT(*) AS BIGINT)
+FROM supplier s WHERE NOT EXISTS
+  (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+UNION ALL
+SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'nation->region', CAST(COUNT(*) AS BIGINT)
+FROM nation n WHERE NOT EXISTS
+  (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+"""
+
+
+@register("referential_integrity", _RI_ORACLE)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across every edge of the star schema —
+    six anti-joins (dims broadcast), the constraint check a lakehouse
+    runs because parquet will not; non-zero rows are the incident
+    report."""
+    t = {n: datasets.load_table(spark, sf_dir, n) for n in datasets.TABLES}
+
+    def orphans(name, fact, fk, dim, pk):
+        return (
+            t[fact]
+            .join(F.broadcast(t[dim].select(pk)), F.col(fk) == F.col(pk), "left_anti")
+            .agg(
+                F.lit(name).alias("fk"),
+                F.count("*").cast("long").alias("n_orphans"),
+            )
+        )
+
+    return (
+        orphans("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey")
+        .unionAll(orphans("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .unionAll(orphans("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+        .unionAll(orphans("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .unionAll(orphans("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"))
+        .unionAll(orphans("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+    )
