@@ -2025,3 +2025,112 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(orphans("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"))
         .unionAll(orphans("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide -> long) round-trip of the event-type matrix
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE event_type IN ('click', 'error', 'login', 'purchase', 'view')
+GROUP BY 1, 2 HAVING COUNT(*) > 0
+"""
+
+
+@register("event_type_unpivot", _UNPIVOT_ORACLE)
+def q_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (``stack``/UNPIVOT) applied to the pivoted
+    per-user matrix, dropping structural zeros — the inverse of
+    ``event_type_pivot``; round-tripping long→wide→long must land on
+    the plain group-by, which is exactly what the oracle asserts."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    types = ["click", "error", "login", "purchase", "view"]
+    wide = ev.groupBy("user_id").pivot("event_type", types).count()
+    stack_expr = "stack({n}, {args}) as (event_type, n)".format(
+        n=len(types),
+        args=", ".join(f"'{t}', `{t}`" for t in types),
+    )
+    return (
+        wide.select("user_id", F.expr(stack_expr))
+        .filter(F.col("n").isNotNull() & (F.col("n") > 0))
+        .select("user_id", "event_type", F.col("n").cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# map aggregation surface: per-user type->count profile string
+# ---------------------------------------------------------------------------
+
+_MAPAGG_ORACLE = """
+SELECT user_id,
+       string_agg(event_type || ':' || n::VARCHAR, ',' ORDER BY event_type)
+         AS profile
+FROM (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+) GROUP BY user_id
+"""
+
+
+@register("user_type_maps", _MAPAGG_ORACLE)
+def q_user_type_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavior profile exported as a canonical sorted
+    ``type:count`` string — the map-typed feature column
+    (``map_from_entries`` over sorted structs) serialized for
+    cross-engine comparison; the map itself is what a feature store
+    would keep."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    cnts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return cnts.groupBy("user_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(event_type, n))),"
+                " s -> concat(s.event_type, ':', cast(s.n as string)))"
+            ),
+            ",",
+        ).alias("profile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with grouping_id (explicit multi-granularity report)
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+         AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                        (o_orderpriority, o_orderstatus), ())
+"""
+
+
+@register("orders_grouping_sets", _GSETS_ORACLE)
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (both margins, the crosstab, and the
+    grand total in ONE pass) with ``grouping_id`` disambiguating
+    NULL-vs-'ALL' — the multi-granularity report shape between plain
+    ROLLUP (events_rollup) and full CUBE (corpus_cube)."""
+    od = datasets.load_table(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+         AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM _gs_orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                        (o_orderpriority, o_orderstatus), ())
+"""
+    )
