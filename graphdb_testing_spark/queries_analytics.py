@@ -2706,3 +2706,150 @@ def q_linkpred_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recovery_milli"),
         F.max("cn").cast("long").alias("best_cn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Directed PageRank with dangling-mass redistribution (5 rounds)
+# ---------------------------------------------------------------------------
+
+
+def _dpr_oracle(iters: int = 5) -> str:
+    ctes = [
+        "dverts2 AS MATERIALIZED (SELECT DISTINCT v AS id FROM"
+        " (SELECT src AS v FROM dedges UNION ALL SELECT dst FROM dedges))",
+        "odeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS od FROM dedges GROUP BY src)",
+        "nv2 AS (SELECT COUNT(*) AS n FROM dverts2)",
+        """dp0 AS (SELECT v.id, 1e0 / (SELECT n FROM nv2) AS pr,
+                  COALESCE(o.od, 0) AS od
+           FROM dverts2 v LEFT JOIN odeg o ON o.id = v.id)""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""dang{i} AS (SELECT SUM(pr) AS d FROM dp{p} WHERE od = 0)"""
+        )
+        ctes.append(
+            f"""dp{i} AS MATERIALIZED (
+  SELECT v.id,
+         0.15e0 / (SELECT n FROM nv2)
+           + 0.85e0 * (COALESCE(m.mass, 0e0)
+                       + COALESCE((SELECT d FROM dang{i}), 0e0)
+                         / (SELECT n FROM nv2)) AS pr,
+         v.od
+  FROM dp{p} v LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.pr / p.od) AS mass
+    FROM dedges e JOIN dp{p} p ON p.id = e.src GROUP BY e.dst
+  ) m ON m.id = v.id)"""
+        )
+    return oracles.with_directed_edges(
+        body=f"SELECT id, ROUND(pr, 6) AS pr FROM dp{iters}",
+        extra_ctes=",\n".join(ctes),
+    )
+
+
+@register("directed_pagerank_5iter", _dpr_oracle(5))
+def q_directed_pagerank_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank in its canonical DIRECTED form on the hash-oriented
+    graph, including dangling-mass redistribution (sinks' rank
+    returns uniformly — the detail web-scale PR cannot skip; the
+    undirected kernels never see it because symmetrize kills sinks).
+    Per round: one out-degree-divided mass join + one scalar dangling
+    aggregate folded into the teleport term."""
+    dedges = datasets.directed_user_graph(spark, sf_dir).localCheckpoint()
+    verts = (
+        dedges.select(F.col("src").alias("id"))
+        .unionAll(dedges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nv = verts.count()
+    odeg = dedges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("od"))
+    st = (
+        verts.join(odeg, "id", "left")
+        .select(
+            "id",
+            F.lit(1.0 / nv).alias("pr"),
+            F.coalesce("od", F.lit(0)).alias("od"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(5):
+        dang = st.filter(F.col("od") == 0).agg(F.sum("pr")).collect()[0][0] or 0.0
+        mass = (
+            dedges.join(
+                st.select(F.col("id").alias("src"), "pr", "od"), "src"
+            )
+            .select(F.col("dst").alias("id"), (F.col("pr") / F.col("od")).alias("m"))
+            .groupBy("id")
+            .agg(F.sum("m").alias("mass"))
+        )
+        st = (
+            st.select("id", "od")
+            .join(mass, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(0.15 / nv)
+                    + F.lit(0.85)
+                    * (F.coalesce("mass", F.lit(0.0)) + F.lit(dang / nv))
+                ).alias("pr"),
+                "od",
+            )
+            .localCheckpoint()
+        )
+    return st.select("id", F.round("pr", 6).alias("pr"))
+
+
+# ---------------------------------------------------------------------------
+# diameter bounds via double sweep
+# ---------------------------------------------------------------------------
+
+_DIAM_ORACLE = oracles.with_user_edges(
+    """
+SELECT (SELECT CAST(MAX(dist) AS BIGINT) FROM d2) AS diameter_lb,
+       (SELECT CAST(2 * MAX(dist) AS BIGINT) FROM d1) AS diameter_ub,
+       (SELECT u FROM far1) AS sweep_vertex
+""",
+    extra_ctes="""
+b1(id, dist) AS (
+  SELECT (SELECT MIN(src) FROM user_edges), 0
+  UNION
+  SELECT e.dst, b.dist + 1 FROM user_edges e JOIN b1 b ON e.src = b.id
+  WHERE b.dist < 32
+),
+d1 AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM b1 GROUP BY id),
+far1 AS (SELECT id AS u FROM d1 ORDER BY dist DESC, id LIMIT 1),
+b2(id, dist) AS (
+  SELECT (SELECT u FROM far1), 0
+  UNION
+  SELECT e.dst, b.dist + 1 FROM user_edges e JOIN b2 b ON e.src = b.id
+  WHERE b.dist < 32
+),
+d2 AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM b2 GROUP BY id)
+""",
+).replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+@register("diameter_bounds", _DIAM_ORACLE)
+def q_diameter_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diameter bracketing by double sweep (Magnien/Latapy/Habib):
+    BFS from the min-id root, re-BFS from the farthest vertex found —
+    its eccentricity lower-bounds the diameter while twice the first
+    eccentricity upper-bounds it; two BFS runs bracket what an exact
+    all-pairs computation would cost |V| runs."""
+    from .operators.bfs import bfs
+
+    g = datasets.user_graph(spark, sf_dir)
+    e = g.edges.select("src", "dst")
+    source = int(e.agg(F.min("src")).collect()[0][0])
+    d1 = bfs(e, source, max_depth=32).localCheckpoint()
+    far = d1.orderBy(F.desc("dist"), "id").limit(1).collect()[0]
+    ecc1 = int(d1.agg(F.max("dist")).collect()[0][0])
+    d2 = bfs(e, int(far.id), max_depth=32)
+    return d2.agg(
+        F.max("dist").cast("long").alias("diameter_lb"),
+    ).select(
+        "diameter_lb",
+        F.lit(2 * ecc1).cast("long").alias("diameter_ub"),
+        F.lit(int(far.id)).cast("long").alias("sweep_vertex"),
+    )
