@@ -2853,3 +2853,74 @@ def q_diameter_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2 * ecc1).cast("long").alias("diameter_ub"),
         F.lit(int(far.id)).cast("long").alias("sweep_vertex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# greedy dominating set (closed-neighborhood cover, 5 rounds)
+# ---------------------------------------------------------------------------
+
+
+def _domset_oracle(rounds: int = 5) -> str:
+    ctes = [
+        """nbhd AS MATERIALIZED (
+  SELECT src AS s, dst AS p FROM user_edges
+  UNION
+  SELECT DISTINCT src, src FROM user_edges)""",
+        "du0 AS (SELECT DISTINCT p FROM nbhd)",
+    ]
+    for r in range(1, rounds + 1):
+        pr = r - 1
+        ctes.append(
+            f"""dpick{r} AS MATERIALIZED (
+  SELECT s, CAST(n AS BIGINT) AS gain, {r} AS round FROM (
+    SELECT c.s, COUNT(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c.s) AS rn
+    FROM nbhd c SEMI JOIN du{pr} u ON c.p = u.p
+    GROUP BY c.s)
+  WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""du{r} AS MATERIALIZED (
+  SELECT u.p FROM du{pr} u
+  WHERE NOT EXISTS (SELECT 1 FROM nbhd c JOIN dpick{r} k ON c.s = k.s
+                    WHERE c.p = u.p))"""
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT s, gain, CAST(round AS BIGINT) AS round FROM dpick{r}"
+        for r in range(1, rounds + 1)
+    )
+    return oracles.with_user_edges(picks, extra_ctes=",\n".join(ctes))
+
+
+@register("dominating_set_5round", _domset_oracle(5))
+def q_dominating_set_5round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy dominating set: repeatedly pick the vertex whose CLOSED
+    neighborhood covers the most still-uncovered vertices (ties to
+    the smallest id) — sensor/monitor placement, the graph instance
+    of the set-cover greedy; rounds go empty once everything is
+    dominated."""
+    g = datasets.user_graph(spark, sf_dir)
+    nbhd = (
+        g.edges.select(F.col("src").alias("s"), F.col("dst").alias("p"))
+        .unionAll(
+            g.edges.select(F.col("src").alias("s"), F.col("src").alias("p"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    un = nbhd.select("p").distinct().localCheckpoint()
+    picks = []
+    for r in range(1, 6):
+        gains = (
+            nbhd.join(un, "p", "semi")
+            .groupBy("s")
+            .agg(F.count("*").cast("long").alias("gain"))
+        )
+        top = gains.orderBy(F.desc("gain"), "s").limit(1).collect()
+        if not top:
+            break
+        best = top[0]
+        picks.append((int(best.s), int(best.gain), r))
+        covered = nbhd.filter(F.col("s") == int(best.s)).select("p")
+        un = un.join(covered, "p", "left_anti").localCheckpoint()
+    return spark.createDataFrame(picks, "s long, gain long, round long")
