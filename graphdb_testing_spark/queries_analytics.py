@@ -2924,3 +2924,79 @@ def q_dominating_set_5round(spark: SparkSession, sf_dir: str) -> DataFrame:
         covered = nbhd.filter(F.col("s") == int(best.s)).select("p")
         un = un.join(covered, "p", "left_anti").localCheckpoint()
     return spark.createDataFrame(picks, "s long, gain long, round long")
+
+
+# ---------------------------------------------------------------------------
+# Doulion: triangle count estimation by edge sampling (p = 1/4)
+# ---------------------------------------------------------------------------
+
+_DOULION_ORACLE = oracles.with_user_edges(
+    """
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM samp) AS n_sampled_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM stri) AS sample_triangles,
+       (SELECT CAST(64 * COUNT(*) AS BIGINT) FROM stri) AS est_triangles,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ftri) AS exact_triangles
+""",
+    extra_ctes="""
+canon AS MATERIALIZED (SELECT DISTINCT src AS u, dst AS v FROM user_edges WHERE src < dst),
+samp AS MATERIALIZED (
+  SELECT u, v FROM canon
+  WHERE ('0x' || substr(md5('tri-s|' || u::VARCHAR || '|' || v::VARCHAR),
+         1, 8))::BIGINT % 4 = 0
+),
+stri AS MATERIALIZED (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM samp a JOIN samp b ON b.u = a.v
+  JOIN samp c ON c.u = a.u AND c.v = b.v
+),
+ftri AS MATERIALIZED (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM canon a JOIN canon b ON b.u = a.v
+  JOIN canon c ON c.u = a.u AND c.v = b.v
+)
+""",
+)
+
+
+@register("triangle_sampling_estimate", _DOULION_ORACLE)
+def q_triangle_sampling_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doulion (Tsourakakis et al., KDD'09): keep each edge with
+    p = 1/4 (deterministic hash toss), count triangles in the sample,
+    scale by 1/p³ = 64 — the sampling estimator that trades a 16×
+    cheaper wedge join for bounded variance; the deterministic toss
+    makes even the ESTIMATE hash-checkable, shown beside the exact
+    census."""
+    from .hashutil import hash_mod
+
+    g = datasets.user_graph(spark, sf_dir)
+    canon = (
+        g.edges.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    samp = canon.filter(
+        hash_mod("tri-s", [F.col("u"), F.col("v")], F.lit(4)) == 0
+    ).localCheckpoint()
+
+    def tri_count(edges):
+        a = edges.alias("a")
+        b = edges.alias("b")
+        c = edges.alias("c")
+        return (
+            a.join(b, F.col("b.u") == F.col("a.v"))
+            .join(
+                c,
+                (F.col("c.u") == F.col("a.u")) & (F.col("c.v") == F.col("b.v")),
+            )
+            .count()
+        )
+
+    n_samp = samp.count()
+    st = tri_count(samp)
+    ft = tri_count(canon)
+    return spark.createDataFrame(
+        [(n_samp, st, 64 * st, ft)],
+        "n_sampled_edges long, sample_triangles long,"
+        " est_triangles long, exact_triangles long",
+    )
