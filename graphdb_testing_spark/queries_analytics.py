@@ -3000,3 +3000,86 @@ def q_triangle_sampling_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sampled_edges long, sample_triangles long,"
         " est_triangles long, exact_triangles long",
     )
+
+
+# ---------------------------------------------------------------------------
+# partition "performance" metric (correctly-classified vertex pairs)
+# ---------------------------------------------------------------------------
+
+_PERF_ORACLE = oracles.with_user_edges(
+    """
+SELECT nv, m, intra_edges, intra_pairs,
+       CAST((nv * (nv - 1)) // 2 - intra_pairs - (m - intra_edges) AS BIGINT)
+         AS inter_non_edges,
+       CAST((1000 * (intra_edges + (nv * (nv - 1)) // 2 - intra_pairs
+                     - (m - intra_edges))) // ((nv * (nv - 1)) // 2) AS BIGINT)
+         AS performance_milli
+FROM (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM l3) AS nv,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM canon_e) AS m,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM canon_e e JOIN l3 a ON a.id = e.u JOIN l3 b ON b.id = e.v
+          WHERE a.label = b.label) AS intra_edges,
+         -- (c*(c-1))//2 keeps everything BIGINT: DuckDB's / on ints
+         -- yields DOUBLE, and // on a DOUBLE does NOT floor (the
+         -- following CAST would then ROUND)
+         (SELECT CAST(SUM((c * (c - 1)) // 2) AS BIGINT)
+          FROM (SELECT label, COUNT(*) AS c FROM l3 GROUP BY label))
+           AS intra_pairs
+)
+""",
+    extra_ctes=_lpa_ctes(3)
+    + """,
+canon_e AS MATERIALIZED (
+  SELECT DISTINCT src AS u, dst AS v FROM user_edges WHERE src < dst)
+""",
+)
+
+
+@register("partition_performance", _PERF_ORACLE)
+def q_partition_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'performance' clustering metric (Fortunato §3): fraction of
+    vertex pairs classified correctly — intra-community edges plus
+    inter-community NON-edges over all pairs, computed in closed form
+    from edge/size counts (never materializing the pair space).
+    Complements the edge-cut view (``partition_quality``) with the
+    null-aware one."""
+    from .operators.labelprop import label_propagation
+
+    g = datasets.user_graph(spark, sf_dir)
+    labels = label_propagation(g.edges, rounds=3).localCheckpoint()
+    nv = labels.count()
+    canon = (
+        g.edges.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    m = canon.count()
+    la = labels.select(F.col("id").alias("u"), F.col("label").alias("la"))
+    lb = labels.select(F.col("id").alias("v"), F.col("label").alias("lb"))
+    intra_edges = (
+        canon.join(la, "u").join(lb, "v").filter(F.col("la") == F.col("lb")).count()
+    )
+    intra_pairs = (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long"))
+        .collect()[0][0]
+    )
+    pairs = nv * (nv - 1) // 2
+    inter_non = pairs - intra_pairs - (m - intra_edges)
+    return labels.sparkSession.createDataFrame(
+        [
+            (
+                nv,
+                m,
+                intra_edges,
+                int(intra_pairs),
+                int(inter_non),
+                (1000 * (intra_edges + inter_non)) // pairs,
+            )
+        ],
+        "nv long, m long, intra_edges long, intra_pairs long,"
+        " inter_non_edges long, performance_milli long",
+    )
