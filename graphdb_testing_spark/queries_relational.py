@@ -2134,3 +2134,95 @@ GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
                         (o_orderpriority, o_orderstatus), ())
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# order fulfillment lag with SLA breach rate
+# ---------------------------------------------------------------------------
+
+_LAG_ORACLE = """
+WITH lags AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+              // 86400000000 AS BIGINT) AS lag_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+),
+ranked AS (
+  SELECT priority, lag_days,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY lag_days) AS rn,
+         COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM lags
+)
+SELECT priority,
+       CAST(MAX(n) AS BIGINT) AS n_lines,
+       CAST(MIN(lag_days) AS BIGINT) AS min_days,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(n / 2.0) AS BIGINT)
+                     THEN lag_days END) AS BIGINT) AS median_days,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT)
+                     THEN lag_days END) AS BIGINT) AS p90_days,
+       CAST((1000 * SUM(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END))
+            // MAX(n) AS BIGINT) AS breach_milli
+FROM ranked GROUP BY priority
+"""
+
+
+@register("fulfillment_lag", _LAG_ORACLE)
+def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship lag per priority: exact order-statistic median/p90
+    of integer day lags plus the >90-day SLA breach rate in milli —
+    the operations dashboard staple; one fact join, one per-priority
+    sort, all-integer output."""
+    od = datasets.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", F.col("o_orderpriority").alias("priority")
+    )
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    lags = (
+        li.join(F.broadcast(od), li.l_orderkey == od.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "priority",
+            (
+                (F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate"))
+                / F.lit(86400000000)
+            )
+            .cast("long")
+            .alias("lag_days"),
+        )
+    )
+    wp = Window.partitionBy("priority").orderBy("lag_days")
+    wc = Window.partitionBy("priority")
+    ranked = lags.select(
+        "priority",
+        "lag_days",
+        F.row_number().over(wp).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    return (
+        ranked.groupBy("priority")
+        .agg(
+            F.max("n").cast("long").alias("n_lines"),
+            F.min("lag_days").cast("long").alias("min_days"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") / 2.0).cast("long"),
+                    F.col("lag_days"),
+                )
+            )
+            .cast("long")
+            .alias("median_days"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * 0.9).cast("long"),
+                    F.col("lag_days"),
+                )
+            )
+            .cast("long")
+            .alias("p90_days"),
+            F.expr(
+                "(1000 * sum(case when lag_days > 90 then 1 else 0 end)) div max(n)"
+            )
+            .cast("long")
+            .alias("breach_milli"),
+        )
+    )

@@ -816,3 +816,61 @@ def q_earliest_arrival_6round(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return st.select("id", F.col("arr").alias("arrival_us"))
+
+
+# ---------------------------------------------------------------------------
+# behavioral similarity: edit distance on event-type initial sequences
+# ---------------------------------------------------------------------------
+
+_BEHAVIOR_ORACLE = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS sig
+  FROM events GROUP BY user_id
+),
+sig20 AS (
+  SELECT user_id, substr(sig, 1, 20) AS s FROM seqs
+)
+SELECT a.user_id AS a_id, b.user_id AS b_id,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM sig20 a JOIN sig20 b
+  ON LENGTH(a.s) = LENGTH(b.s) AND a.user_id < b.user_id
+WHERE levenshtein(a.s, b.s) <= 9
+"""
+
+
+@register("behavior_edit_pairs", _BEHAVIOR_ORACLE)
+def q_behavior_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral twins: users whose first-20-event type signatures
+    are within edit distance 9 — sequence clustering for cohort
+    discovery / bot-ring detection, blocked on signature length so
+    the verify join never goes all-pairs.  The signature build is one
+    ordered string_agg per user; distances are the same unit-cost DP
+    on both engines."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    sigs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "substr(array_join(transform("
+                "array_sort(collect_list(struct(ts, event_id, "
+                "substr(event_type, 1, 1) as c))), s -> s.c), ''), 1, 20)"
+            ).alias("s")
+        )
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.length(F.col("a.s")) == F.length(F.col("b.s")))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("a_id"),
+            F.col("b.user_id").alias("b_id"),
+            F.levenshtein(F.col("a.s"), F.col("b.s")).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 9)
+    )
