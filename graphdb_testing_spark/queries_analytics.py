@@ -3083,3 +3083,51 @@ def q_partition_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nv long, m long, intra_edges long, intra_pairs long,"
         " inter_non_edges long, performance_milli long",
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core edge spectrum (edges classified by min endpoint coreness)
+# ---------------------------------------------------------------------------
+
+
+def _core_spectrum_oracle() -> str:
+    inner = _core_numbers_oracle(8)
+    return oracles.with_user_edges(
+        """
+SELECT CAST(LEAST(a.core, b.core) AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM spec_canon e JOIN spec_cores a ON a.id = e.u
+JOIN spec_cores b ON b.id = e.v
+GROUP BY 1
+""",
+        extra_ctes=f"""
+spec_cores AS MATERIALIZED (SELECT * FROM ({inner})),
+spec_canon AS MATERIALIZED (
+  SELECT DISTINCT src AS u, dst AS v FROM user_edges WHERE src < dst)
+""",
+    )
+
+
+@register("core_edge_spectrum", _core_spectrum_oracle())
+def q_core_edge_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core-periphery edge spectrum: every edge classified by the
+    minimum coreness of its endpoints (8-round h-index cores) — the
+    histogram that separates a graph's dense nucleus from its fringe
+    (robustness and seed-selection signal)."""
+    from .operators.kcore import core_numbers
+
+    g = datasets.user_graph(spark, sf_dir)
+    cores = core_numbers(g.edges, max_rounds=8).localCheckpoint()
+    canon = (
+        g.edges.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+    )
+    ca = cores.select(F.col("id").alias("u"), F.col("core").alias("cu"))
+    cb = cores.select(F.col("id").alias("v"), F.col("core").alias("cv"))
+    return (
+        canon.join(ca, "u")
+        .join(cb, "v")
+        .groupBy(F.least("cu", "cv").cast("long").alias("k"))
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )

@@ -874,3 +874,70 @@ def q_behavior_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 9)
     )
+
+
+# ---------------------------------------------------------------------------
+# sequential association rules: A then B within one day
+# ---------------------------------------------------------------------------
+
+_SEQRULES_ORACLE = """
+WITH ab AS (
+  SELECT DISTINCT a.user_id, a.event_type AS type_a, b.event_type AS type_b
+  FROM events a JOIN events b
+    ON b.user_id = a.user_id
+   AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 DAY
+   AND b.event_type <> a.event_type
+),
+supp_a AS (
+  SELECT event_type AS type_a, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS na
+  FROM events GROUP BY 1
+),
+rules AS (
+  SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS support
+  FROM ab GROUP BY 1, 2
+)
+SELECT r.type_a, r.type_b, r.support,
+       CAST((1000 * r.support) // s.na AS BIGINT) AS confidence_milli
+FROM rules r JOIN supp_a s USING (type_a)
+"""
+
+
+@register("sequential_rules", _SEQRULES_ORACLE)
+def q_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential association rules A→B: users who did B within a day
+    AFTER A (distinct users = support; confidence = support over A's
+    audience) — the directional counterpart of the unordered basket
+    pairs, mined with the bucketed range-join so the time predicate
+    stays an equi-join at scale."""
+    from .operators.temporal import range_join
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    pts = ev.select("user_id", "ts", F.col("event_type").alias("type_b"))
+    ivs = ev.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("ts").alias("a_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("win_end"),
+    )
+    joined = range_join(
+        pts,
+        ivs,
+        on=["user_id"],
+        point_time="ts",
+        start="a_ts",
+        end="win_end",
+        bucket_us=86400 * 1_000_000,
+    ).filter((F.col("ts") > F.col("a_ts")) & (F.col("type_b") != F.col("type_a")))
+    ab = joined.select("user_id", "type_a", "type_b").distinct()
+    supp_a = ev.groupBy(F.col("event_type").alias("type_a")).agg(
+        F.countDistinct("user_id").cast("long").alias("na")
+    )
+    rules = ab.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("support")
+    )
+    return rules.join(F.broadcast(supp_a), "type_a").select(
+        "type_a",
+        "type_b",
+        "support",
+        F.expr("(1000 * support) div na").cast("long").alias("confidence_milli"),
+    )
