@@ -941,3 +941,47 @@ def q_sequential_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "support",
         F.expr("(1000 * support) div na").cast("long").alias("confidence_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# inter-event gap spectrum (burstiness profile)
+# ---------------------------------------------------------------------------
+
+_GAPS_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - LAG(epoch_us(ts))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+           AS gap_s
+  FROM events
+)
+SELECT CAST(LENGTH(bin(gap_s + 1)) AS BIGINT) AS bucket_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_s) AS BIGINT) AS min_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("interevent_gaps", _GAPS_ORACLE)
+def q_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap spectrum: per-user consecutive-event gaps in
+    whole seconds, binned by integer bit length (the portable log2
+    histogram) — the burstiness profile separating human sessions
+    from machine cadence; one user-keyed window + one aggregation."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) over"
+            " (partition by user_id order by ts, event_id)) div 1000000"
+        ).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy(
+        F.length(F.bin(F.col("gap_s") + 1)).cast("long").alias("bucket_log2")
+    ).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.min("gap_s").cast("long").alias("min_s"),
+        F.max("gap_s").cast("long").alias("max_s"),
+    )
