@@ -3131,3 +3131,28 @@ def q_core_edge_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.least("cu", "cv").cast("long").alias("k"))
         .agg(F.count("*").cast("long").alias("n_edges"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Borůvka minimum spanning forest (bounded rounds, exact oracle)
+# ---------------------------------------------------------------------------
+
+
+from .operators.mst import msf_oracle_sql as _msf_oracle_sql  # noqa: E402
+
+
+@register(
+    "boruvka_msf_6round",
+    oracles.with_user_edges(
+        "SELECT u, v, w, round FROM msf_result",
+        extra_ctes=_msf_oracle_sql("user_edges", 6),
+    ).replace("WITH ", "WITH RECURSIVE ", 1),
+)
+def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the weighted user graph in 6
+    Borůvka rounds — (w, u, v)-deterministic edge choice, recursive
+    label contraction mirrored exactly by the DuckDB oracle."""
+    from .operators.mst import boruvka_msf
+
+    g = datasets.user_graph(spark, sf_dir)
+    return boruvka_msf(g.edges, rounds=6)

@@ -247,3 +247,57 @@ def test_two_shortest_walk_values_on_path(spark):
     assert got[0][0] == 0 and got[0][1] == 2  # 0 -> 1 -> 0
     assert got[1] == (1, 3)
     assert got[2] == (2, 4)
+
+
+def test_boruvka_msf_matches_networkx(spark):
+    """Forest totals: same total weight and edge count as Kruskal on a
+    random weighted connected graph, plus per-component spanning
+    (forest edge count = nv - n_components)."""
+    nx = pytest.importorskip("networkx")
+    import random
+
+    from graphdb_testing_spark.operators.components import (
+        component_count,
+        connected_components,
+    )
+    from graphdb_testing_spark.operators.mst import boruvka_msf
+
+    from tests.conftest import edges_df
+
+    rng = random.Random(7)
+    n = 40
+    pairs = set()
+    for i in range(1, n):
+        pairs.add((rng.randrange(i), i))  # random spanning tree
+    while len(pairs) < 90:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            pairs.add((min(u, v), max(u, v)))
+    weights = [rng.randrange(1, 50) for _ in pairs]
+    e = edges_df(spark, sorted(pairs), weights)
+    got = boruvka_msf(e, rounds=8).collect()
+    g = nx.Graph()
+    for (u, v), w in zip(sorted(pairs), weights):
+        g.add_edge(u, v, weight=w)
+    want = nx.minimum_spanning_tree(g, algorithm="kruskal")
+    assert len(got) == n - 1
+    assert sum(r["w"] for r in got) == sum(
+        d["weight"] for _, _, d in want.edges(data=True)
+    )
+    # chosen edges form a spanning forest: acyclic + connects everything
+    msf_edges = spark.createDataFrame(
+        [(r["u"], r["v"], 1) for r in got], "src long, dst long, wgt long"
+    )
+    sym = msf_edges.unionAll(
+        msf_edges.selectExpr("dst as src", "src as dst", "wgt")
+    )
+    assert component_count(connected_components(sym)) == 1
+
+
+def test_boruvka_msf_disjoint_forest(spark, path_graph):
+    """Two components -> forest with nv - 2 edges, unit weights."""
+    from graphdb_testing_spark.operators.mst import boruvka_msf
+
+    got = boruvka_msf(path_graph, rounds=6).collect()
+    assert len(got) == 7 - 2  # 7 vertices, 2 components
+    assert all(r["w"] == 1 for r in got)
