@@ -233,3 +233,60 @@ def bm25_scores(
             F.sum("c").cast("long").alias("score_micro"),
         )
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, n_bigrams, sum_logp_micro)`` — corpus bigram
+    language-model score per document: train add-one-smoothed bigram
+    counts on the whole corpus (the repo's whitespace token
+    convention), then score each document by the sum of
+    ``ln((c(w1,w2) + 1) / (ctx(w1) + V))`` over its bigrams — the
+    perplexity-proxy quality filter of LLM data pipelines (docs whose
+    word transitions are unusual for the corpus score low).
+
+    Cross-engine float discipline: each bigram's log-probability is
+    quantized to integer micros (one rounding of one ``ln``) and
+    summed exactly — the Adamic–Adar/TF-IDF pattern.
+
+    Scale shape: token fan-out is array-side (``transform`` over the
+    split array — no self-join for adjacency); the model is two
+    map-side-combined aggregates (bigram counts, context counts)
+    joined back on the bigram key.  Nothing is collected; ``V`` is the
+    only scalar.
+    """
+    a = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("a")
+    )
+    bg = a.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(a, 1, size(a) - 1),"
+                " (w, i) -> struct(w as w1, a[i + 1] as w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    vocab = (
+        a.select(F.explode("a").alias("w")).select("w").distinct().count()
+    )
+    cbg = bg.groupBy("w1", "w2").agg(F.count("*").alias("cbg"))
+    cctx = bg.groupBy("w1").agg(F.count("*").alias("cctx"))
+    scored = (
+        bg.join(cbg, ["w1", "w2"])
+        .join(cctx, "w1")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1_000_000.0)
+                * F.log((F.col("cbg") + 1) / (F.col("cctx") + F.lit(vocab)))
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("lp").cast("long").alias("sum_logp_micro"),
+    )

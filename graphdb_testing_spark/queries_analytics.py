@@ -3156,3 +3156,61 @@ def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = datasets.user_graph(spark, sf_dir)
     return boruvka_msf(g.edges, rounds=6)
+
+
+# ---------------------------------------------------------------------------
+# Eigenvector centrality (weighted power iteration, max-normalized)
+# ---------------------------------------------------------------------------
+
+
+def _eigenvector_oracle(iters: int = 5) -> str:
+    ctes = [
+        "everts AS MATERIALIZED (SELECT DISTINCT src AS id FROM user_edges)",
+        "eig0 AS (SELECT id, 1e0 AS x FROM everts)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""eraw{i} AS MATERIALIZED (
+  SELECT v.id, COALESCE(s.t, 0e0) AS x FROM everts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(e.wgt * r.x) AS t
+    FROM user_edges e JOIN eig{p} r ON r.id = e.src GROUP BY e.dst) s
+  ON s.id = v.id)"""
+        )
+        ctes.append(
+            f"""eig{i} AS MATERIALIZED (
+  SELECT id, x / (SELECT MAX(x) FROM eraw{i}) AS x FROM eraw{i})"""
+        )
+    return oracles.with_user_edges(
+        body=f"SELECT id, ROUND(x, 6) AS eig FROM eig{iters}",
+        extra_ctes=",\n".join(ctes),
+    )
+
+
+@register("eigenvector_5iter", _eigenvector_oracle(5))
+def q_eigenvector_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality of the weighted user graph: 5 rounds of
+    x := A·x (weight-scaled neighbor sum), max-normalized per round
+    (order-independent normalizer; the SUM last-ulp risk is absorbed
+    by ROUND 6, same discipline as the PageRank/HITS oracles).  Per
+    round one edge ⋈ state join + one partial aggregation — the
+    PageRank shuffle shape on the symmetric edge relation."""
+    g = datasets.user_graph(spark, sf_dir)
+    e = g.edges.localCheckpoint()
+    verts = e.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    state = verts.select("id", F.lit(1.0).alias("x"))
+    for _ in range(5):
+        raw = (
+            verts.join(
+                e.join(state.select(F.col("id").alias("src"), "x"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("wgt") * F.col("x")).alias("t")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("t", F.lit(0.0)).alias("x"))
+            .localCheckpoint()
+        )
+        xmax = raw.agg(F.max("x")).collect()[0][0]
+        state = raw.select("id", (F.col("x") / F.lit(xmax)).alias("x"))
+    return state.select("id", F.round("x", 6).alias("eig"))

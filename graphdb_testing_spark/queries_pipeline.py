@@ -1567,3 +1567,39 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").cast("long").alias("min_x"),
         F.max("x").cast("long").alias("max_x"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scores (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_ORACLE = """
+WITH warr AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+bg AS MATERIALIZED (
+  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+  FROM warr, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+),
+vocab AS (
+  SELECT COUNT(DISTINCT a[i]) AS v
+  FROM warr, UNNEST(generate_series(1, len(a))) AS t(i)
+),
+cbg AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS cbg FROM bg GROUP BY 1, 2),
+cctx AS MATERIALIZED (SELECT w1, COUNT(*) AS cctx FROM bg GROUP BY 1)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(ROUND(1e6 * LN((c.cbg + 1) * 1e0 / (x.cctx + (SELECT v FROM vocab)))) AS BIGINT)) AS BIGINT) AS sum_logp_micro
+FROM bg b JOIN cbg c USING (w1, w2) JOIN cctx x USING (w1)
+GROUP BY b.doc_id
+"""
+
+
+@register("bigram_lm_scores", _BIGRAM_LM_ORACLE)
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one bigram LM score per document — the
+    perplexity-proxy quality signal (train on the corpus, score every
+    doc, drop the tail).  See
+    :func:`~graphdb_testing_spark.functions.textstats.bigram_lm_scores`."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return textstats.bigram_lm_scores(docs)

@@ -2226,3 +2226,366 @@ def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("breach_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classics (Q3 / Q8 / Q10 / Q13 / Q15 / Q17 / Q18), adapted to the
+# testdata's column subset (no partsupp/shipmode/container/phone).
+# Money discipline: DECIMAL(18,6) sums, DOUBLE only at the output edge.
+# ---------------------------------------------------------------------------
+
+_REV = "l_extendedprice * (1e0 - l_discount)"
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+WITH ranked AS (
+  SELECT l.l_orderkey,
+         CAST(SUM(CAST({_REV} AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_epoch,
+         o.o_orderpriority,
+         ROW_NUMBER() OVER (
+           ORDER BY SUM(CAST({_REV} AS DECIMAL(18,6))) DESC, l.l_orderkey
+         ) AS rank
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT l_orderkey, revenue, orderdate_epoch, o_orderpriority,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+""",
+)
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: unshipped-as-of-date revenue per order for one market
+    segment, top 10.  Fact-fact join keyed on orderkey; both dims
+    (filtered customer, dated orders) shrink before the lineitem join,
+    DECIMAL-exact ranking with orderkey tie-break."""
+    cust = datasets.load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = datasets.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    li = datasets.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-01"
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("l_orderkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "l_orderkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.col("o_orderdate").cast("long").alias("orderdate_epoch"),
+            "o_orderpriority",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+WITH vol AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST({_REV} AS DECIMAL(18,6)) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_volume,
+       CAST(SUM(volume) AS DOUBLE) AS total_volume,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM vol GROUP BY o_year
+""",
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's yearly share of revenue sold
+    into one customer region.  Star join with every dim broadcast;
+    the share is a ratio of two DECIMAL-exact sums (one ROUND at the
+    edge)."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    nat = datasets.load_table(spark, sf_dir, "nation")
+    reg = datasets.load_table(spark, sf_dir, "region")
+    sup = datasets.load_table(spark, sf_dir, "supplier")
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_region") == reg.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    nvol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(zero)
+    )
+    tvol = F.sum("volume")
+    return vol.groupBy("o_year").agg(
+        nvol.cast("double").alias("nation_volume"),
+        tvol.cast("double").alias("total_volume"),
+        F.round(nvol.cast("double") / tvol.cast("double"), 6).alias("mkt_share"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+WITH ranked AS (
+  SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+         CAST(SUM(CAST({_REV} AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         ROW_NUMBER() OVER (
+           ORDER BY SUM(CAST({_REV} AS DECIMAL(18,6))) DESC, c.c_custkey
+         ) AS rank
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1999-01-01'
+    AND o.o_orderdate < TIMESTAMP '1999-04-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+)
+SELECT c_custkey, c_name, nation, revenue, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20
+""",
+)
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most revenue in a
+    quarter, top 20 with their nation resolved — returns-triage
+    report.  Quarter filter prunes orders before the fact join;
+    customer/nation broadcast."""
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    orders = datasets.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "1999-04-01")
+    )
+    li = datasets.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nat = datasets.load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+)
+def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer including the
+    zero bucket (left join, count of non-null keys) — the classic
+    two-level aggregation."""
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+WITH srev AS (
+  SELECT l.l_suppkey,
+         SUM(CAST({_REV} AS DECIMAL(18,6))) AS total_rev
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1999-01-01'
+    AND l.l_shipdate < TIMESTAMP '1999-04-01'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+FROM srev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM srev)
+""",
+)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the maximum revenue in a
+    quarter — view + scalar-max filter.  The max is a DECIMAL-exact
+    comparison (no float ties); the supplier dim joins broadcast."""
+    li = datasets.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1999-01-01") & (F.col("l_shipdate") < "1999-04-01")
+    )
+    sup = datasets.load_table(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    srev = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_rev"))
+    mx = srev.agg(F.max("total_rev").alias("mx"))
+    return (
+        srev.join(F.broadcast(mx), srev.total_rev == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+WITH pq AS (
+  SELECT l.l_partkey,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem l GROUP BY l.l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7e0
+         AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN pq ON pq.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND 5 * CAST(l.l_quantity AS BIGINT) * pq.cnt < pq.sum_qty
+""",
+)
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders for one brand
+    — lineitems below 20% of their part's average quantity.  The
+    average test is integerized (``5·qty·cnt < Σqty``) so the filter
+    is float-free and bit-identical cross-engine; the per-part
+    aggregate joins back on partkey."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    part = datasets.load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pq, li.l_partkey == F.col("pk"))
+        .filter(
+            5 * F.col("l_quantity").cast("long") * F.col("cnt") < F.col("sum_qty")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_epoch,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 300 with their
+    customers — the HAVING-on-fact-rollup shape.  The rollup is
+    integer-exact; the surviving key set is tiny, so both subsequent
+    joins broadcast the rollup side."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        F.broadcast(big)
+        .join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("long").alias("orderdate_epoch"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+    )
