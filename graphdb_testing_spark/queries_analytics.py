@@ -3214,3 +3214,86 @@ def q_eigenvector_5iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         xmax = raw.agg(F.max("x")).collect()[0][0]
         state = raw.select("id", (F.col("x") / F.lit(xmax)).alias("x"))
     return state.select("id", F.round("x", 6).alias("eig"))
+
+
+# ---------------------------------------------------------------------------
+# Edge betweenness (Girvan–Newman edge scores, 4 roots)
+# ---------------------------------------------------------------------------
+
+
+def _edge_brandes_oracle(n_roots: int = _N_ROOTS, levels: int = _LEVELS) -> str:
+    """Per-edge Brandes dependency sums: the same forward/backward
+    unroll as :func:`_brandes_oracle`, but the backward terms are
+    collected per DAG edge before the vertex aggregation."""
+    ctes = [
+        f"roots AS (SELECT src AS root FROM user_edges GROUP BY src"
+        f" ORDER BY src LIMIT {n_roots})",
+        "l0 AS (SELECT root, root AS id, 1e0 AS sigma FROM roots)",
+        "v0 AS (SELECT root, id FROM l0)",
+    ]
+    for i in range(1, levels):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT f.root, f.id, f.sigma FROM (
+    SELECT l.root, e.dst AS id, SUM(l.sigma) AS sigma
+    FROM user_edges e JOIN l{i - 1} l ON e.src = l.id
+    GROUP BY l.root, e.dst
+  ) f LEFT JOIN v{i - 1} v ON v.root = f.root AND v.id = f.id
+  WHERE v.id IS NULL)"""
+        )
+        ctes.append(
+            f"v{i} AS (SELECT root, id FROM v{i - 1}"
+            f" UNION ALL SELECT root, id FROM l{i})"
+        )
+    last = levels - 1
+    ctes.append(f"d{last} AS (SELECT root, id, sigma, 0e0 AS delta FROM l{last})")
+    for i in range(last - 1, -1, -1):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT p.root, p.id, p.sigma, COALESCE(s.dep, 0e0) AS delta
+  FROM l{i} p LEFT JOIN (
+    SELECT p2.root, p2.id, SUM(p2.sigma / c.sigma * (1e0 + c.delta)) AS dep
+    FROM l{i} p2
+    JOIN user_edges e ON p2.id = e.src
+    JOIN d{i + 1} c ON c.root = p2.root AND c.id = e.dst
+    GROUP BY p2.root, p2.id
+  ) s ON s.root = p.root AND s.id = p.id)"""
+        )
+    for i in range(0, last):
+        ctes.append(
+            f"""et{i} AS (
+  SELECT LEAST(p2.id, c.id) AS u, GREATEST(p2.id, c.id) AS v,
+         p2.sigma / c.sigma * (1e0 + c.delta) AS dep
+  FROM l{i} p2
+  JOIN user_edges e ON p2.id = e.src
+  JOIN d{i + 1} c ON c.root = p2.root AND c.id = e.dst)"""
+        )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT u, v, dep FROM et{i}" for i in range(0, last)
+    )
+    body = f"""
+SELECT u, v, ROUND(SUM(dep), 6) AS bc FROM (
+  {union}
+) GROUP BY u, v
+"""
+    return oracles.with_user_edges(body, extra_ctes=",\n".join(ctes))
+
+
+@register("edge_betweenness_4roots", _edge_brandes_oracle())
+def q_edge_betweenness_4roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Girvan–Newman edge betweenness from the 4 smallest user ids —
+    the edge-removal score of divisive community detection, computed
+    with the all-roots-in-one-state Brandes sweep (see
+    :func:`~graphdb_testing_spark.operators.betweenness.edge_betweenness`)."""
+    from .operators.betweenness import edge_betweenness
+
+    g = datasets.user_graph(spark, sf_dir)
+    roots = [
+        r.id
+        for r in g.edges.select(F.col("src").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(_N_ROOTS)
+        .collect()
+    ]
+    return edge_betweenness(g.edges, roots, max_depth=_LEVELS - 1)

@@ -592,3 +592,119 @@ def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH draw AS MATERIALIZED (
+  SELECT doc_id, n_chars AS w,
+         ('0x' || substr(md5('ws|' || doc_id::VARCHAR), 1, 13))::BIGINT
+           / 4503599627370496e0 AS u
+  FROM documents WHERE n_chars > 0
+),
+keyed AS (
+  SELECT doc_id, CAST(w AS BIGINT) AS w,
+         CAST(ROUND(1e6 * LN(u) / w) AS BIGINT) AS key_micro
+  FROM draw
+),
+ranked AS (
+  SELECT doc_id, w, key_micro,
+         ROW_NUMBER() OVER (ORDER BY key_micro DESC, doc_id) AS rank
+  FROM keyed
+)
+SELECT doc_id, w, key_micro, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 50
+"""
+
+
+@register("weighted_sample_50", _WEIGHTED_SAMPLE_ORACLE)
+def q_weighted_sample_50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 50 documents with
+    probability ∝ ``n_chars`` — Efraimidis–Spirakis A-ES: each row
+    draws a deterministic md5 uniform ``u`` and the top-k by
+    ``u^(1/w)`` (equivalently ``ln(u)/w``, micro-quantized with
+    doc_id tie-break) is the sample.  One scan + one top-k — no
+    per-stratum state, no rejection loop — which is why A-ES is *the*
+    distributed weighted sampler (each partition keeps a local top-k;
+    the merge is an order statistic).  The exp-draw keys are the only
+    float (one rounding of one ln, the TF-IDF discipline)."""
+    from pyspark.sql import Window
+
+    from .hashutil import hash_prefix
+
+    docs = datasets.load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    u = hash_prefix(
+        F.concat_ws("|", F.lit("ws"), F.col("doc_id").cast("string")), 13
+    ) / F.lit(float(1 << 52))
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("w"),
+        F.round(F.lit(1_000_000.0) * F.log(u) / F.col("n_chars"))
+        .cast("long")
+        .alias("key_micro"),
+    )
+    w = Window.orderBy(F.col("key_micro").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("doc_id", "w", "key_micro", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing weights (temperature-scaled sampling, alpha = 0.5)
+# ---------------------------------------------------------------------------
+
+_MIXING_ORACLE = """
+WITH dom AS MATERIALIZED (
+  SELECT source, lang, COUNT(*) AS n,
+         CAST(ROUND(1e6 * SQRT(COUNT(*))) AS BIGINT) AS sq_micro
+  FROM documents GROUP BY source, lang
+),
+tot AS (
+  SELECT SUM(n) AS n_total, SUM(sq_micro) AS sq_total FROM dom
+)
+SELECT d.source, d.lang, CAST(d.n AS BIGINT) AS n_docs,
+       CAST((1000000 * d.n) // t.n_total AS BIGINT) AS actual_micro,
+       CAST((1000000 * d.sq_micro) // t.sq_total AS BIGINT) AS target_micro,
+       CAST((1000000 * d.sq_micro * t.n_total) // (t.sq_total * d.n) AS BIGINT)
+         AS weight_micro
+FROM dom d, tot t
+"""
+
+
+@register("domain_mixing_weights", _MIXING_ORACLE)
+def q_domain_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (α = 0.5, the multilingual
+    temperature-sampling rule): target share of each (source, lang)
+    domain ∝ n^α, so rare domains are up-sampled and head domains
+    down-sampled; ``weight_micro`` is the per-document resampling
+    weight (target/actual).  Float-free after one sqrt: each domain's
+    n^α is micro-quantized to BIGINT, shares are exact integer
+    ratios.  One 2-key aggregate + a scalar total — the data-mixing
+    spec sheet for a 100 TB corpus in a single pass."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    dom = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n"),
+        F.round(F.lit(1_000_000.0) * F.sqrt(F.count("*")))
+        .cast("long")
+        .alias("sq_micro"),
+    )
+    tot = dom.agg(
+        F.sum("n").alias("n_total"), F.sum("sq_micro").alias("sq_total")
+    )
+    return dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr("(1000000 * n) div n_total").cast("long").alias("actual_micro"),
+        F.expr("(1000000 * sq_micro) div sq_total").cast("long").alias("target_micro"),
+        F.expr("(1000000 * sq_micro * n_total) div (sq_total * n)")
+        .cast("long")
+        .alias("weight_micro"),
+    )

@@ -2589,3 +2589,78 @@ def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_qty").cast("long").alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) data layout + file-skipping audit
+# ---------------------------------------------------------------------------
+
+_ZORDER_ORACLE = """
+WITH mort AS MATERIALIZED (
+  SELECT CAST(list_sum(list_transform(generate_series(0, 15), i ->
+           ((l_partkey  >> i) & 1) * power(2, 2 * i)::BIGINT +
+           ((l_suppkey >> i) & 1) * power(2, 2 * i + 1)::BIGINT))
+         AS BIGINT) AS zkey,
+         l_partkey AS a, l_suppkey AS b
+  FROM lineitem
+)
+SELECT CAST(zkey >> 14 AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(a) AS BIGINT) AS min_a, CAST(MAX(a) AS BIGINT) AS max_a,
+       CAST(MIN(b) AS BIGINT) AS min_b, CAST(MAX(b) AS BIGINT) AS max_b,
+       CAST(CASE WHEN MIN(a) <= 300 AND MAX(a) >= 100
+                  AND MIN(b) <= 40 AND MAX(b) >= 10
+            THEN 0 ELSE 1 END AS BIGINT) AS prunable
+FROM mort GROUP BY 1
+"""
+
+
+@register("zorder_layout", _ZORDER_ORACLE)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout over ``(l_partkey,
+    l_suppkey)`` plus the min/max file-skipping audit that justifies
+    it: rows are binned by Morton-key prefix (one "file" per 2¹⁴
+    z-range — pure arithmetic, no global sort), and each file carries
+    per-column zone-map bounds; ``prunable`` marks files a rectangular
+    predicate (a∈[100,300], b∈[10,40]) can skip entirely.  On a
+    Z-ordered layout both dimensions prune multiplicatively — the
+    Delta/Iceberg OPTIMIZE ZORDER story — whereas a single-column sort
+    prunes only its leading dimension.  All bit math is JVM-side
+    integer arithmetic; at 100 TB this is the writer-side clustering
+    key and the reader-side skip statistic."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    zkey = F.expr(
+        "aggregate(sequence(0, 15), 0L, (acc, i) ->"
+        " acc + shiftleft((l_partkey >> i) & 1, 2 * i)"
+        " + shiftleft((l_suppkey >> i) & 1, 2 * i + 1))"
+    )
+    mort = li.select(
+        zkey.alias("zkey"),
+        F.col("l_partkey").alias("a"),
+        F.col("l_suppkey").alias("b"),
+    )
+    agg = mort.groupBy(F.shiftright("zkey", 14).cast("long").alias("file_id")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("a").cast("long").alias("min_a"),
+        F.max("a").cast("long").alias("max_a"),
+        F.min("b").cast("long").alias("min_b"),
+        F.max("b").cast("long").alias("max_b"),
+    )
+    return agg.select(
+        "file_id",
+        "n_rows",
+        "min_a",
+        "max_a",
+        "min_b",
+        "max_b",
+        F.when(
+            (F.col("min_a") <= 300)
+            & (F.col("max_a") >= 100)
+            & (F.col("min_b") <= 40)
+            & (F.col("max_b") >= 10),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("prunable"),
+    )

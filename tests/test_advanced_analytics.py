@@ -301,3 +301,21 @@ def test_boruvka_msf_disjoint_forest(spark, path_graph):
     got = boruvka_msf(path_graph, rounds=6).collect()
     assert len(got) == 7 - 2  # 7 vertices, 2 components
     assert all(r["w"] == 1 for r in got)
+
+
+def test_edge_betweenness_path_graph_exact(spark, path_graph):
+    """P5: edge (i,i+1) carries 2·(i+1)·(4−i) ordered pairs (both
+    directions, all 5 path roots); the disjoint edge gets none of
+    these roots' paths and is absent."""
+    from graphdb_testing_spark.operators.betweenness import edge_betweenness
+
+    got = {
+        (r.u, r.v): r.bc
+        for r in edge_betweenness(path_graph, roots=[0, 1, 2, 3, 4]).collect()
+    }
+    assert got == {
+        (0, 1): pytest.approx(8.0),
+        (1, 2): pytest.approx(12.0),
+        (2, 3): pytest.approx(12.0),
+        (3, 4): pytest.approx(8.0),
+    }

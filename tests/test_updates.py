@@ -119,3 +119,29 @@ def test_merge_rollup_equals_recompute(spark):
         for r in merged.collect()
     }
     assert got == want
+
+
+def test_join_delta_equals_recompute(spark):
+    """IVM delta rule: view ∪ Δ(A⋈B) == (A∪ΔA) ⋈ (B∪ΔB), bag
+    semantics (duplicate keys on both sides)."""
+    from graphdb_testing_spark.operators.ivm import join_delta
+
+    a = spark.createDataFrame(
+        [(1, "a1"), (1, "a2"), (2, "a3"), (5, "a4")], "k long, av string"
+    )
+    da = spark.createDataFrame([(2, "a5"), (3, "a6")], "k long, av string")
+    b = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (2, "b3"), (4, "b4")], "k long, bv string"
+    )
+    db = spark.createDataFrame([(3, "b5"), (1, "b6")], "k long, bv string")
+
+    old = a.join(b, ["k"])
+    delta = join_delta(a, da, b, db, ["k"])
+    new_inc = sorted(map(tuple, old.unionByName(delta).collect()))
+    new_full = sorted(
+        map(tuple, a.unionByName(da).join(b.unionByName(db), ["k"]).collect())
+    )
+    assert new_inc == new_full
+    # the delta must contain the da⋈db cross term (k=3 appears only
+    # in the deltas)
+    assert any(r[0] == 3 for r in delta.collect())
