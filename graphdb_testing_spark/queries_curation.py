@@ -708,3 +708,138 @@ def q_domain_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weight_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV audit (top-1000 vocab)
+# ---------------------------------------------------------------------------
+
+_VOCAB_OOV_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+    FROM toks GROUP BY tok
+  ) WHERE rn <= 1000
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST((1000 * SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)) // COUNT(*)
+            AS BIGINT) AS oov_milli
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+
+@register("vocab_oov_rates", _VOCAB_OOV_ORACLE)
+def q_vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: build the corpus top-1000 vocabulary
+    (count-desc, token tie-break) and report each document's
+    out-of-vocabulary token fraction — the fertility/coverage signal
+    that decides whether a tokenizer (or fixed vocab) fits a corpus.
+    The vocab is a broadcast dim; OOV testing is one left join +
+    aggregation, integer milli output."""
+    from pyspark.sql import Window as W
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    vocab = (
+        counts.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("n").desc(), F.col("tok")))
+        )
+        .filter(F.col("rn") <= 1000)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.expr(
+                "cast((1000 * sum(case when in_vocab is null then 1 else 0 end))"
+                " div count(*) as long)"
+            ).alias("oov_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (shared 8-gram digests per source pair)
+# ---------------------------------------------------------------------------
+
+_SOURCE_OVERLAP_ORACLE = (
+    "WITH "
+    + _GRAMS_CTE.format(n=8, hi=7)
+    + """,
+sg AS (SELECT DISTINCT source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+       FROM grams),
+sz AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source),
+ov AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+  FROM sg a JOIN sg b ON a.gh = b.gh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT o.source_a, o.source_b, CAST(o.shared AS BIGINT) AS shared_grams,
+       CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+       CAST((1000 * o.shared) // (za.n + zb.n - o.shared) AS BIGINT)
+         AS jaccard_milli
+FROM ov o JOIN sz za ON za.source = o.source_a
+JOIN sz zb ON zb.source = o.source_b
+"""
+)
+
+
+@register("source_overlap_matrix", _SOURCE_OVERLAP_ORACLE)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which corpus sources duplicate each other: pairwise shared
+    distinct word-8-gram digests with milli-Jaccard — the
+    leakage/provenance diagnostic run before mixing sources (a
+    crawl that mirrors another source shows up as a hot pair).
+    Shuffle volume is one 60-bit digest per distinct (source, gram);
+    the pair join fans out only on digests shared across sources."""
+    from .functions.curation import word_ngrams
+    from .hashutil import hash_prefix
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    sg = (
+        docs.select(
+            "source", F.explode(word_ngrams("text", 8)).alias("gram")
+        )
+        .select("source", hash_prefix(F.col("gram"), 15).alias("gh"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sz = sg.groupBy("source").agg(F.count("*").alias("n"))
+    a = sg.select(F.col("source").alias("source_a"), "gh")
+    b = sg.select(F.col("source").alias("source_b"), "gh")
+    ov = (
+        a.join(b, "gh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    za = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        ov.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared").cast("long").alias("shared_grams"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("cast((1000 * shared) div (n_a + n_b - shared) as long)")
+            .alias("jaccard_milli"),
+        )
+    )

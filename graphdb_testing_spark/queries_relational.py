@@ -2664,3 +2664,75 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("prunable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation audit (textbook uniformity estimate vs actual)
+# ---------------------------------------------------------------------------
+
+_JOIN_ESTIMATE_ORACLE = """
+WITH sa AS (
+  SELECT COUNT(*) AS n_orders, COUNT(DISTINCT o_orderkey) AS d_orders
+  FROM orders
+),
+sb AS (
+  SELECT COUNT(*) AS n_items, COUNT(DISTINCT l_orderkey) AS d_items
+  FROM lineitem
+),
+act AS (
+  SELECT COUNT(*) AS actual
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT CAST(a.n_orders AS BIGINT) AS n_orders,
+       CAST(b.n_items AS BIGINT) AS n_items,
+       CAST(a.d_orders AS BIGINT) AS d_orders,
+       CAST(b.d_items AS BIGINT) AS d_items,
+       CAST(c.actual AS BIGINT) AS actual_rows,
+       CAST((a.n_orders * b.n_items) // GREATEST(a.d_orders, b.d_items)
+            AS BIGINT) AS estimate_rows,
+       CAST((1000 * (a.n_orders * b.n_items)
+             // GREATEST(a.d_orders, b.d_items)) // c.actual AS BIGINT)
+         AS ratio_milli
+FROM sa a, sb b, act c
+"""
+
+
+@register("join_size_estimate", _JOIN_ESTIMATE_ORACLE)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-estimation audit for the orders ⋈ lineitem join:
+    the textbook uniformity estimate ``|A|·|B| / max(d_A, d_B)``
+    (what a cost-based optimizer assumes from NDV stats) against the
+    actual join size, with the milli-ratio error.  The statistic every
+    ANALYZE/CBO pipeline maintains — here exact, integer-only, one
+    pass per side plus the counted join."""
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    sa = orders.agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("d_orders"),
+    )
+    sb = li.agg(
+        F.count("*").alias("n_items"),
+        F.countDistinct("l_orderkey").alias("d_items"),
+    )
+    act = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count("*").alias("actual"))
+    )
+    return (
+        sa.crossJoin(sb)
+        .crossJoin(act)
+        .select(
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_items").cast("long").alias("n_items"),
+            F.col("d_orders").cast("long").alias("d_orders"),
+            F.col("d_items").cast("long").alias("d_items"),
+            F.col("actual").cast("long").alias("actual_rows"),
+            F.expr("cast((n_orders * n_items) div greatest(d_orders, d_items) as long)")
+            .alias("estimate_rows"),
+            F.expr(
+                "cast((1000 * ((n_orders * n_items) div greatest(d_orders, d_items)))"
+                " div actual as long)"
+            ).alias("ratio_milli"),
+        )
+    )

@@ -985,3 +985,61 @@ def q_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_s").cast("long").alias("min_s"),
         F.max("gap_s").cast("long").alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness audit (out-of-orderness spectrum per event type)
+# ---------------------------------------------------------------------------
+
+_LATENESS_ORACLE = """
+WITH arr AS (
+  SELECT event_type,
+         GREATEST(0, MAX(epoch_us(ts)) OVER (
+             PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           // 1000000 - epoch_us(ts) // 1000000) AS late_s
+  FROM events
+)
+SELECT event_type,
+       CAST(CASE WHEN late_s = 0 THEN 0
+                 ELSE LENGTH(bin(late_s)) END AS BIGINT) AS bucket_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(late_s) AS BIGINT) AS max_late_s
+FROM arr GROUP BY 1, 2
+"""
+
+
+@register("watermark_lateness", _LATENESS_ORACLE)
+def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness spectrum: per event as it *arrives* (arrival
+    order = event_id), how far behind the running event-time high-water
+    mark it is, log2-binned per type — exactly the statistic that
+    sizes a Structured Streaming ``withWatermark`` delay (the p-max
+    bucket says how much state a late-data-tolerant window must
+    hold).  One keyed running-max window + one aggregation."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    arr = ev.select(
+        "event_type",
+        F.greatest(
+            F.lit(0),
+            (F.max(F.expr("unix_micros(ts)")).over(w) / 1_000_000).cast("long")
+            - F.expr("unix_micros(ts) div 1000000"),
+        ).alias("late_s"),
+    )
+    return arr.groupBy(
+        "event_type",
+        F.when(F.col("late_s") == 0, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("late_s"))))
+        .cast("long")
+        .alias("bucket_log2"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("late_s").cast("long").alias("max_late_s"),
+    )
