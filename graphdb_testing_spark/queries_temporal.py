@@ -1043,3 +1043,77 @@ def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.max("late_s").cast("long").alias("max_late_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP pattern census: view (no error) purchase within 1h
+# ---------------------------------------------------------------------------
+
+_PATTERN_ORACLE = """
+WITH pe AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('view', 'purchase', 'error')
+),
+seq AS (
+  SELECT user_id, event_type, ts_us,
+         MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view,
+         MAX(CASE WHEN event_type = 'error' THEN ts_us END) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error
+  FROM pe
+)
+SELECT user_id, CAST(last_view AS BIGINT) AS start_us,
+       CAST(ts_us AS BIGINT) AS end_us
+FROM seq
+WHERE event_type = 'purchase' AND last_view IS NOT NULL
+  AND ts_us - last_view <= 3600000000
+  AND (last_error IS NULL OR last_error < last_view)
+"""
+
+
+@register("pattern_match_census", _PATTERN_ORACLE)
+def q_pattern_match_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch census of the ``view (no error) purchase within 1h`` CEP
+    pattern — one row per qualifying purchase with its matched view.
+    The retrospective twin of
+    :func:`~graphdb_testing_spark.streaming.workflow.streaming_pattern_match`
+    (same latest-start / guard-kill semantics, same (ts, event_id)
+    tie order); two keyed running-max windows + a filter, no joins."""
+    from pyspark.sql import Window as W
+
+    ev = datasets.load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase", "error")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    ).select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("ts_us"))
+        ).over(w).alias("last_view"),
+        F.max(
+            F.when(F.col("event_type") == "error", F.col("ts_us"))
+        ).over(w).alias("last_error"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_view").isNotNull()
+        & (F.col("ts_us") - F.col("last_view") <= 3_600_000_000)
+        & (F.col("last_error").isNull() | (F.col("last_error") < F.col("last_view")))
+    ).select(
+        "user_id",
+        F.col("last_view").cast("long").alias("start_us"),
+        F.col("ts_us").cast("long").alias("end_us"),
+    )

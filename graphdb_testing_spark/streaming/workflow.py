@@ -1018,3 +1018,88 @@ def streaming_funnel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_pattern_match(
+    spark: SparkSession,
+    events_path: str,
+    start_type: str = "view",
+    end_type: str = "purchase",
+    guard_type: str = "error",
+    window_s: int = 3600,
+    query_name: str = "pattern_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming CEP detector: per user, emit a row for every
+    ``end_type`` event whose *latest preceding* ``start_type`` event
+    is within ``window_s`` AND has no ``guard_type`` event after it —
+    the ``A (no C) B within T`` pattern of complex-event-processing
+    engines, as one ``applyInPandasWithState`` operator.
+
+    State per user = (ts of latest start event, ts of latest guard
+    event) — two longs, O(1) regardless of stream length.  A guard
+    event does not erase history; the match condition compares the
+    two timestamps, which reproduces the batch window semantics
+    (latest start wins; a guard between it and the end kills the
+    match).  Ties at identical microseconds are ordered by event_id
+    (the batch twin sorts the same way).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    win_us = window_s * 1_000_000
+
+    def upd(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            last_start, last_guard = state.get
+        else:
+            last_start, last_guard = -(1 << 62), -(1 << 62)
+        out = []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_us", "event_id"]
+            )
+            for t, et in zip(pdf["ts_us"], pdf["event_type"]):
+                t = int(t)
+                if et == start_type:
+                    last_start = t
+                elif et == guard_type:
+                    last_guard = t
+                elif et == end_type:
+                    if (
+                        last_start > -(1 << 62)
+                        and t - last_start <= win_us
+                        and last_guard < last_start
+                    ):
+                        out.append((key[0], last_start, t))
+        state.update((last_start, last_guard))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "start_us", "end_us"])
+
+    ev = _events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    )
+    filt = ev.filter(
+        F.col("event_type").isin(start_type, end_type, guard_type)
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    out = filt.groupBy("user_id").applyInPandasWithState(
+        upd,
+        outputStructType="user_id long, start_us long, end_us long",
+        stateStructType="last_start long, last_guard long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

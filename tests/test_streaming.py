@@ -661,3 +661,39 @@ def test_streaming_funnel_matches_batch_state_machine(spark, tmp_path):
                     want.add((uid, r.t))
                     break
     assert got == want and len(want) > 0
+
+
+def test_streaming_pattern_match_matches_batch(spark, tmp_path):
+    """CEP detector streamed across two micro-batches equals the
+    batch window-census of the same pattern."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.queries_temporal import q_pattern_match_census
+    from graphdb_testing_spark.streaming.workflow import streaming_pattern_match
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "pattern_stream"
+    stream_dir.mkdir()
+    t = pq.read_table(f"{sf}/events.parquet").sort_by([("ts", "ascending")])
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), f"{stream_dir}/part-0.parquet")
+    pq.write_table(t.slice(half), f"{stream_dir}/part-1.parquet")
+    now = time.time()
+    os.utime(f"{stream_dir}/part-0.parquet", (now - 10, now - 10))
+    os.utime(f"{stream_dir}/part-1.parquet", (now, now))
+    q = streaming_pattern_match(
+        spark, str(stream_dir), query_name="t_pattern", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.start_us, r.end_us)
+        for r in spark.sql("select * from t_pattern").collect()
+    }
+    want = {
+        (r.user_id, r.start_us, r.end_us)
+        for r in q_pattern_match_census(spark, sf).collect()
+    }
+    assert got == want and len(want) > 0
