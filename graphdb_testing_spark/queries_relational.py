@@ -2736,3 +2736,285 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ratio_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 (local supplier volume): customer and supplier in the same
+# nation, one region, one order year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+SELECT n.n_name,
+       CAST(SUM(CAST({_REV} AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+)
+def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation where the supplier and the ordering
+    customer share a nation, restricted to one region and order year.
+
+    Scale shape: the three dims (supplier, nation⋈region, filtered-year
+    order keys stay large so they shuffle) — supplier/nation/region all
+    broadcast; the only shuffles are lineitem⋈orders on orderkey and
+    the final small group-by.  The nation-equality predicate rides the
+    supplier join so no post-join filter blowup.  (Reference analog:
+    the typed multi-way joins of ``tests/sqlite/test.c``.)"""
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    orders = datasets.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    sup = datasets.load_table(spark, sf_dir, "supplier")
+    nat = datasets.load_table(spark, sf_dir, "nation")
+    reg = datasets.load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 (forecast revenue change): single-table scan-and-sum with a
+# float-safe integerized discount band
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND CAST(round(l_discount * 100) AS INTEGER) BETWEEN 4 AND 6
+  AND l_quantity < 24e0
+""",
+)
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue that would be lost by dropping a discount band
+    — a pure scan-aggregate.  The discount band test is integerized
+    (``round(d*100)``) so the float boundary is bit-identical across
+    engines; all three predicates push into the parquet scan and the
+    whole query is one WholeStageCodegen stage with no shuffle beyond
+    the single-row partial-agg gather."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.round(F.col("l_discount") * 100).cast("int").between(4, 6)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 (order priority; adapted): EXISTS semi-join on late-shipped
+# lineitems — the dataset has no commit/receipt dates, so "late" is
+# shipdate more than 60 days after the order date
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+""",
+)
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted: orders in one quarter having at least one
+    lineitem shipped >60 days after the order date, counted per
+    priority.  The EXISTS is a left-semi join (no duplicate
+    amplification); the quarter filter shrinks orders before the
+    shuffle and the ship-lag predicate rides the join condition.
+    The synthetic schema has no commit/receipt dates (TESTDATA.md), so
+    ship-lag replaces the commit<receipt test — semantics-preserving
+    for the semi-join shape the reference exercises
+    (``include/stinger.h:214-216`` has_typed_successor)."""
+    orders = datasets.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 (discounted revenue; adapted): disjunctive brand/size/
+# quantity predicate over the part join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_discounted_revenue",
+    f"""
+SELECT CAST(SUM(CAST({_REV} AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE
+     (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+      AND l.l_quantity >= 1e0 AND l.l_quantity <= 11e0)
+  OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+      AND l.l_quantity >= 10e0 AND l.l_quantity <= 20e0)
+  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+      AND l.l_quantity >= 20e0 AND l.l_quantity <= 30e0)
+""",
+)
+def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adapted (no shipmode/shipinstruct columns): revenue
+    over a disjunction of three brand/size/quantity bands.  The
+    brand∈{{1,2,3}} + size≤35 envelope of the OR is pushed onto the
+    part side BEFORE the broadcast join (Catalyst keeps the residual
+    disjunction as the join filter), so the broadcast table shrinks to
+    the union of the bands rather than all parts."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    part = datasets.load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 35)
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1.0, 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20.0, 30.0)
+        )
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 (global sales opportunity; adapted): above-average-balance
+# customers with no orders, per nation — float-safe via
+# cross-multiplied DECIMAL sums instead of a float AVG comparison
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+WITH pos AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer WHERE c_acctbal > 0e0
+)
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c, pos
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.cnt > pos.total
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY c.c_nationkey
+""",
+)
+def q_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (no phone column → group by nationkey; the
+    synthetic data gives every customer at least one order, so "never
+    ordered" becomes "no order since 2000" to keep the anti-join
+    non-vacuous): customers whose balance exceeds the mean positive
+    balance and who have gone dormant, counted per nation.
+
+    The above-average test is cross-multiplied (``bal·cnt > Σbal``)
+    over DECIMAL sums so there is no float-division boundary to
+    disagree on across engines.  The scalar (Σ,n) broadcasts; the
+    no-orders test is a left-anti join on custkey (the reference's
+    deletion/absence scan shape, ``operators/updates.py`` anti-join)."""
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal).cast("decimal(28,2)").alias("total"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(bal * F.col("cnt") > F.col("total"))
+        .join(
+            orders.filter(F.col("o_orderdate") >= "2000-01-01"),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
