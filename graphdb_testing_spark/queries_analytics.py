@@ -3297,3 +3297,31 @@ def q_edge_betweenness_4roots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return edge_betweenness(g.edges, roots, max_depth=_LEVELS - 1)
+
+
+# ---------------------------------------------------------------------------
+# Greedy graph coloring (Jones-Plassmann, id priority, bounded rounds)
+# ---------------------------------------------------------------------------
+
+from .operators.coloring import greedy_coloring, coloring_oracle_sql  # noqa: E402
+
+
+@register(
+    "greedy_coloring_6round",
+    oracles.with_user_edges(
+        "SELECT id, color FROM coloring_result",
+        extra_ctes="cue AS MATERIALIZED (SELECT src, dst FROM user_edges),\n"
+        + coloring_oracle_sql("cue", rounds=6),
+    ),
+)
+def q_greedy_coloring_6round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring of the user graph, 6 unrolled
+    rounds (= the sequential greedy coloring in id order once
+    converged; ``-1`` reports unconverged residue honestly).  Each
+    round finds the id-minimal independent frontier (the MIS winner
+    rule), gathers already-assigned neighbor colors, and takes the
+    mex JVM-side via ``aggregate(sort_array(...))`` — no Python in
+    the loop, state shrinks geometrically.  Scheduling analog of the
+    reference's independent-set-ordered kernels."""
+    g = datasets.user_graph(spark, sf_dir)
+    return greedy_coloring(g.edges, rounds=6)

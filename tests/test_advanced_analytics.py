@@ -319,3 +319,28 @@ def test_edge_betweenness_path_graph_exact(spark, path_graph):
         (2, 3): pytest.approx(12.0),
         (3, 4): pytest.approx(8.0),
     }
+
+
+def test_greedy_coloring_proper_and_matches_sequential(spark, bridged_cliques):
+    from graphdb_testing_spark.operators.coloring import greedy_coloring
+
+    edges = bridged_cliques
+    sym = edges.selectExpr("dst as src", "src as dst", "wgt").unionAll(edges)
+    out = {r["id"]: r["color"] for r in greedy_coloring(sym, rounds=8).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for r in sym.select("src", "dst").distinct().collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    # converged, proper, and equal to sequential greedy in id order
+    assert all(c >= 0 for c in out.values())
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            assert out[u] != out[v]
+    seq: dict[int, int] = {}
+    for v in sorted(adj):
+        used = {seq[n] for n in adj[v] if n in seq}
+        c = 0
+        while c in used:
+            c += 1
+        seq[v] = c
+    assert out == seq
