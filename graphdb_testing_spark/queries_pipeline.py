@@ -10,7 +10,7 @@ exact at 6 decimals over all sf0.001 pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import datasets
@@ -1603,3 +1603,106 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~graphdb_testing_spark.functions.textstats.bigram_lm_scores`."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return textstats.bigram_lm_scores(docs)
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance audit: top correlated dimension pairs, exact
+# integer arithmetic (decorrelation / whitening diagnostics)
+# ---------------------------------------------------------------------------
+
+_COVAR_ORACLE = """
+WITH iv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS iv
+  FROM embeddings
+),
+dims AS MATERIALIZED (
+  SELECT vec_id, t.i AS i, iv[t.i] AS x
+  FROM iv, UNNEST(generate_series(1, 64)) t(i)
+),
+dsum AS (SELECT i, SUM(x) AS sx FROM dims GROUP BY i),
+nn AS (SELECT COUNT(*) AS c FROM iv),
+pr AS (
+  SELECT a.i AS dim_i, b.i AS dim_j, SUM(a.x * b.x) AS sxy
+  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND b.i > a.i
+  GROUP BY 1, 2
+),
+cov AS (
+  SELECT p.dim_i, p.dim_j,
+         nn.c * p.sxy - sa.sx * sb.sx AS cov_num
+  FROM pr p
+  JOIN dsum sa ON sa.i = p.dim_i
+  JOIN dsum sb ON sb.i = p.dim_j
+  CROSS JOIN nn
+),
+rk AS (
+  SELECT dim_i, dim_j, cov_num,
+         ROW_NUMBER() OVER (ORDER BY ABS(cov_num) DESC, dim_i, dim_j) AS rank
+  FROM cov
+)
+SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j,
+       CAST(cov_num AS BIGINT) AS cov_num, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 20
+"""
+
+
+@register("embedding_covariance_topk", _COVAR_ORACLE)
+def q_embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-covariant embedding dimension pairs — the
+    decorrelation audit that decides whether a PCA/whitening pass is
+    worth scheduling before ANN indexing (correlated dims waste IVF
+    cells and inflate cosine variance).
+
+    Exact arithmetic: values integerize at 1024× (the
+    ``embedding_dim_stats`` convention), so ``cov_num = n·Σxy −
+    Σx·Σy`` is a bit-identical BIGINT on both engines and the top-k
+    ranking has no float boundary.
+
+    Scale shape: NO self-join — each row map-side expands to its own
+    d(d−1)/2 upper-triangle products via a column-sliced second
+    ``posexplode``, then one partial-aggregated shuffle of at most
+    d² = 4096 groups.  At 100 TB the shuffle volume is d² rows per
+    partition regardless of row count; per-dim sums (64 rows)
+    broadcast back for the centering term."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1024) as bigint))"
+        ).alias("iv")
+    )
+    e1 = iv.select(F.posexplode("iv").alias("i0", "xi"), F.col("iv"))
+    pairs = e1.select(
+        "i0",
+        "xi",
+        F.posexplode(F.slice(F.col("iv"), F.col("i0") + 2, F.lit(64))).alias(
+            "j0", "xj"
+        ),
+    ).select(
+        (F.col("i0") + 1).cast("long").alias("dim_i"),
+        (F.col("i0") + 2 + F.col("j0")).cast("long").alias("dim_j"),
+        (F.col("xi") * F.col("xj")).alias("xy"),
+    )
+    sxy = pairs.groupBy("dim_i", "dim_j").agg(F.sum("xy").alias("sxy"))
+    dsum = (
+        iv.select(F.posexplode("iv").alias("i0", "x"))
+        .groupBy((F.col("i0") + 1).cast("long").alias("i"))
+        .agg(F.sum("x").alias("sx"))
+    )
+    nn = iv.agg(F.count("*").alias("c"))
+    cov = (
+        sxy.join(F.broadcast(dsum.select(F.col("i").alias("dim_i"), F.col("sx").alias("sxi"))), "dim_i")
+        .join(F.broadcast(dsum.select(F.col("i").alias("dim_j"), F.col("sx").alias("sxj"))), "dim_j")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "dim_i",
+            "dim_j",
+            (F.col("c") * F.col("sxy") - F.col("sxi") * F.col("sxj"))
+            .cast("long")
+            .alias("cov_num"),
+        )
+    )
+    w = Window.orderBy(F.abs(F.col("cov_num")).desc(), "dim_i", "dim_j")
+    return (
+        cov.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )

@@ -28,10 +28,20 @@ from graphdb_testing_spark.session import get_spark  # noqa: E402
 
 
 def plan_text(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    # Explain with AQE off: AdaptiveSparkPlan hides WholeStageCodegen
+    # ids until execution, which made every exchange-bearing plan look
+    # codegen-free.  The physical plan is (re)derived at explain time,
+    # so toggling the conf here is enough.
+    sess = df.sparkSession
+    prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def audit(name: str, df, expect_pushdown: bool = False) -> None:
@@ -158,6 +168,25 @@ def main() -> None:
     audit("sequence_packing", qs["sequence_packing"](spark, sf_dir))
     audit("json_props_stats", qs["json_props_stats"](spark, sf_dir))
     audit("corpus_prep_pipeline", qs["corpus_prep_pipeline"](spark, sf_dir))
+
+    # TPC-H additions + embedding covariance (this session)
+    audit(
+        "q5_local_supplier_volume",
+        qs["q5_local_supplier_volume"](spark, sf_dir),
+        expect_pushdown=True,
+    )
+    audit(
+        "q6_forecast_revenue",
+        qs["q6_forecast_revenue"](spark, sf_dir),
+        expect_pushdown=True,
+    )
+    audit(
+        "q19_discounted_revenue",
+        qs["q19_discounted_revenue"](spark, sf_dir),
+        expect_pushdown=True,
+    )
+    audit("q22_global_sales_opportunity", qs["q22_global_sales_opportunity"](spark, sf_dir))
+    audit("embedding_covariance_topk", qs["embedding_covariance_topk"](spark, sf_dir))
 
     # one iterative-kernel round body: edges join state should be a
     # broadcast hash join with no edge-side exchange
