@@ -1706,3 +1706,31 @@ def q_embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dominant principal direction (power iteration, deterministic folds)
+# ---------------------------------------------------------------------------
+
+from .operators.pca import (  # noqa: E402
+    power_iteration_loadings,
+    power_iteration_oracle_sql,
+)
+
+
+@register(
+    "pca_power_iteration",
+    "WITH "
+    + power_iteration_oracle_sql(dim=64, rounds=8)
+    + "\nSELECT dim, loading_micro FROM pca_result",
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the embedding covariance matrix — 8
+    unnormalized power-iteration rounds over the exact-integer
+    covariance, every float sum a left fold in index order so the
+    DuckDB twin is bit-identical (see ``operators/pca.py``).  The
+    whitening/decorrelation companion to ``embedding_covariance_topk``:
+    one pass over the data builds the d² matrix, then the iteration is
+    O(d²) JVM array math independent of corpus size."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return power_iteration_loadings(emb, dim=64, rounds=8)

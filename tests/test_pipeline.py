@@ -272,3 +272,36 @@ def test_pq_adc_approximates_exact_ranking(spark):
         )
         got = d2(q, vecs[r.vec_id])
         assert got <= max(4 * true_best, true_best + 1)
+
+
+def test_power_iteration_matches_numpy_eigenvector(spark):
+    # planted dominant direction (the sin fixture's spectrum is nearly
+    # degenerate, where power iteration legitimately stalls)
+    import math
+
+    import numpy as np
+
+    from graphdb_testing_spark.operators.pca import power_iteration_loadings
+
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=8)
+    u /= np.linalg.norm(u)
+    X32 = (
+        rng.normal(size=(80, 1)) * 3.0 * u + 0.1 * rng.normal(size=(80, 8))
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X32[i]], 0) for i in range(len(X32))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = power_iteration_loadings(df, dim=8, rounds=12).collect()
+    got = np.array(
+        [r["loading_micro"] for r in sorted(out, key=lambda r: r["dim"])],
+        dtype=float,
+    ) / 1e6
+
+    X = np.floor(X32.astype(np.float64) * 1024)
+    C = len(X) * (X.T @ X) - np.outer(X.sum(0), X.sum(0))
+    w, v = np.linalg.eigh(C)
+    top = v[:, np.argmax(w)]
+    top = top / top[np.argmax(np.abs(top))]
+    assert np.max(np.abs(got - top)) < 1e-3
