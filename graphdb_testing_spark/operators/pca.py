@@ -189,3 +189,70 @@ def power_iteration_oracle_sql(dim: int = 64, rounds: int = 8) -> str:
 )"""
     )
     return ",\n".join(ctes)
+
+
+def pca_projection_scores(emb: DataFrame, dim: int = 64, rounds: int = 8) -> DataFrame:
+    """``(vec_id, proj_micro)``: each vector's projection onto the
+    dominant direction of :func:`power_iteration_loadings`, as
+    ``floor(1e6 · Σ x_d · loading_d)`` with the sum a left fold in
+    index order (bit-identical cross-engine).  The 1-D reduction used
+    for embedding outlier triage: extreme projections mark vectors
+    dominated by the corpus's main variance axis.  The direction is a
+    single broadcast row; the scoring pass is map-only."""
+    v = power_iteration_loadings(emb, dim=dim, rounds=rounds)
+    vrow = (
+        v.groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "loading_micro"))).alias("ls"))
+        .select(
+            F.expr(
+                "transform(ls, s -> cast(s.loading_micro as double) / 1e6)"
+            ).alias("w")
+        )
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> cast(x as double))"
+            ).alias("xd"),
+        )
+        .crossJoin(F.broadcast(vrow))
+        .select(
+            "vec_id",
+            F.floor(
+                F.lit(1e6)
+                * F.expr(
+                    "aggregate(zip_with(xd, w, (x, y) -> x * y), "
+                    "cast(0.0 as double), (acc, z) -> acc + z)"
+                )
+            )
+            .cast("long")
+            .alias("proj_micro"),
+        )
+    )
+
+
+def pca_projection_oracle_sql(dim: int = 64, rounds: int = 8) -> str:
+    """Extends :func:`power_iteration_oracle_sql`'s chain with the
+    projection pass.  Final relation: ``pca_proj(vec_id,
+    proj_micro)``."""
+    base = power_iteration_oracle_sql(dim=dim, rounds=rounds)
+    return (
+        base
+        + f""",
+pw AS (
+  SELECT list_transform(list(loading_micro ORDER BY dim),
+                        l -> CAST(l AS DOUBLE) / 1e6) AS w
+  FROM pca_result
+),
+pca_proj AS (
+  SELECT e.vec_id,
+         CAST(FLOOR(1e6 * list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(
+               list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), pw.w),
+               p -> p[1] * p[2])),
+           (acc, z) -> acc + z)) AS BIGINT) AS proj_micro
+  FROM embeddings e, pw
+)"""
+    )

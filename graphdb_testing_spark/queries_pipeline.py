@@ -1734,3 +1734,26 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(d²) JVM array math independent of corpus size."""
     emb = datasets.load_table(spark, sf_dir, "embeddings")
     return power_iteration_loadings(emb, dim=64, rounds=8)
+
+
+from .operators.pca import (  # noqa: E402
+    pca_projection_scores,
+    pca_projection_oracle_sql,
+)
+
+
+@register(
+    "pca_projection_scores",
+    "WITH "
+    + pca_projection_oracle_sql(dim=64, rounds=8)
+    + "\nSELECT vec_id, proj_micro FROM pca_proj",
+)
+def q_pca_projection_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the dominant covariance direction —
+    the 1-D outlier/triage score downstream of
+    ``pca_power_iteration``.  The direction broadcasts as one row; the
+    scoring pass is map-only over the embedding column with an
+    index-ordered fold, so both the plan and the floats are identical
+    at any scale."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return pca_projection_scores(emb, dim=64, rounds=8)
