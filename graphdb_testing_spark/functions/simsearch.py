@@ -315,3 +315,133 @@ def kmeans_assign(
         .filter(F.col("rn") == 1)
         .select("vec_id", "cluster_id", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full Lloyd iteration in exact integer space (multi-round k-means)
+# ---------------------------------------------------------------------------
+
+_INT_DIST2 = (
+    "aggregate(zip_with(p, c, (x, y) ->"
+    " (1000 * x - y) * (1000 * x - y)),"
+    " cast(0 as bigint), (acc, d) -> acc + d)"
+)
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, cluster_id, dist2)`` after ``rounds`` full Lloyd
+    iterations, bit-exact on any engine: points integerize at 1024×
+    (the ``embedding_dim_stats`` convention), centroids live in
+    1000×-finer "milli" units updated as ``(1000·Σx) // n``, and
+    squared distances are pure BIGINT — associative sums, no float
+    boundary anywhere, so the k-means loop itself (not just one
+    assignment) is hash-checkable.
+
+    Scale shape per round: broadcast the k×d centroid relation,
+    map-only argmin per point (ties to the smaller cluster id),
+    then one map-side-combined (cluster, dim) integer-sum shuffle of
+    ≤ k·d groups.  Driver holds nothing; rounds chain through
+    ``localCheckpoint`` like every iterative kernel here."""
+    pts = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(floor(cast(x as double) * 1024) as bigint))"
+        ).alias("p"),
+    ).localCheckpoint()
+    cents = (
+        pts.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cluster_id"),
+            F.expr("transform(p, x -> 1000 * x)").alias("c"),
+        )
+        .localCheckpoint()
+    )
+    assign = None
+    for _ in range(rounds):
+        scored = pts.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cluster_id", F.expr(_INT_DIST2).alias("dist2")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster_id", "dist2")
+            .localCheckpoint()
+        )
+        sums = (
+            assign.join(pts, "vec_id")
+            .select("cluster_id", F.posexplode("p").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.count("*").alias("n"), F.sum("x").alias("sx"))
+            .select(
+                "cluster_id",
+                "pos",
+                F.expr("(1000 * sx) div n").alias("cm"),
+            )
+        )
+        cents = (
+            sums.groupBy("cluster_id")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "cm"))).alias("s"))
+            .select("cluster_id", F.expr("transform(s, t -> t.cm)").alias("c"))
+            .localCheckpoint()
+        )
+    return assign
+
+
+def kmeans_lloyd_oracle_sql(dim: int = 64, k: int = 8, rounds: int = 3) -> str:
+    """DuckDB CTE chain unrolling the same integer Lloyd rounds.
+    Final relation: ``lloyd_result(vec_id, cluster_id, dist2)``."""
+    dist2 = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (1000 * p.p[i] - c.c[i]) * (1000 * p.p[i] - c.c[i])))"
+    )
+    ctes = [
+        """lpts AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS p
+  FROM embeddings
+)""",
+        f"""lcent0 AS (
+  SELECT vec_id AS cluster_id, list_transform(p, x -> 1000 * x) AS c
+  FROM lpts ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = r - 1
+        ctes.append(
+            f"""lassign{r} AS MATERIALIZED (
+  SELECT vec_id, cluster_id, dist2 FROM (
+    SELECT p.vec_id, c.cluster_id, {dist2} AS dist2,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist2}, c.cluster_id) AS rn
+    FROM lpts p CROSS JOIN lcent{prev} c)
+  WHERE rn = 1
+)"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""lcent{r} AS MATERIALIZED (
+  SELECT cluster_id, list(cm ORDER BY dim) AS c FROM (
+    SELECT a.cluster_id, t.i AS dim,
+           (1000 * SUM(b.p[t.i])) // COUNT(*) AS cm
+    FROM lassign{r} a JOIN lpts b USING (vec_id),
+         UNNEST(generate_series(1, {dim})) t(i)
+    GROUP BY a.cluster_id, t.i)
+  GROUP BY cluster_id
+)"""
+            )
+    ctes.append(
+        f"""lloyd_result AS (
+  SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+         CAST(dist2 AS BIGINT) AS dist2
+  FROM lassign{rounds}
+)"""
+    )
+    return ",\n".join(ctes)

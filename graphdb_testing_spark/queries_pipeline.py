@@ -1757,3 +1757,20 @@ def q_pca_projection_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any scale."""
     emb = datasets.load_table(spark, sf_dir, "embeddings")
     return pca_projection_scores(emb, dim=64, rounds=8)
+
+
+@register(
+    "kmeans_lloyd_3round",
+    "WITH "
+    + simsearch.kmeans_lloyd_oracle_sql(dim=64, k=8, rounds=3)
+    + "\nSELECT vec_id, cluster_id, dist2 FROM lloyd_result",
+)
+def q_kmeans_lloyd_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full Lloyd iterations (assign → integer centroid update →
+    reassign), closing the k-means loop that ``kmeans_assign`` /
+    ``kmeans_update`` expose as single steps.  Everything is exact
+    BIGINT (1024× points, 1000×-finer centroids, integer squared
+    distances) so the multi-round trajectory itself hash-matches the
+    DuckDB twin — see ``functions/simsearch.kmeans_lloyd``."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return simsearch.kmeans_lloyd(emb, k=8, rounds=3)

@@ -305,3 +305,27 @@ def test_power_iteration_matches_numpy_eigenvector(spark):
     top = v[:, np.argmax(w)]
     top = top / top[np.argmax(np.abs(top))]
     assert np.max(np.abs(got - top)) < 1e-3
+
+
+def test_kmeans_lloyd_recovers_planted_clusters(spark):
+    import numpy as np
+
+    from graphdb_testing_spark.functions.simsearch import kmeans_lloyd
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(3, 8)) * 5.0
+    rows = []
+    truth = []
+    for i in range(90):
+        g = i % 3
+        truth.append(g)
+        v = centers[g] + 0.2 * rng.normal(size=8)
+        rows.append((i, [float(x) for x in v.astype(np.float32)], g))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = kmeans_lloyd(df, k=3, rounds=4).collect()
+    by_id = {r["vec_id"]: r["cluster_id"] for r in out}
+    # same planted group → same final cluster, different → different
+    for i in range(90):
+        for j in (0, 1, 2):
+            same = truth[i] == truth[j]
+            assert (by_id[i] == by_id[j]) == same
