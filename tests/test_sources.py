@@ -174,3 +174,36 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         drop_bucketed(spark, "e_bucketed")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned parquet layout: a filter on the partition
+    column must show up as PartitionFilters (directory pruning, zero
+    I/O on other partitions), not a post-scan filter."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(700)],
+        "id long, day int, v double",
+    )
+    path = str(tmp_path / "events_by_day")
+    df.write.partitionBy("day").parquet(path)
+
+    rd = spark.read.parquet(path).filter("day = 3").select("id", "v")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rd.explain("formatted")
+    txt = buf.getvalue()
+    assert "PartitionFilters" in txt
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m and "day" in m.group(1), txt
+    assert rd.count() == 100
+    # wrote one directory per partition value
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("day=")
+    ) == [f"day={i}" for i in range(7)]
