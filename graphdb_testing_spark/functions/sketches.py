@@ -121,3 +121,92 @@ hll AS (
   FROM regs GROUP BY {key_cols}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
+# ---------------------------------------------------------------------------
+
+
+def cms_counters(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 512, salt: str = "cms"
+) -> DataFrame:
+    """``(r, idx, cnt)`` Count-Min counter table: each item increments
+    one counter per hash row ``r``.  Build is one map-side explode of
+    ``depth`` rows followed by a ≤ depth·width-group partial-agg
+    shuffle — the sketch size is constant no matter how many items
+    stream through, which is the whole point at 100 TB.  Merging two
+    sketches is counter-wise addition (same groupBy), so per-partition
+    sketches combine losslessly."""
+    from ..hashutil import hash_prefix
+
+    rows = df.select(
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    idx = F.pmod(
+        hash_prefix(
+            F.concat_ws("|", F.lit(salt), F.col("r").cast("string"), F.col("item")), 8
+        ),
+        F.lit(width),
+    )
+    return rows.select("r", idx.alias("idx")).groupBy("r", "idx").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def cms_point_estimates(
+    counters: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> DataFrame:
+    """min-over-rows point estimate for each probe item (CMS
+    guarantees estimate ≥ true count).  ``probes`` is small (a
+    heavy-hitter shortlist): it explodes to ``depth`` rows, joins the
+    counter table on ``(r, idx)`` and takes the row-minimum."""
+    from ..hashutil import hash_prefix
+
+    pr = probes.select(
+        F.col(item_col),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    ).select(
+        item_col,
+        "r",
+        F.pmod(
+            hash_prefix(
+                F.concat_ws(
+                    "|", F.lit(salt), F.col("r").cast("string"),
+                    F.col(item_col).cast("string"),
+                ),
+                8,
+            ),
+            F.lit(width),
+        ).alias("idx"),
+    )
+    return (
+        pr.join(counters, ["r", "idx"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )
+
+
+def cms_oracle_sql(
+    table: str, item_expr: str, depth: int = 4, width: int = 512, salt: str = "cms"
+) -> str:
+    """DuckDB CTE chain: ``cms_counters(r, idx, cnt)`` built with the
+    identical md5-prefix hash (`hashutil` contract)."""
+    return f"""cms_rows AS (
+  SELECT t.r, CAST({item_expr} AS VARCHAR) AS item
+  FROM {table}, UNNEST([{", ".join(str(r) for r in range(depth))}]) t(r)
+),
+cms_counters AS (
+  SELECT r,
+         ('0x' || substr(md5('{salt}|' || r::VARCHAR || '|' || item), 1, 8))::BIGINT
+           % {width} AS idx,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cms_rows GROUP BY 1, 2
+)"""

@@ -425,3 +425,68 @@ def q_hll_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch point estimates vs exact counts (heavy hitters)
+# ---------------------------------------------------------------------------
+
+_CMS_ORACLE = (
+    "WITH "
+    + sketches.cms_oracle_sql("events", "user_id", depth=4, width=512)
+    + """,
+cms_true AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM events GROUP BY user_id
+),
+cms_top AS (
+  SELECT user_id, true_count,
+         ROW_NUMBER() OVER (ORDER BY true_count DESC, user_id) AS rnk
+  FROM cms_true
+),
+cms_probe AS (
+  SELECT p.user_id, p.true_count, p.rnk, t.r,
+         ('0x' || substr(md5('cms|' || t.r::VARCHAR || '|' ||
+                              CAST(p.user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 512 AS idx
+  FROM cms_top p, UNNEST([0, 1, 2, 3]) t(r)
+  WHERE p.rnk <= 20
+)
+SELECT p.user_id, p.true_count,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_estimate,
+       CAST(p.rnk AS BIGINT) AS rank
+FROM cms_probe p LEFT JOIN cms_counters c ON c.r = p.r AND c.idx = p.idx
+GROUP BY p.user_id, p.true_count, p.rnk
+"""
+)
+
+
+@register("cms_heavy_hitters", _CMS_ORACLE)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (depth 4 × width 512, portable md5 hashes)
+    point estimates for the 20 highest-frequency users, alongside
+    their exact counts — the constant-memory frequency sketch the
+    reference-era streaming systems pair with heavy-hitter queries.
+    Build is one explode + a ≤ 2048-group partial-agg shuffle
+    (constant regardless of stream length, counter-wise mergeable
+    across partitions); estimates obey ``cms_estimate ≥ true_count``
+    by construction (one-sided error)."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    counters = sketches.cms_counters(ev, "user_id", depth=4, width=512)
+    true = ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.count("*").cast("long").alias("true_count")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("true_count"), "user_id")
+    top = (
+        true.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .localCheckpoint()
+    )
+    est = sketches.cms_point_estimates(
+        counters, top.select("user_id"), "user_id", depth=4, width=512
+    )
+    return top.join(F.broadcast(est), "user_id").select(
+        "user_id", "true_count", "cms_estimate", "rank"
+    )

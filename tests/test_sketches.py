@@ -101,3 +101,30 @@ def test_table_digest_detects_single_row_change(spark, tmp_path):
     assert base["events"][0] == mut["events"][0]  # same row count
     assert base["events"][1] != mut["events"][1]  # digest flips
     assert base["orders"] == mut["orders"]  # untouched tables agree
+
+
+def test_cms_overestimates_and_tightens_with_width(spark):
+    from graphdb_testing_spark.functions.sketches import (
+        cms_counters,
+        cms_point_estimates,
+    )
+
+    rows = [(i % 10,) for i in range(1000)] + [(99,)] * 500
+    df = spark.createDataFrame(rows, "item long")
+    true = {r["item"]: r["cnt"] for r in df.groupBy("item").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt")
+    ).collect()}
+    probes = df.select("item").distinct()
+    for width, slack in [(64, 3000), (4096, 0)]:
+        c = cms_counters(df, "item", depth=4, width=width)
+        est = {
+            r["item"]: r["cms_estimate"]
+            for r in cms_point_estimates(c, probes, "item", depth=4, width=width).collect()
+        }
+        for it, t in true.items():
+            assert est[it] >= t
+            assert est[it] - t <= slack
+        if width == 4096:
+            # at 4096 counters for 11 items, collisions are essentially
+            # impossible: estimates are exact
+            assert est == true
