@@ -841,3 +841,79 @@ def q_typed_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("deg"),
         F.sum("wgt").cast("long").alias("wdeg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution closure: fuzzy pairs -> connected components ->
+# canonical entity ids (block/verify/cluster, end to end)
+# ---------------------------------------------------------------------------
+
+_ENTITY_ORACLE = """
+WITH RECURSIVE eblocked AS (
+  SELECT c_custkey AS k, c_name AS name, substr(c_name, 1, 13) AS blk
+  FROM customer
+),
+epairs AS MATERIALIZED (
+  SELECT a.k AS a_key, b.k AS b_key
+  FROM eblocked a JOIN eblocked b
+    ON a.blk = b.blk AND a.k < b.k
+  WHERE levenshtein(a.name, b.name) <= 1
+),
+esym AS MATERIALIZED (
+  SELECT a_key AS s, b_key AS d FROM epairs
+  UNION ALL
+  SELECT b_key, a_key FROM epairs
+),
+eclo AS (
+  SELECT s AS a, d AS b FROM esym
+  UNION
+  SELECT c.a, s.d FROM eclo c JOIN esym s ON c.b = s.s
+),
+elbl AS (
+  SELECT a AS k, LEAST(a, MIN(b)) AS lbl FROM eclo GROUP BY a
+)
+SELECT CAST(l.k AS BIGINT) AS c_custkey,
+       CAST(l.lbl AS BIGINT) AS canonical,
+       CAST(g.n AS BIGINT) AS group_size
+FROM elbl l
+JOIN (SELECT lbl, COUNT(*) AS n FROM elbl GROUP BY lbl) g USING (lbl)
+"""
+
+
+@register("entity_groups", _ENTITY_ORACLE)
+def q_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end: the blocked Levenshtein≤1 pairs
+    of ``fuzzy_name_pairs`` become an undirected match graph whose
+    connected components are entity clusters; every matched customer
+    reports its canonical id (the component's min key — exactly the
+    min-label CC contract) and cluster size.
+
+    Scale shape: blocking bounds the pair join, the closure is the
+    same pointer-jumping CC kernel as ``connected_components`` (no
+    transitive-closure blowup on Spark — the recursive closure lives
+    only in the small DuckDB twin), and the size rollup is one
+    group-by on the component label."""
+    from .operators.components import connected_components
+
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    blocked = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.substring("c_name", 1, 13).alias("blk"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.k") < F.col("b.k")))
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
+        .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst"))
+        .localCheckpoint()
+    )
+    sym = pairs.unionAll(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    cc = connected_components(sym)
+    sizes = cc.groupBy("label").agg(F.count("*").alias("group_size"))
+    return cc.join(F.broadcast(sizes), "label").select(
+        F.col("id").cast("long").alias("c_custkey"),
+        F.col("label").cast("long").alias("canonical"),
+        F.col("group_size").cast("long").alias("group_size"),
+    )

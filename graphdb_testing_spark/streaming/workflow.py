@@ -1103,3 +1103,48 @@ def streaming_pattern_match(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_cms(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "cms_stream",
+    depth: int = 4,
+    width: int = 512,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of the batch Count-Min build
+    (:func:`functions.sketches.cms_counters`): counters are plain
+    counts, and counter-wise addition is associative and commutative,
+    so the sketch is a NATIVE streaming aggregation — hash map-side,
+    ``groupBy(r, idx).count()`` in complete mode, no custom state
+    operator at all.  State is bounded at depth·width rows no matter
+    how long the stream runs; the final table equals the batch
+    counters exactly (parity test in ``test_streaming.py``)."""
+    from ..hashutil import hash_prefix
+
+    ev = _events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    )
+    rows = ev.select(
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    hashed = rows.select(
+        "r",
+        F.pmod(
+            hash_prefix(
+                F.concat_ws("|", F.lit("cms"), F.col("r").cast("string"), F.col("item")),
+                8,
+            ),
+            F.lit(width),
+        ).alias("idx"),
+    )
+    agg = hashed.groupBy("r", "idx").agg(F.count("*").alias("cnt"))
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

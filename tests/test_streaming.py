@@ -697,3 +697,41 @@ def test_streaming_pattern_match_matches_batch(spark, tmp_path):
         for r in q_pattern_match_census(spark, sf).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_cms_counters_equal_batch(spark, tmp_path):
+    """Counter-wise addition across micro-batches == one-shot batch
+    sketch: the completed streamed counter table equals
+    cms_counters exactly."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.datasets import load_table
+    from graphdb_testing_spark.functions.sketches import cms_counters
+    from graphdb_testing_spark.streaming.workflow import streaming_cms
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "cms_stream"
+    stream_dir.mkdir()
+    t = pq.read_table(f"{sf}/events.parquet")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), f"{stream_dir}/part-0.parquet")
+    pq.write_table(t.slice(half), f"{stream_dir}/part-1.parquet")
+    now = time.time()
+    os.utime(f"{stream_dir}/part-0.parquet", (now - 10, now - 10))
+    os.utime(f"{stream_dir}/part-1.parquet", (now, now))
+    q = streaming_cms(
+        spark, str(stream_dir), query_name="t_cms", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = {
+        (r.r, r.idx): r.cnt for r in spark.table("t_cms").collect()
+    }
+    ev = load_table(spark, sf, "events")
+    batch = {
+        (r.r, r.idx): r.cnt
+        for r in cms_counters(ev, "user_id", depth=4, width=512).collect()
+    }
+    assert got == batch
