@@ -9,7 +9,7 @@ explode is ``split(text, ' ')`` ≡ DuckDB
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -289,4 +289,51 @@ def bigram_lm_scores(
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.sum("lp").cast("long").alias("sum_logp_micro"),
+    )
+
+
+def fingerprint_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    keep: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """``(a_id, b_id, shared)`` — document pairs whose winnowing
+    fingerprint sets (the ``keep`` smallest k-gram hashes of
+    :func:`fingerprint`) share at least ``min_shared`` values.
+
+    This is the pairing step winnowing exists for (Schleimer et al.,
+    "Winnowing: local algorithms for document fingerprinting",
+    SIGMOD'03): an inverted-index equi-join on the fingerprint hash —
+    each doc contributes ``keep`` rows, candidate pairs only form
+    inside a shared hash bucket, never all-pairs.  At 100 TB a hash
+    shared by h docs fans out h² pair rows, so hot buckets (boilerplate
+    shingles) cap or salt exactly like the rare-ngram blocking in
+    ``dedup.ngram_jaccard``."""
+    from .dedup import _hash32, char_shingles
+
+    sh = char_shingles(docs, k, id_col, text_col)
+    hashed = sh.select("doc_id", _hash32(F.col("sh")).alias("h")).distinct()
+    w = Window.partitionBy("doc_id").orderBy("h")
+    top = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= keep)
+        .select("doc_id", "h")
+        .localCheckpoint()
+    )
+    a = top.alias("a")
+    b = top.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
     )

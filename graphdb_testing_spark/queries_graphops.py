@@ -917,3 +917,39 @@ def q_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("canonical"),
         F.col("group_size").cast("long").alias("group_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint overlap pairs (inverted-index near-dup join)
+# ---------------------------------------------------------------------------
+
+_FP_OVERLAP_ORACLE = """
+WITH fsh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
+  FROM documents, UNNEST(generate_series(1, len(text) - 7)) AS t(i)
+  WHERE len(text) >= 8
+),
+fh AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM fsh
+),
+ftop AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+    FROM fh)
+  WHERE rn <= 4
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS shared
+FROM ftop a JOIN ftop b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("fingerprint_overlap_pairs", _FP_OVERLAP_ORACLE)
+def q_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing ≥2 of their 4 winnowing fingerprint
+    hashes (Schleimer et al., SIGMOD'03) — the pairing step on top of
+    ``doc_fingerprints``: an inverted-index equi-join on the hash, so
+    candidates only form inside shared buckets, never all-pairs."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return textstats.fingerprint_overlap_pairs(docs, k=8, keep=4, min_shared=2)

@@ -490,3 +490,76 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(F.broadcast(est), "user_id").select(
         "user_id", "true_count", "cms_estimate", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch vs exact distinct counts
+# ---------------------------------------------------------------------------
+
+_KMV_ORACLE = """
+WITH kh AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events
+),
+krk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM kh
+),
+kbot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         MAX(CASE WHEN rn = 64 THEN h END) AS h64
+  FROM krk WHERE rn <= 64 GROUP BY event_type
+),
+kex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact,
+       CAST(CASE WHEN b.n_kept < 64 THEN b.n_kept
+                 ELSE (63 * 4294967296) // b.h64 END AS BIGINT) AS kmv_estimate
+FROM kex e JOIN kbot b USING (event_type)
+"""
+
+
+@register("kmv_distinct_users", _KMV_ORACLE)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct sketch (Bar-Yossef et al., RANDOM'02):
+    keep the 64 smallest distinct 32-bit hashes per event type;
+    ``(k−1)·2³² / h_k`` estimates the distinct count (exact below k).
+    The HLL sibling with a different merge law — bottom-k union is
+    just a re-min over the union of the two bottom sets, all integer,
+    so the sketch is checkable bit-for-bit.  Build is one distinct +
+    one bounded per-key top-k; state is ≤ 64 rows per key forever."""
+    from .hashutil import hash_prefix
+    from pyspark.sql import Window
+
+    ev = datasets.load_table(spark, sf_dir, "events")
+    kh = ev.select(
+        "event_type",
+        hash_prefix(
+            F.concat_ws("|", F.lit("kmv"), F.col("user_id").cast("string")), 8
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    bot = (
+        kh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.max(F.when(F.col("rn") == 64, F.col("h"))).alias("h64"),
+        )
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return ex.join(F.broadcast(bot), "event_type").select(
+        "event_type",
+        "n_exact",
+        F.when(F.col("n_kept") < 64, F.col("n_kept"))
+        .otherwise(F.expr("(63 * 4294967296) div h64"))
+        .cast("long")
+        .alias("kmv_estimate"),
+    )

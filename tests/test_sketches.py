@@ -128,3 +128,30 @@ def test_cms_overestimates_and_tightens_with_width(spark):
             # at 4096 counters for 11 items, collisions are essentially
             # impossible: estimates are exact
             assert est == true
+
+
+def test_kmv_estimate_accuracy_and_merge(spark):
+    """KMV estimate within ~3/sqrt(k) relative error on 5000 distinct
+    items; merging two halves' bottom-k sets re-min'd equals the
+    full-data sketch (union law)."""
+    import pyspark.sql.functions as SF
+
+    from graphdb_testing_spark.hashutil import hash_prefix
+
+    df = spark.createDataFrame([(i % 5000,) for i in range(20000)], "u long")
+    kh = df.select(
+        hash_prefix(SF.concat_ws("|", SF.lit("kmv"), SF.col("u").cast("string")), 8).alias("h")
+    ).distinct()
+    hs = sorted(r["h"] for r in kh.collect())
+    k = 256
+    est = (k - 1) * 4294967296 // hs[k - 1]
+    assert abs(est - 5000) / 5000 < 3.0 / (k ** 0.5)
+    # union law: bottom-k of (bottom-k(first half) ∪ bottom-k(second)) ==
+    # bottom-k of all
+    h1 = sorted(r["h"] for r in df.filter("u < 2500").select(
+        hash_prefix(SF.concat_ws("|", SF.lit("kmv"), SF.col("u").cast("string")), 8).alias("h")
+    ).distinct().collect())[:k]
+    h2 = sorted(r["h"] for r in df.filter("u >= 2500").select(
+        hash_prefix(SF.concat_ws("|", SF.lit("kmv"), SF.col("u").cast("string")), 8).alias("h")
+    ).distinct().collect())[:k]
+    assert sorted(set(h1) | set(h2))[:k] == hs[:k]
