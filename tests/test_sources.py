@@ -207,3 +207,69 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(path) if d.startswith("day=")
     ) == [f"day={i}" for i in range(7)]
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, [1, 2]), (2, "b", -0.5, [])],
+        "id long, s string, v double, xs array<long>",
+    )
+    p = str(tmp_path / "orc_t")
+    df.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jsonl_source_with_schema(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "tags": ["x"]}\n'
+        '{"doc_id": 2, "text": null, "tags": []}\n'
+        '{"doc_id": 3, "text": "third", "tags": ["a", "b"]}\n'
+    )
+    df = spark.read.schema("doc_id long, text string, tags array<string>").json(
+        str(p)
+    )
+    rows = {r["doc_id"]: (r["text"], list(r["tags"])) for r in df.collect()}
+    assert rows == {1: ("hello world", ["x"]), 2: (None, []), 3: ("third", ["a", "b"])}
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution: a column added later must surface (null for
+    old files) under mergeSchema — the lakehouse append pattern."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(
+        p + "/batch=0"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.0)], "id long, s string, score double"
+    ).write.parquet(p + "/batch=1")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    rows = {r["id"]: (r["s"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.0)}
+
+
+def test_dynamic_partition_pruning_in_plan(spark, tmp_path):
+    """A join whose dimension filter restricts fact partitions should
+    plan a dynamicpruning subquery on the fact scan (DPP) — at 100 TB
+    this is the difference between scanning 3 days and 3 years."""
+    import io
+    from contextlib import redirect_stdout
+
+    fact = spark.createDataFrame(
+        [(i, i % 20, float(i)) for i in range(2000)], "id long, day int, v double"
+    )
+    fp = str(tmp_path / "fact_by_day")
+    fact.write.partitionBy("day").parquet(fp)
+    dim = spark.createDataFrame(
+        [(d, "keep" if d < 3 else "drop") for d in range(20)], "day int, tag string"
+    )
+    f = spark.read.parquet(fp)
+    j = f.join(dim.filter("tag = 'keep'"), "day")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    txt = buf.getvalue().lower()
+    assert "dynamicpruning" in txt, txt
+    assert j.count() == 300
