@@ -1117,3 +1117,56 @@ def q_pattern_match_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_view").cast("long").alias("start_us"),
         F.col("ts_us").cast("long").alias("end_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user EWMA of event values (ordered fold, bit-identical floats)
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH eord AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(len(vs) AS BIGINT) AS n_events,
+       CAST(FLOOR(1e6 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+                                    (acc, v) -> acc / 2 + v)) AS BIGINT)
+         AS ewma_micro
+FROM eord
+"""
+
+
+@register("ewma_user_values", _EWMA_ORACLE)
+def q_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted value (half-life decay,
+    ``acc/2 + v`` per event in time order).  Dividing by two is exact
+    in binary floating point and the fold runs in the same
+    (ts, event_id) order on both engines, so the result is
+    bit-identical without integerizing the values themselves.
+
+    Scale: one shuffle groups each user's events; the fold state is a
+    scalar.  Group size is bounded by per-user activity (the
+    sessionization bound documented in ``streaming/workflow.py``); a
+    true streaming deployment keeps the same scalar as per-key state
+    — the batch fold IS the replay of that state machine."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    grp = ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(ts, event_id, "
+            "cast(value as double) as v))), s -> s.v)"
+        ).alias("vs")
+    )
+    return grp.select(
+        "user_id",
+        F.size("vs").cast("long").alias("n_events"),
+        F.floor(
+            F.lit(1e6)
+            * F.expr(
+                "aggregate(vs, cast(0.0 as double), (acc, v) -> acc / 2 + v)"
+            )
+        )
+        .cast("long")
+        .alias("ewma_micro"),
+    )

@@ -187,6 +187,12 @@ def main() -> None:
     )
     audit("q22_global_sales_opportunity", qs["q22_global_sales_opportunity"](spark, sf_dir))
     audit("embedding_covariance_topk", qs["embedding_covariance_topk"](spark, sf_dir))
+    audit("kmeans_lloyd_3round", qs["kmeans_lloyd_3round"](spark, sf_dir))
+    audit("cms_heavy_hitters", qs["cms_heavy_hitters"](spark, sf_dir))
+    audit("entity_groups", qs["entity_groups"](spark, sf_dir))
+    audit("fingerprint_overlap_pairs", qs["fingerprint_overlap_pairs"](spark, sf_dir))
+    audit("kmv_distinct_users", qs["kmv_distinct_users"](spark, sf_dir))
+    audit("ewma_user_values", qs["ewma_user_values"](spark, sf_dir))
 
     # one iterative-kernel round body: edges join state should be a
     # broadcast hash join with no edge-side exchange
