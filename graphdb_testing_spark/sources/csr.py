@@ -59,6 +59,14 @@ def write_graph_file(edges: DataFrame, path: str) -> tuple[int, int]:
         ind = np.fromiter((r.dst for r in rows), dtype=np.int64, count=len(rows))
         wgt = np.fromiter((r.wgt for r in rows), dtype=np.int64, count=len(rows))
         nv = int(max(src.max(), ind.max())) + 1
+        # the .g format stores a dense offsets[0..nv] array — a
+        # namespaced/sparse id space (e.g. datasets' high-bit supplier
+        # offset) would allocate nv >> ne offsets; remap first
+        if nv > 4 * len(rows) + 64:
+            raise ValueError(
+                f".g export needs dense vertex ids: max id {nv - 1} vs "
+                f"{len(rows)} edges — remap via physmap/zipWithIndex first"
+            )
     else:
         src = ind = wgt = np.array([], dtype=np.int64)
         nv = 0

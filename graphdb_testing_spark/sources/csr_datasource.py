@@ -1,0 +1,165 @@
+"""Distributed ``.g`` CSR reader as a Spark Python DataSource.
+
+The round-1 reader (:func:`csr.read_graph_file`) parses the whole
+binary on the driver — fine for the reference's test-scale
+round-trips, wrong at 267M edges.  This DataSource splits the file
+into EDGE-BALANCED vertex ranges (boundaries via ``searchsorted`` on
+the offset array, so a hub-heavy prefix doesn't starve the tail) and
+each task mmaps only its ``ind``/``wgt`` byte range, yielding Arrow
+batches — zero driver materialization, linear scan bandwidth per
+task.
+
+Reference format (``tests/stinger/main.c`` snarf loader): little-
+endian u64 stream ``[endian_check, nv, ne, off[nv+1], ind[ne],
+wgt[ne]]`` with a byteswap fallback when the check word mismatches.
+
+Usage::
+
+    spark.dataSource.register(CSRGraphDataSource)
+    df = (spark.read.format("csrg")
+          .option("path", "/path/graph.g")
+          .option("partitions", "8").load())
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .csr import ENDIAN_CHECK
+
+
+class CSRRangePartition(InputPartition):
+    """A contiguous vertex range [v_start, v_end) plus the byte
+    geometry needed to slice ``ind``/``wgt`` without re-reading the
+    offsets on the executor."""
+
+    def __init__(
+        self,
+        path: str,
+        swap: bool,
+        nv: int,
+        ne: int,
+        v_start: int,
+        v_end: int,
+        e_start: int,
+        e_end: int,
+    ):
+        self.path = path
+        self.swap = swap
+        self.nv = nv
+        self.ne = ne
+        self.v_start = v_start
+        self.v_end = v_end
+        self.e_start = e_start
+        self.e_end = e_end
+
+
+class CSRGraphReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("csrg source requires .option('path', ...)")
+        self.n_partitions = int(options.get("partitions", "8"))
+
+    def partitions(self):
+        import numpy as np
+
+        # header + offsets only (8·(nv+2) bytes) — NOT ind/wgt
+        head = np.fromfile(self.path, dtype="<u8", count=3)
+        swap = False
+        if int(head[0]) != ENDIAN_CHECK:
+            head = head.byteswap()
+            swap = True
+            if int(head[0]) != ENDIAN_CHECK:
+                raise ValueError(f"{self.path}: bad endian check")
+        nv, ne = int(head[1]), int(head[2])
+        off = np.fromfile(self.path, dtype="<u8", count=nv + 1, offset=3 * 8)
+        if swap:
+            off = off.byteswap()
+        off = off.astype(np.int64)
+        n_parts = max(1, min(self.n_partitions, max(ne, 1)))
+        # edge-balanced split: vertex boundary where the edge prefix
+        # crosses each 1/n_parts quantile of ne
+        targets = [(ne * i) // n_parts for i in range(1, n_parts)]
+        import bisect
+
+        bounds = [0]
+        for t in targets:
+            v = int(np.searchsorted(off, t, side="left"))
+            v = min(max(v, bounds[-1]), nv)
+            bounds.append(v)
+        bounds.append(nv)
+        out = []
+        for a, b in zip(bounds, bounds[1:]):
+            if a == b and not (a == 0 and b == nv):
+                continue
+            out.append(
+                CSRRangePartition(
+                    self.path, swap, nv, ne, a, b, int(off[a]), int(off[b])
+                )
+            )
+        return out or [CSRRangePartition(self.path, swap, nv, ne, 0, nv, 0, ne)]
+
+    def read(self, partition: CSRRangePartition):
+        import numpy as np
+        import pyarrow as pa
+
+        p = partition
+        n_off = p.v_end - p.v_start + 1
+        n_e = p.e_end - p.e_start
+        if n_e <= 0:
+            return
+        base = 3 * 8
+        off = np.fromfile(
+            p.path, dtype="<u8", count=n_off, offset=base + 8 * p.v_start
+        )
+        ind = np.fromfile(
+            p.path,
+            dtype="<u8",
+            count=n_e,
+            offset=base + 8 * (p.nv + 1) + 8 * p.e_start,
+        )
+        wgt = np.fromfile(
+            p.path,
+            dtype="<u8",
+            count=n_e,
+            offset=base + 8 * (p.nv + 1) + 8 * p.ne + 8 * p.e_start,
+        )
+        if p.swap:
+            off, ind, wgt = off.byteswap(), ind.byteswap(), wgt.byteswap()
+        off = off.astype(np.int64)
+        src = np.repeat(
+            np.arange(p.v_start, p.v_end, dtype=np.int64), np.diff(off)
+        )
+        yield pa.record_batch(
+            [
+                pa.array(src, type=pa.int64()),
+                pa.array(ind.astype(np.int64), type=pa.int64()),
+                pa.array(wgt.astype(np.int64), type=pa.int64()),
+            ],
+            names=["src", "dst", "wgt"],
+        )
+
+
+class CSRGraphDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "csrg"
+
+    def schema(self) -> str:
+        return "src long, dst long, wgt long"
+
+    def reader(self, schema) -> CSRGraphReader:
+        return CSRGraphReader(self.options)
+
+
+def read_graph_file_distributed(spark, path: str, partitions: int = 8):
+    """Partitioned ``.g`` read — the scale path.  Registers the
+    source idempotently and returns ``edges(src, dst, wgt)``."""
+    spark.dataSource.register(CSRGraphDataSource)
+    return (
+        spark.read.format("csrg")
+        .option("path", path)
+        .option("partitions", str(partitions))
+        .load()
+    )

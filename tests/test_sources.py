@@ -273,3 +273,41 @@ def test_dynamic_partition_pruning_in_plan(spark, tmp_path):
     txt = buf.getvalue().lower()
     assert "dynamicpruning" in txt, txt
     assert j.count() == 300
+
+
+def test_csrg_datasource_matches_driver_reader(spark, tmp_path):
+    """The partitioned Python DataSource must produce exactly the
+    edge set of the driver-side reader, across multiple partitions
+    and under the byteswap fallback."""
+    from graphdb_testing_spark.sources.csr import (
+        read_graph_file,
+        write_graph_file,
+    )
+    from graphdb_testing_spark.sources.csr_datasource import (
+        read_graph_file_distributed,
+    )
+
+    edges = spark.createDataFrame(
+        [(i % 40, (i * 13) % 40, 1 + i % 5) for i in range(400)],
+        "src long, dst long, wgt long",
+    ).distinct()
+    p = str(tmp_path / "g1.g")
+    write_graph_file(edges, p)
+
+    want = sorted(map(tuple, read_graph_file(spark, p).collect()))
+    for parts in (1, 3, 8):
+        got_df = read_graph_file_distributed(spark, p, partitions=parts)
+        assert got_df.rdd.getNumPartitions() >= 1
+        got = sorted(map(tuple, got_df.collect()))
+        assert got == want, f"partitions={parts}"
+
+    # byteswapped file exercises the snarf fallback
+    import numpy as np
+
+    raw = np.fromfile(p, dtype="<u8")
+    ps = str(tmp_path / "g1_swapped.g")
+    raw.byteswap().tofile(ps)
+    got = sorted(
+        map(tuple, read_graph_file_distributed(spark, ps, partitions=4).collect())
+    )
+    assert got == want
