@@ -3325,3 +3325,29 @@ def q_greedy_coloring_6round(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's independent-set-ordered kernels."""
     g = datasets.user_graph(spark, sf_dir)
     return greedy_coloring(g.edges, rounds=6)
+
+
+# ---------------------------------------------------------------------------
+# Spectral bisection (integer deflated power iteration on C·I − L)
+# ---------------------------------------------------------------------------
+
+from .operators.spectral import spectral_bisection, spectral_oracle_sql  # noqa: E402
+
+
+@register(
+    "spectral_bisection_6round",
+    oracles.with_user_edges(
+        "SELECT id, side, v FROM spectral_result",
+        extra_ctes="sue AS MATERIALIZED (SELECT src, dst FROM user_edges),\n"
+        + spectral_oracle_sql("sue", rounds=6),
+    ),
+)
+def q_spectral_bisection_6round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign partition of the user graph from six exact-integer power
+    steps on ``C·I − L`` with per-round mean deflation — a
+    hash-checkable Fiedler approximation built only from integer
+    shuffle sums and power-of-two truncating divisions
+    (``operators/spectral.py``).  The spectral companion to the LPA /
+    agglomeration partition kernels."""
+    g = datasets.user_graph(spark, sf_dir)
+    return spectral_bisection(g.edges, rounds=6)

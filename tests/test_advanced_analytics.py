@@ -344,3 +344,18 @@ def test_greedy_coloring_proper_and_matches_sequential(spark, bridged_cliques):
             c += 1
         seq[v] = c
     assert out == seq
+
+
+def test_spectral_bisection_separates_bridged_cliques(spark, bridged_cliques):
+    from graphdb_testing_spark.operators.spectral import spectral_bisection
+
+    edges = bridged_cliques
+    sym = edges.selectExpr("dst as src", "src as dst", "wgt").unionAll(edges)
+    out = spectral_bisection(sym, rounds=10).collect()
+    sides = {r["id"]: r["side"] for r in out}
+    vs = {r["id"]: r["v"] for r in out}
+    # the two K4s ({0..3} and {4..7} in the fixture) land on opposite
+    # sides, uniformly within each clique
+    left = {sides[i] for i in range(4)}
+    right = {sides[i] for i in range(4, 8)}
+    assert len(left) == 1 and len(right) == 1 and left != right, (sides, vs)
