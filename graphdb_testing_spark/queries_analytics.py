@@ -3351,3 +3351,62 @@ def q_spectral_bisection_6round(spark: SparkSession, sf_dir: str) -> DataFrame:
     agglomeration partition kernels."""
     g = datasets.user_graph(spark, sf_dir)
     return spectral_bisection(g.edges, rounds=6)
+
+
+@register(
+    "spectral_cut_quality",
+    oracles.with_user_edges(
+        """
+SELECT cut_edges, vol0, vol1,
+       CAST(FLOOR(1e6 * (cut_edges / (1e0 * vol0) + cut_edges / (1e0 * vol1)))
+            AS BIGINT) AS ncut_micro
+FROM (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM sue e
+     JOIN spectral_result a ON e.src = a.id
+     JOIN spectral_result b ON e.dst = b.id
+     WHERE a.side <> b.side) // 2 AS cut_edges,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM sue e
+     JOIN spectral_result a ON e.src = a.id WHERE a.side = 0) AS vol0,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM sue e
+     JOIN spectral_result a ON e.src = a.id WHERE a.side = 1) AS vol1
+)
+""",
+        extra_ctes="sue AS MATERIALIZED (SELECT src, dst FROM user_edges),\n"
+        + spectral_oracle_sql("sue", rounds=6),
+    ),
+)
+def q_spectral_cut_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-cut value of the spectral bisection — cut size over
+    each side's volume (Shi & Malik's ncut, the objective the Fiedler
+    split approximates).  One labels⋈edges join on each endpoint,
+    exact integer cut/volumes, one float division at the end (micro-
+    quantized after identical doubles)."""
+    g = datasets.user_graph(spark, sf_dir)
+    lab = spectral_bisection(g.edges, rounds=6).select("id", "side").localCheckpoint()
+    e = g.edges.select("src", "dst")
+    both = (
+        e.join(lab.select(F.col("id").alias("src"), F.col("side").alias("sa")), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("side").alias("sb")), "dst")
+    )
+    agg = both.agg(
+        (F.sum((F.col("sa") != F.col("sb")).cast("long")) / 2)
+        .cast("long")
+        .alias("cut_edges"),
+        F.sum((F.col("sa") == 0).cast("long")).cast("long").alias("vol0"),
+        F.sum((F.col("sa") == 1).cast("long")).cast("long").alias("vol1"),
+    )
+    return agg.select(
+        "cut_edges",
+        "vol0",
+        "vol1",
+        F.floor(
+            F.lit(1e6)
+            * (
+                F.col("cut_edges") / F.col("vol0").cast("double")
+                + F.col("cut_edges") / F.col("vol1").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("ncut_micro"),
+    )
