@@ -23,7 +23,12 @@ Usage::
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from .csr import ENDIAN_CHECK
 
@@ -161,5 +166,98 @@ def read_graph_file_distributed(spark, path: str, partitions: int = 8):
         spark.read.format("csrg")
         .option("path", path)
         .option("partitions", str(partitions))
+        .load()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming .a action source (replayable offset ranges)
+# ---------------------------------------------------------------------------
+
+
+class ActionStreamReader(SimpleDataSourceStreamReader):
+    """Streams a ``.a`` action file in ``batch_size`` chunks.
+
+    Offsets are the absolute action index (``{"pos": n}``), so any
+    range is replayable byte-exactly (``readBetweenOffsets`` seeks to
+    ``16 + 16·start`` and reads ``2·(end−start)`` i8 words) — the
+    property Structured Streaming needs for exactly-once recovery.
+    The reference replays these files as timed batches
+    (``tests/stinger/main.c:165-204``); here the same file is a
+    first-class streaming source feeding ``apply_actions``."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("csra source requires .option('path', ...)")
+        self.batch_size = int(options.get("batch_size", "10000"))
+        import numpy as np
+
+        head = np.fromfile(self.path, dtype="<u8", count=2)
+        self.swap = int(head[0]) != ENDIAN_CHECK
+        if self.swap:
+            head = head.byteswap()
+            if int(head[0]) != ENDIAN_CHECK:
+                raise ValueError(f"{self.path}: bad endian check")
+        self.na = int(head[1])
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _slice(self, start: int, end: int):
+        import numpy as np
+
+        n = end - start
+        if n <= 0:
+            return iter([])
+        pairs = np.fromfile(
+            self.path, dtype="<i8", count=2 * n, offset=16 + 16 * start
+        )
+        if self.swap:
+            pairs = pairs.byteswap()
+        # an iterator over a materialized list: the runner calls
+        # next() on it (so no bare list) but also pickles the rows it
+        # drains (so no numpy scalars / lazy state)
+        return iter(
+            [
+                (start + i, int(pairs[2 * i]), int(pairs[2 * i + 1]))
+                for i in range(n)
+            ]
+        )
+
+    def read(self, start: dict):
+        s = int(start["pos"])
+        e = min(s + self.batch_size, self.na)
+        return self._slice(s, e), {"pos": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._slice(int(start["pos"]), int(end["pos"]))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class ActionStreamDataSource(DataSource):
+    """``spark.readStream.format("csra").option("path", f)`` —
+    complement-encoded actions ``(seq, src, dst)`` as a stream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "csra"
+
+    def schema(self) -> str:
+        return "seq long, src long, dst long"
+
+    def simpleStreamReader(self, schema) -> ActionStreamReader:
+        return ActionStreamReader(self.options)
+
+
+def action_stream(spark, path: str, batch_size: int = 10000):
+    """Register (idempotent) and open the ``.a`` streaming source."""
+    spark.dataSource.register(ActionStreamDataSource)
+    return (
+        spark.readStream.format("csra")
+        .option("path", path)
+        .option("batch_size", str(batch_size))
         .load()
     )

@@ -311,3 +311,44 @@ def test_csrg_datasource_matches_driver_reader(spark, tmp_path):
         map(tuple, read_graph_file_distributed(spark, ps, partitions=4).collect())
     )
     assert got == want
+
+
+def test_csra_stream_source_replays_action_file(spark, tmp_path):
+    """The csra streaming source must deliver exactly the file's
+    (seq, src, dst) rows across multiple micro-batches."""
+    from graphdb_testing_spark.sources.csr import (
+        read_actions_file,
+        write_actions_file,
+    )
+    from graphdb_testing_spark.sources.csr_datasource import action_stream
+
+    acts = spark.createDataFrame(
+        [(i, (i * 7) % 30, ~((i * 11) % 30) if i % 5 == 0 else (i * 11) % 30)
+         for i in range(137)],
+        "seq long, src long, dst long",
+    )
+    p = str(tmp_path / "acts.a")
+    write_actions_file(acts, p)
+
+    import time
+
+    st = action_stream(spark, p, batch_size=40)
+    q = (
+        st.writeStream.format("memory")
+        .queryName("t_csra")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # the simple stream reader advances one batch per poll (40, 40,
+    # 40, 17); wait until the sink has drained the file, then stop
+    deadline = time.time() + 120
+    while time.time() < deadline and spark.table("t_csra").count() < 137:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("t_csra").collect()))
+    want = sorted(
+        map(tuple, read_actions_file(spark, p).select("seq", "src", "dst").collect())
+    )
+    assert got == want and len(got) == 137
