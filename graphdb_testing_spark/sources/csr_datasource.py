@@ -86,8 +86,6 @@ class CSRGraphReader(DataSourceReader):
         # edge-balanced split: vertex boundary where the edge prefix
         # crosses each 1/n_parts quantile of ne
         targets = [(ne * i) // n_parts for i in range(1, n_parts)]
-        import bisect
-
         bounds = [0]
         for t in targets:
             v = int(np.searchsorted(off, t, side="left"))
