@@ -1148,3 +1148,42 @@ def streaming_cms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_enriched_revenue(
+    spark: SparkSession,
+    events_path: str,
+    sf_dir: str,
+    query_name: str = "enrich_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Stream-static broadcast enrichment: the event stream joins the
+    static customer→nation dimension (user_id keys customers in the
+    fixture contract) and aggregates value per nation in complete
+    mode.  The static side re-resolves per micro-batch (Structured
+    Streaming's stream-static contract) and broadcasts — the shape of
+    every 100 TB fact-stream × dimension join.  Parity: final table
+    equals the same batch aggregate (test in ``test_streaming.py``)."""
+    from .. import datasets
+
+    ev = _events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    )
+    cust = datasets.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_milli"),
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

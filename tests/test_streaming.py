@@ -735,3 +735,49 @@ def test_streaming_cms_counters_equal_batch(spark, tmp_path):
         for r in cms_counters(ev, "user_id", depth=4, width=512).collect()
     }
     assert got == batch
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as SF
+
+    from graphdb_testing_spark.datasets import load_table
+    from graphdb_testing_spark.streaming.workflow import streaming_enriched_revenue
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "enrich_stream"
+    stream_dir.mkdir()
+    t = pq.read_table(f"{sf}/events.parquet")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), f"{stream_dir}/part-0.parquet")
+    pq.write_table(t.slice(half), f"{stream_dir}/part-1.parquet")
+    now = time.time()
+    os.utime(f"{stream_dir}/part-0.parquet", (now - 10, now - 10))
+    os.utime(f"{stream_dir}/part-1.parquet", (now, now))
+
+    q = streaming_enriched_revenue(
+        spark, str(stream_dir), sf, query_name="t_enrich", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = {
+        r.c_nationkey: (r.n_events, r.value_milli)
+        for r in spark.table("t_enrich").collect()
+    }
+    ev = load_table(spark, sf, "events")
+    cust = load_table(spark, sf, "customer").select(
+        SF.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    batch = {
+        r.c_nationkey: (r.n_events, r.value_milli)
+        for r in ev.join(cust, "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            SF.count("*").alias("n_events"),
+            SF.sum(SF.floor(SF.col("value") * 1000).cast("long")).alias("value_milli"),
+        )
+        .collect()
+    }
+    assert got == batch and len(got) > 0
