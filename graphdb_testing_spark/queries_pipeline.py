@@ -1774,3 +1774,125 @@ def q_kmeans_lloyd_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin — see ``functions/simsearch.kmeans_lloyd``."""
     emb = datasets.load_table(spark, sf_dir, "embeddings")
     return simsearch.kmeans_lloyd(emb, k=8, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer loop: 3 iterated top-pair merges (tokenizer training)
+# ---------------------------------------------------------------------------
+
+def _bpe_train_oracle(rounds: int = 3) -> str:
+    ctes = [
+        """bt0 AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+         array_to_string(list_transform(range(1, len(tok) + 1),
+                                        i -> tok[i]), ' ') AS spaced
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""btp{r} AS MATERIALIZED (
+  SELECT a[t.i] AS l, a[t.i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(spaced, ' ') AS a FROM bt{p}),
+       UNNEST(generate_series(1, len(a) - 1)) t(i)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""btt{r} AS (
+  SELECT l, r, cnt FROM btp{r} ORDER BY cnt DESC, l, r LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""bt{r} AS MATERIALIZED (
+  SELECT w.tok, w.freq,
+         trim(replace(' ' || w.spaced || ' ',
+                      ' ' || t.l || ' ' || t.r || ' ',
+                      ' ' || t.l || t.r || ' ')) AS spaced
+  FROM bt{p} w CROSS JOIN btt{r} t
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, l AS left_sym, r AS right_sym, cnt FROM btt{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(round AS BIGINT) AS round, left_sym, right_sym, cnt"
+        f" FROM ({sel})"
+    )
+
+
+@register("bpe_train_3round", _bpe_train_oracle(3))
+def q_bpe_train_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of actual BPE TRAINING (Sennrich et al., ACL'16):
+    count adjacent symbol pairs corpus-wide, merge the most frequent
+    pair everywhere (greedy leftmost, space-delimited so token
+    boundaries can't false-match), recount.  Each round is one
+    map-side pair explode + a ≤|pairs| partial-agg shuffle + a
+    broadcast single-row merge rule applied map-only — the 100 TB BPE
+    trainer shape (the vocabulary rule is the only global state).
+    Ties break lexicographically so the merge sequence is
+    deterministic; the oracle unrolls identical rounds."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select(
+            "tok",
+            "freq",
+            F.expr(
+                "array_join(transform(sequence(1, length(tok)),"
+                " i -> substring(tok, i, 1)), ' ')"
+            ).alias("spaced"),
+        )
+        .localCheckpoint()
+    )
+    picks = []
+    for r in range(1, 4):
+        arr = words.select("freq", F.split("spaced", " ").alias("a")).filter(
+            F.size("a") >= 2
+        )
+        pairs = arr.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),"
+                    " (x, y) -> struct(x as l, y as r))"
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        pc = pairs.groupBy("l", "r").agg(F.sum("freq").cast("long").alias("cnt"))
+        top = (
+            pc.orderBy(F.desc("cnt"), "l", "r").limit(1).localCheckpoint()
+        )
+        picks.append(
+            top.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                "cnt",
+            )
+        )
+        words = (
+            words.crossJoin(F.broadcast(top))
+            .select(
+                "tok",
+                "freq",
+                F.expr(
+                    "trim(replace(' ' || spaced || ' ',"
+                    " ' ' || l || ' ' || r || ' ',"
+                    " ' ' || l || r || ' '))"
+                ).alias("spaced"),
+            )
+            .localCheckpoint()
+        )
+    out = picks[0]
+    for pdf in picks[1:]:
+        out = out.unionAll(pdf)
+    return out
