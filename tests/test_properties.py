@@ -10,7 +10,7 @@ example pays a full Spark job chain.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -250,12 +250,17 @@ actions_strategy = st.lists(
 
 
 @given(acts=actions_strategy)
+@example(acts=[(0, 1, True), (0, 1, False)])   # delete then re-insert
+@example(acts=[(0, 1, False), (0, 1, True)])   # insert then delete
+@example(acts=[(4, 5, True), (4, 5, False), (4, 5, True)])
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 def test_apply_actions_matches_reference_model(spark, acts):
-    """Random action sequences against a 20-line Python model of the
-    reference merge semantics (complement-coded deletes, symmetric
-    application, weight accumulation, delete-wins-within-batch like
-    the engine's decode): final edge tables agree exactly."""
+    """Random action sequences against a Python model of the
+    reference merge semantics — SEQUENTIAL replay in seq order
+    (``main.c:165-204`` applies incr/remove one action at a time, so
+    an insert AFTER a delete of the same pair re-creates the edge;
+    ``batch_delta`` reproduces that fixpoint).  Final tables agree
+    exactly."""
     from graphdb_testing_spark.operators.updates import apply_actions
 
     base = spark.createDataFrame(
@@ -280,26 +285,25 @@ def test_apply_actions_matches_reference_model(spark, acts):
         for r in apply_actions(base, batch).collect()
     }
 
-    # reference model: per undirected pair, deletes in the batch win
-    # over inserts of the same batch (decode splits dels first);
-    # inserts accumulate weight on both directions
+    # reference model: sequential replay per undirected pair — the
+    # last delete resets the edge; inserts after it accumulate from
+    # zero, inserts with no later delete accumulate onto the base
     model = {(0, 1): 2, (1, 0): 2, (2, 3): 1, (3, 2): 1}
-    ins: dict[tuple, int] = {}
-    dels = set()
-    for u, v, is_del in acts:
+    last_del: dict[tuple, int] = {}
+    post_ins: dict[tuple, int] = {}
+    for i, (u, v, is_del) in enumerate(acts):
         if u == v:
             continue
         key = (min(u, v), max(u, v))
         if is_del:
-            dels.add(key)
+            last_del[key] = i
+            post_ins.pop(key, None)
         else:
-            ins[key] = ins.get(key, 0) + 1
-    for (a, b) in dels:
+            post_ins[key] = post_ins.get(key, 0) + 1
+    for (a, b), _ in last_del.items():
         model.pop((a, b), None)
         model.pop((b, a), None)
-    for (a, b), w in ins.items():
-        if (a, b) in dels:
-            continue
+    for (a, b), w in post_ins.items():
         model[(a, b)] = model.get((a, b), 0) + w
         model[(b, a)] = model.get((b, a), 0) + w
     assert got == model
