@@ -1896,3 +1896,76 @@ def q_bpe_train_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pdf in picks[1:]:
         out = out.unionAll(pdf)
     return out
+
+
+_BPE_APPLY_ORACLE = (
+    _bpe_train_oracle(3).replace("\nSELECT CAST(round AS BIGINT)", "\n--").split("\n--")[0]
+    + """,
+bta AS (
+  SELECT d.doc_id,
+         trim(replace(' ' || array_to_string(
+                 list_transform(range(1, len(w.tok) + 1), i -> w.tok[i]), ' ')
+               || ' ',
+               ' ' || t1.l || ' ' || t1.r || ' ', ' ' || t1.l || t1.r || ' '))
+           AS s1,
+         w.tok
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) d
+  JOIN (SELECT DISTINCT tok FROM bt0) w USING (tok)
+  CROSS JOIN btt1 t1
+  WHERE d.tok <> ''
+),
+btb AS (
+  SELECT doc_id,
+         trim(replace(' ' || s1 || ' ',
+               ' ' || t2.l || ' ' || t2.r || ' ', ' ' || t2.l || t2.r || ' ')) AS s2
+  FROM bta CROSS JOIN btt2 t2
+),
+btc AS (
+  SELECT doc_id,
+         trim(replace(' ' || s2 || ' ',
+               ' ' || t3.l || ' ' || t3.r || ' ', ' ' || t3.l || t3.r || ' ')) AS s3
+  FROM btb CROSS JOIN btt3 t3
+)
+SELECT doc_id,
+       CAST(SUM(len(string_split(s3, ' '))) AS BIGINT) AS n_pieces
+FROM btc GROUP BY doc_id
+"""
+)
+
+
+@register("bpe_apply_tokens", _BPE_APPLY_ORACLE)
+def q_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 3 learned BPE merges (``bpe_train_3round``) to every
+    document and count the resulting pieces — the train→tokenize loop
+    closed end to end.  The 3 merge rules are three broadcast
+    single-row joins applied map-only in rule order (the vocabulary
+    IS the only shared state, exactly how a 100 TB tokenizer pass
+    ships its merges)."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    # re-derive the 3 merge rules (same plan as the trainer)
+    rules = q_bpe_train_3round(spark, sf_dir).orderBy("round").collect()
+    spaced = F.expr(
+        "array_join(transform(sequence(1, length(tok)), i -> substring(tok, i, 1)), ' ')"
+    )
+    cur = words.select("doc_id", spaced.alias("s"))
+    for r in rules:
+        l, rr = r["left_sym"], r["right_sym"]
+        # column-literal replace (not an inlined SQL string): learned
+        # symbols are corpus bytes and may contain quotes
+        cur = cur.select(
+            "doc_id",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                    F.lit(f" {l} {rr} "),
+                    F.lit(f" {l}{rr} "),
+                )
+            ).alias("s"),
+        )
+    return cur.groupBy("doc_id").agg(
+        F.sum(F.size(F.split("s", " "))).cast("long").alias("n_pieces")
+    )
