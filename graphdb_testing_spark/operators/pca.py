@@ -256,3 +256,48 @@ pca_proj AS (
   FROM embeddings e, pw
 )"""
     )
+
+
+def gram_matrix_arrow(
+    emb: DataFrame, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """``(i, j, g)`` upper-triangle Gram matrix ``Σ x_i·x_j`` computed
+    the ARROW way: each partition reduces its Arrow batches to ONE
+    d×d partial ``X^T X`` (numpy matmul), and Spark sums the d²
+    partials — shuffle volume is d² rows per partition regardless of
+    row count.
+
+    This is the scale path when d is large (at d=1024 the exact
+    pair-explode of ``embedding_covariance_topk`` emits n·d²/2 rows;
+    the partial-Gram shuffle stays at d²).  Float sums are partition-
+    order-dependent, so this variant is NOT oracle-hashed — the
+    equivalence test pins it against the exact integer covariance
+    within float tolerance (``test_pipeline.py``)."""
+    import pandas as pd  # noqa: F401 (schema side)
+
+    def partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((dim, dim), dtype=np.float64)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            acc += X.T @ X
+        if not any_rows:
+            return
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {"i": iu + 1, "j": ju + 1, "g": acc[iu, ju]}
+        )
+
+    parts = emb.select(vec_col).mapInPandas(
+        partial_gram, schema="i int, j int, g double"
+    )
+    return parts.groupBy("i", "j").agg(F.sum("g").alias("g"))

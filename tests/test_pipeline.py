@@ -329,3 +329,38 @@ def test_kmeans_lloyd_recovers_planted_clusters(spark):
         for j in (0, 1, 2):
             same = truth[i] == truth[j]
             assert (by_id[i] == by_id[j]) == same
+
+
+def test_arrow_gram_matches_exact_integer_covariance(spark):
+    """The mapInPandas partial-Gram path (float, scale shape) must
+    agree with the exact integer pair-explode covariance numerator
+    after integerizing the same way."""
+    import numpy as np
+
+    from graphdb_testing_spark.operators.pca import _cov_matrix, gram_matrix_arrow
+
+    rng = np.random.default_rng(3)
+    X32 = rng.normal(size=(70, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X32[i]], 0) for i in range(len(X32))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # integerized input so the Gram and the covariance numerator share
+    # a basis: feed the 1024-scaled floors as floats
+    Xi = np.floor(X32.astype(np.float64) * 1024)
+    dfi = spark.createDataFrame(
+        [(i, [float(x) for x in Xi[i]], 0) for i in range(len(Xi))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    gram = {
+        (r["i"], r["j"]): r["g"]
+        for r in gram_matrix_arrow(dfi, dim=8).collect()
+    }
+    n = len(Xi)
+    sx = Xi.sum(0)
+    cov = {
+        (r["i"], r["j"]): r["a"] for r in _cov_matrix(df, 8).collect()
+    }
+    for (i, j), g in gram.items():
+        want = n * g - sx[i - 1] * sx[j - 1]
+        assert abs(cov[(i, j)] - want) <= 1e-6 * max(1.0, abs(want))
