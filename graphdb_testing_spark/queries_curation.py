@@ -843,3 +843,51 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy audit: k-anonymity / l-diversity over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS group_size,
+         CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS BIGINT)
+           AS l_diversity
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+       group_size, l_diversity,
+       CAST(CASE WHEN group_size < 5 THEN 1 ELSE 0 END AS BIGINT) AS violates_k5,
+       CAST(CASE WHEN l_diversity < 3 THEN 1 ELSE 0 END AS BIGINT) AS violates_l3
+FROM qi
+"""
+
+
+@register("k_anonymity_audit", _KANON_ORACLE)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before releasing a derived dataset: group sizes
+    over the quasi-identifier pair (nation, market segment) —
+    k-anonymity (groups smaller than k=5 re-identify) — and
+    l-diversity of the sensitive attribute (balance bands; fewer than
+    l=3 distinct values lets the group leak it).  One map-side-
+    combined aggregate; at 100 TB the QI group count, not the row
+    count, bounds the shuffle."""
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"), "c_mktsegment"
+    ).agg(
+        F.count("*").cast("long").alias("group_size"),
+        F.countDistinct(F.floor(F.col("c_acctbal") / 1000).cast("long"))
+        .cast("long")
+        .alias("l_diversity"),
+    )
+    return qi.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        "l_diversity",
+        (F.col("group_size") < 5).cast("long").alias("violates_k5"),
+        (F.col("l_diversity") < 3).cast("long").alias("violates_l3"),
+    )
