@@ -729,41 +729,85 @@ def q_adjacency_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blocked fuzzy join: customer names within edit distance 1
 # ---------------------------------------------------------------------------
 
-_FUZZY_ORACLE = """
+def _deletion_keys(named: DataFrame) -> DataFrame:
+    """``(k, name, blk)``: the name plus each single-character
+    deletion — the lev≤1 complete blocking key set."""
+    return named.select(
+        "k",
+        "name",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, length(name)),"
+                " i -> IF(i = 0, name,"
+                " concat(substring(name, 1, i - 1),"
+                " substring(name, i + 1, length(name))))))"
+            )
+        ).alias("blk"),
+    )
+
+
+# SymSpell-style deletion-neighborhood blocking: every name emits
+# itself plus each single-character deletion as a block key; two names
+# within Levenshtein 1 (sub/ins/del) provably share a key, and block
+# sizes stay O(alphabet) even on dense sequential ids — the 13-char
+# prefix blocking this replaces collapsed to ONE giant block on
+# zero-padded names (quadratic at sf0.1; caught by the scale profile).
+_FUZZY_KEYS_SQL = """
+  SELECT k, name,
+         CASE WHEN t.i = 0 THEN name
+              ELSE substr(name, 1, t.i - 1) || substr(name, t.i + 1) END AS blk
+  FROM blocked, UNNEST(generate_series(0, len(name))) t(i)
+"""
+
+_FUZZY_ORACLE = f"""
 WITH blocked AS (
-  SELECT c_custkey AS k, c_name AS name, substr(c_name, 1, 13) AS blk
-  FROM customer
+  SELECT c_custkey AS k, c_name AS name FROM customer
+),
+fkeys AS MATERIALIZED (
+  SELECT DISTINCT k, name, blk FROM ({_FUZZY_KEYS_SQL})
+),
+fcand AS (
+  SELECT DISTINCT a.k AS a_key, a.name AS a_name, b.k AS b_key, b.name AS b_name
+  FROM fkeys a JOIN fkeys b ON a.blk = b.blk AND a.k < b.k
 )
-SELECT a.k AS a_key, b.k AS b_key,
-       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
-FROM blocked a JOIN blocked b
-  ON a.blk = b.blk AND a.k < b.k
-WHERE levenshtein(a.name, b.name) <= 1
+SELECT a_key, b_key,
+       CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+FROM fcand
+WHERE levenshtein(a_name, b_name) <= 1
 """
 
 
 @register("fuzzy_name_pairs", _FUZZY_ORACLE)
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy self-join: candidate pairs share a 13-char name
-    prefix block, survivors are within Levenshtein distance 1 — the
-    entity-resolution join shape (block → verify) that never goes
-    all-pairs.  ``levenshtein`` is the same unit-cost DP on both
-    engines, so distances are exact integers.  At 100 TB the block key
-    fans out the shuffle; skewed blocks salt like any hot join key."""
+    """Blocked fuzzy self-join with 100%-recall deletion-neighborhood
+    blocking (the SymSpell scheme): each name keys on itself and every
+    single-character deletion, so any pair within Levenshtein 1 shares
+    a block, while block sizes stay O(alphabet) even on dense
+    zero-padded ids (the prefix blocking this replaces degenerated to
+    one global block and a quadratic verify at sf0.1).
+    ``levenshtein`` is the same unit-cost DP on both engines, so
+    distances are exact integers."""
     cust = datasets.load_table(spark, sf_dir, "customer")
-    blocked = cust.select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_name").alias("name"),
-        F.substring("c_name", 1, 13).alias("blk"),
+    keys = _deletion_keys(
+        cust.select(F.col("c_custkey").alias("k"), F.col("c_name").alias("name"))
     )
-    a = blocked.alias("a")
-    b = blocked.alias("b")
-    return (
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.k") < F.col("b.k")))
         .select(
             F.col("a.k").alias("a_key"),
+            F.col("a.name").alias("a_name"),
             F.col("b.k").alias("b_key"),
-            F.levenshtein(F.col("a.name"), F.col("b.name")).cast("long").alias("dist"),
+            F.col("b.name").alias("b_name"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "a_key",
+            "b_key",
+            F.levenshtein(F.col("a_name"), F.col("b_name")).cast("long").alias("dist"),
         )
         .filter(F.col("dist") <= 1)
     )
@@ -848,16 +892,18 @@ def q_typed_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # canonical entity ids (block/verify/cluster, end to end)
 # ---------------------------------------------------------------------------
 
-_ENTITY_ORACLE = """
-WITH RECURSIVE eblocked AS (
-  SELECT c_custkey AS k, c_name AS name, substr(c_name, 1, 13) AS blk
-  FROM customer
+_ENTITY_ORACLE = f"""
+WITH RECURSIVE blocked AS (
+  SELECT c_custkey AS k, c_name AS name FROM customer
+),
+ekeys AS MATERIALIZED (
+  SELECT DISTINCT k, name, blk FROM ({_FUZZY_KEYS_SQL})
 ),
 epairs AS MATERIALIZED (
-  SELECT a.k AS a_key, b.k AS b_key
-  FROM eblocked a JOIN eblocked b
-    ON a.blk = b.blk AND a.k < b.k
-  WHERE levenshtein(a.name, b.name) <= 1
+  SELECT a_key, b_key FROM (
+    SELECT DISTINCT a.k AS a_key, a.name AS a_name, b.k AS b_key, b.name AS b_name
+    FROM ekeys a JOIN ekeys b ON a.blk = b.blk AND a.k < b.k)
+  WHERE levenshtein(a_name, b_name) <= 1
 ),
 esym AS MATERIALIZED (
   SELECT a_key AS s, b_key AS d FROM epairs
@@ -888,25 +934,31 @@ def q_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports its canonical id (the component's min key — exactly the
     min-label CC contract) and cluster size.
 
-    Scale shape: blocking bounds the pair join, the closure is the
-    same pointer-jumping CC kernel as ``connected_components`` (no
-    transitive-closure blowup on Spark — the recursive closure lives
-    only in the small DuckDB twin), and the size rollup is one
-    group-by on the component label."""
+    Scale shape: deletion-neighborhood blocking (see
+    ``fuzzy_name_pairs``) keeps candidate generation linear, the
+    closure is the same pointer-jumping CC kernel as
+    ``connected_components`` (no transitive-closure blowup on Spark —
+    the recursive closure lives only in the small DuckDB twin), and
+    the size rollup is one group-by on the component label."""
     from .operators.components import connected_components
 
     cust = datasets.load_table(spark, sf_dir, "customer")
-    blocked = cust.select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_name").alias("name"),
-        F.substring("c_name", 1, 13).alias("blk"),
+    keys = _deletion_keys(
+        cust.select(F.col("c_custkey").alias("k"), F.col("c_name").alias("name"))
     )
-    a = blocked.alias("a")
-    b = blocked.alias("b")
+    a = keys.alias("a")
+    b = keys.alias("b")
     pairs = (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.k") < F.col("b.k")))
-        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
-        .select(F.col("a.k").alias("src"), F.col("b.k").alias("dst"))
+        .select(
+            F.col("a.k").alias("src"),
+            F.col("a.name").alias("an"),
+            F.col("b.k").alias("dst"),
+            F.col("b.name").alias("bn"),
+        )
+        .distinct()
+        .filter(F.levenshtein(F.col("an"), F.col("bn")) <= 1)
+        .select("src", "dst")
         .localCheckpoint()
     )
     sym = pairs.unionAll(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
