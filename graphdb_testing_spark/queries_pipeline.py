@@ -1969,3 +1969,101 @@ def q_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.groupBy("doc_id").agg(
         F.sum(F.size(F.split("s", " "))).cast("long").alias("n_pieces")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label classification accuracy (embedding-space evaluation)
+# ---------------------------------------------------------------------------
+
+_KNN_EVAL_ORACLE = """
+WITH kiv AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS p
+  FROM embeddings
+),
+kprobe AS (SELECT * FROM kiv WHERE vec_id < 200),
+kd AS (
+  SELECT q.vec_id AS q_id, q.label AS true_label,
+         t.vec_id AS t_id, t.label AS t_label,
+         list_sum(list_transform(generate_series(1, 64),
+           i -> (q.p[i] - t.p[i]) * (q.p[i] - t.p[i]))) AS d2
+  FROM kprobe q JOIN kiv t ON q.vec_id <> t.vec_id
+),
+knn AS (
+  SELECT q_id, true_label, t_label FROM (
+    SELECT q_id, true_label, t_label,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, t_id) AS rn
+    FROM kd)
+  WHERE rn <= 5
+),
+kvote AS (
+  SELECT q_id, true_label, t_label AS pred_label FROM (
+    SELECT q_id, true_label, t_label, COUNT(*) AS votes,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY COUNT(*) DESC, t_label) AS vr
+    FROM knn GROUP BY q_id, true_label, t_label)
+  WHERE vr = 1
+)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM kvote GROUP BY true_label
+"""
+
+
+@register("knn_label_accuracy", _KNN_EVAL_ORACLE)
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality evaluation: classify a 200-vector probe
+    subset by 5-NN majority vote over the full corpus (exact integer
+    squared distances, ties → nearer id then smaller label) and report
+    per-label accuracy — the standard label-coherence check before
+    trusting an embedding column for clustering or retrieval.
+
+    Scale shape: probes broadcast (bounded subset); the distance pass
+    is map-only over the corpus; per-probe top-k is a bounded window.
+    The all-corpus side streams once — no n² pair materialization."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    iv = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1024) as bigint))"
+        ).alias("p"),
+    ).localCheckpoint()
+    probe = iv.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("p").alias("qp"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qp, p, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, d) -> acc + d)"
+    )
+    kd = (
+        iv.crossJoin(F.broadcast(probe))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "true_label",
+            F.col("vec_id").alias("t_id"),
+            F.col("label").alias("t_label"),
+            d2.alias("d2"),
+        )
+    )
+    wk = Window.partitionBy("q_id").orderBy("d2", "t_id")
+    knn = kd.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") <= 5)
+    wv = Window.partitionBy("q_id").orderBy(F.desc("votes"), "t_label")
+    vote = (
+        knn.groupBy("q_id", "true_label", "t_label")
+        .agg(F.count("*").alias("votes"))
+        .withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+    )
+    return vote.groupBy(F.col("true_label").cast("long").alias("true_label")).agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum((F.col("t_label") == F.col("true_label")).cast("long"))
+        .cast("long")
+        .alias("n_correct"),
+    )
