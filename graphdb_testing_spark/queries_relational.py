@@ -3018,3 +3018,38 @@ def q_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery: top-2 customers per nation, one ANSI
+# text executed verbatim by both engines
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n.n_nationkey, t.c_custkey,
+       CAST(FLOOR(t.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       t.rnk
+FROM nation n,
+LATERAL (
+  SELECT c.c_custkey, c.c_acctbal,
+         CAST(ROW_NUMBER() OVER (ORDER BY c.c_acctbal DESC, c.c_custkey)
+              AS BIGINT) AS rnk
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c.c_acctbal DESC, c.c_custkey
+  LIMIT 2
+) t
+"""
+
+
+@register("lateral_topk_per_nation", _LATERAL_SQL)
+def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — the per-group top-k written the
+    SQL-standard way and executed VERBATIM by both engines (Spark ≥3.2
+    lateral joins; DuckDB lateral): for every nation, its two richest
+    customers.  Catalyst decorrelates the lateral into the same
+    window-ranked join the DataFrame formulation produces, so the
+    declarative surface carries no plan penalty."""
+    datasets.load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    datasets.load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_LATERAL_SQL)
