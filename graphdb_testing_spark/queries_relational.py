@@ -3053,3 +3053,51 @@ def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     datasets.load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     datasets.load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame over event time: trailing-hour per-user activity
+# ---------------------------------------------------------------------------
+
+_TRAILING_ORACLE = """
+SELECT event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_hour,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) OVER w AS BIGINT)
+         AS value_milli_trailing
+FROM (SELECT event_id, user_id, value,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("trailing_hour_activity", _TRAILING_ORACLE)
+def q_trailing_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event TIME (not row count): for every
+    event, the user's event count and milli-value sum in the trailing
+    hour — the frame kind rate limiting and burst scoring need, where
+    ROWS frames silently break on irregular event spacing.  One
+    shuffle on user_id; the frame scan is sorted within partition.
+
+    Frame semantics note: RANGE bounds with ties (equal timestamps)
+    include ALL peer rows — both engines implement the SQL standard,
+    so counts agree even where events share a second."""
+    ev = datasets.load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("ts_s"),
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_trailing_hour"),
+        F.sum("vm").over(w).cast("long").alias("value_milli_trailing"),
+    )
