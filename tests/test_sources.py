@@ -352,3 +352,26 @@ def test_csra_stream_source_replays_action_file(spark, tmp_path):
         map(tuple, read_actions_file(spark, p).select("seq", "src", "dst").collect())
     )
     assert got == want and len(got) == 137
+
+
+def test_csv_roundtrip_quotes_newlines_nulls(spark, tmp_path):
+    """CSV writer/reader must survive embedded quotes, commas,
+    newlines, and nulls (multiLine read) without corrupting rows."""
+    rows = [
+        (1, 'plain', 1.5),
+        (2, 'has,comma', -2.0),
+        (3, 'has "quotes" inside', 0.0),
+        (4, 'line\nbreak', 3.25),
+        (5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    p = str(tmp_path / "csv_t")
+    df.write.option("header", True).option("escape", '"').csv(p)
+    back = (
+        spark.read.option("header", True)
+        .option("escape", '"')
+        .option("multiLine", True)
+        .schema("id long, s string, v double")
+        .csv(p)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(rows, key=lambda r: r[0])
