@@ -3410,3 +3410,106 @@ def q_spectral_cut_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ncut_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANF / HADI: 2-hop neighborhood sizes via per-vertex HLL registers
+# ---------------------------------------------------------------------------
+
+from .functions.sketches import (  # noqa: E402
+    HLL_ALPHA,
+    HLL_M,
+    hll_estimate,
+    hll_rho,
+)
+
+
+_ANF_ORACLE = oracles.with_user_edges(
+    """
+SELECT e.id, e.n_ball2_exact, h.est_milli
+FROM anf_exact e JOIN anf_hll h USING (id)
+""",
+    extra_ctes="""aue AS MATERIALIZED (SELECT src, dst FROM user_edges),
+averts AS (SELECT DISTINCT src AS id FROM aue),
+ar0 AS (
+  SELECT id,
+         ('0x' || substr(md5('anf|' || CAST(id AS VARCHAR)), 1, 8))::BIGINT % 64
+           AS register,
+         CAST(27 - (CASE
+"""
+    + "\n".join(
+        f"  WHEN (('0x' || substr(md5('anf|' || CAST(id AS VARCHAR)), 1, 8))::BIGINT // 64) >= {1 << (k - 1)} THEN {k}"
+        for k in range(26, 0, -1)
+    )
+    + """
+  ELSE 0 END) AS BIGINT) AS max_rho
+  FROM averts
+),
+ar1 AS (
+  SELECT id, register, MAX(max_rho) AS max_rho FROM (
+    SELECT e.src AS id, r.register, r.max_rho FROM aue e JOIN ar0 r ON r.id = e.dst
+    UNION ALL SELECT id, register, max_rho FROM ar0
+  ) GROUP BY id, register
+),
+ar2 AS (
+  SELECT id, register, MAX(max_rho) AS max_rho FROM (
+    SELECT e.src AS id, r.register, r.max_rho FROM aue e JOIN ar1 r ON r.id = e.dst
+    UNION ALL SELECT id, register, max_rho FROM ar1
+  ) GROUP BY id, register
+),
+anf_hll AS (
+  SELECT id,
+         CAST(FLOOR(1000.0 * 0.709 * 4096 /
+           ((64 - COUNT(*)) + SUM(POWER(2e0, -max_rho)))) AS BIGINT) AS est_milli
+  FROM ar2 GROUP BY id
+),
+anf_exact AS (
+  SELECT v.id, CAST(COUNT(DISTINCT b.ball) AS BIGINT) AS n_ball2_exact
+  FROM averts v JOIN (
+    SELECT a.src AS id, b.dst AS ball FROM aue a JOIN aue b ON a.dst = b.src
+    UNION SELECT src AS id, dst AS ball FROM aue
+    UNION SELECT src AS id, src AS ball FROM aue
+  ) b ON b.id = v.id
+  GROUP BY v.id
+)""",
+)
+
+
+@register("anf_2hop_sizes", _ANF_ORACLE)
+def q_anf_2hop_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF/HADI neighborhood function (Palmer et al., KDD'02; Kang et
+    al., ICDM'08): per-vertex radius-2 ball size, estimated by 2
+    rounds of register-wise-max message passing over per-vertex HLL
+    sketches, next to the exact 2-hop count.  Register state is
+    64 longs per vertex and merging is MAX — associative,
+    order-independent, and exactly the shape that scales to
+    billion-edge diameters where exact per-vertex balls cannot.  The
+    estimate arithmetic is the dyadic-exact HLL formula (sums of
+    2^-rho are exact doubles), so the whole query hash-matches."""
+    g = datasets.user_graph(spark, sf_dir)
+    e = g.edges.select("src", "dst").localCheckpoint()
+    verts = e.select(F.col("src").alias("id")).distinct()
+    reg, rho = hll_rho(F.col("id"), salt="anf")
+    r = verts.select("id", reg.alias("register"), rho.alias("max_rho"))
+    for _ in range(2):
+        nbr = e.join(
+            r.select(F.col("id").alias("dst"), "register", "max_rho"), "dst"
+        ).select(F.col("src").alias("id"), "register", "max_rho")
+        r = (
+            nbr.unionByName(r)
+            .groupBy("id", "register")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .localCheckpoint()
+        )
+    est = hll_estimate(r, ["id"])
+    two_hop = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("id"), F.col("b.dst").alias("ball"))
+        .unionByName(e.select(F.col("src").alias("id"), F.col("dst").alias("ball")))
+        .unionByName(e.select(F.col("src").alias("id"), F.col("src").alias("ball")))
+        .distinct()
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_ball2_exact"))
+    )
+    return two_hop.join(est, "id").select("id", "n_ball2_exact", "est_milli")
