@@ -307,3 +307,39 @@ def test_apply_actions_matches_reference_model(spark, acts):
         model[(a, b)] = model.get((a, b), 0) + w
         model[(b, a)] = model.get((b, a), 0) + w
     assert got == model
+
+
+_graph_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(pairs=_graph_strategy)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_greedy_coloring_equals_sequential_on_random_graphs(spark, pairs):
+    from graphdb_testing_spark.operators.coloring import greedy_coloring
+
+    pairs = [(u, v) for u, v in pairs if u != v]
+    if not pairs:
+        return
+    rows = [(u, v, 1) for u, v in pairs] + [(v, u, 1) for u, v in pairs]
+    sym = spark.createDataFrame(rows, "src long, dst long, wgt long").distinct()
+    out = {r["id"]: r["color"] for r in greedy_coloring(sym, rounds=12).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    seq: dict[int, int] = {}
+    for v in sorted(adj):
+        used = {seq[n] for n in adj[v] if n in seq}
+        c = 0
+        while c in used:
+            c += 1
+        seq[v] = c
+    assert out == seq
