@@ -1187,3 +1187,92 @@ def streaming_enriched_revenue(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_kmeans(
+    spark: SparkSession,
+    embeddings_path: str,
+    k: int = 4,
+    dim: int = 64,
+    query_name: str = "kmeans_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Mini-batch k-means as a stateful streaming operator: the
+    centroid table (k×d integer "milli" coordinates, the
+    ``kmeans_lloyd`` convention) is the state under ONE constant
+    group key — k·d longs, the legal-size global state for an ML
+    model.  Each micro-batch runs one vectorized numpy
+    assign-then-update restricted to its rows (mini-batch semantics;
+    Sculley, WWW'10): seed centroids come from the first batch's k
+    smallest ids, updates replace centroids with the batch mean
+    ``(1000·Σ)//n`` of their assigned points.
+
+    A single-batch stream therefore equals one batch Lloyd
+    assign+update exactly (parity test in ``test_streaming.py``);
+    multi-batch runs are the documented mini-batch trajectory.
+    Per-batch work is one numpy matmul over Arrow batches — no
+    per-row Python."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def upd(key, pdf_iter, state: "GroupState"):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            (flat, n_seen) = state.get
+            cents = np.array(flat, dtype=np.int64).reshape(k, dim)
+            have = True
+        else:
+            cents, n_seen, have = None, 0, False
+        # one mini-batch = ALL rows of this trigger for the key
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            if have:
+                state.update((cents.reshape(-1).tolist(), n_seen))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("vec_id")
+        X = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            * 1024
+        ).astype(np.int64)
+        if not have:
+            cents = 1000 * X[:k]  # k smallest ids of the first batch
+        # integer squared distances in milli units, ties -> smaller idx
+        d2 = ((1000 * X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            pts = X[assign == c]
+            if len(pts):
+                cents[c] = (1000 * pts.sum(axis=0)) // len(pts)
+        n_seen += len(pdf)
+        state.update((cents.reshape(-1).tolist(), n_seen))
+        yield pd.DataFrame(
+            {
+                "cluster_id": list(range(k)),
+                "n_seen": [n_seen] * k,
+                "centroid": [cents[c].tolist() for c in range(k)],
+            }
+        )
+
+    reader = spark.readStream.schema("vec_id long, embedding array<float>, label int")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    emb = reader.parquet(embeddings_path)
+    out = (
+        emb.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandasWithState(
+            upd,
+            outputStructType="cluster_id long, n_seen long, centroid array<long>",
+            stateStructType="flat array<long>, n_seen long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -781,3 +781,41 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_streaming_kmeans_single_batch_equals_lloyd_update(spark, tmp_path):
+    """One-file stream == one batch Lloyd assign+update with the same
+    deterministic seeding (k smallest vec_ids), bit-exact in the
+    integer milli-centroid space."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.streaming.workflow import streaming_kmeans
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "km_stream"
+    d.mkdir()
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    pq.write_table(t, f"{d}/all.parquet")
+
+    q = streaming_kmeans(spark, str(d), k=4, dim=64, query_name="t_km")
+    q.awaitTermination()
+    rows = spark.table("t_km").collect()
+    got = {r.cluster_id: list(r.centroid) for r in rows if r.n_seen == t.num_rows}
+
+    X = np.floor(
+        np.stack([np.asarray(v, dtype=np.float64) for v in
+                  t.column("embedding").to_pylist()]) * 1024
+    ).astype(np.int64)
+    order = np.argsort(np.asarray(t.column("vec_id").to_pylist()))
+    X = X[order]
+    cents = 1000 * X[:4]
+    d2 = ((1000 * X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    want = {}
+    for c in range(4):
+        pts = X[assign == c]
+        want[c] = (
+            ((1000 * pts.sum(axis=0)) // len(pts)).tolist() if len(pts) else cents[c].tolist()
+        )
+    assert got == want
