@@ -1170,3 +1170,97 @@ def q_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ewma_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer 2-state Viterbi burst detection (Kleinberg-style, exact)
+# ---------------------------------------------------------------------------
+
+from .functions.sketches import _bit_len, _bit_len_sql  # noqa: E402
+
+_VIT_SWITCH = 6
+_VIT_CALM_BASE = 12
+
+_VITERBI_ORACLE = f"""
+WITH vevt AS (
+  SELECT user_id, ts, event_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
+  FROM events
+),
+vgap AS (
+  SELECT user_id, ts, event_id,
+         ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+           AS gap_s
+  FROM vevt
+),
+vbuck AS (
+  SELECT user_id, ts, event_id,
+         CAST({_bit_len_sql("gap_s")} AS BIGINT) AS b
+  FROM vgap WHERE gap_s IS NOT NULL
+),
+vseq AS (
+  SELECT user_id, list(b ORDER BY ts, event_id) AS bs
+  FROM vbuck GROUP BY user_id
+),
+vrun AS (
+  SELECT user_id, CAST(len(bs) AS BIGINT) AS n_gaps,
+         list_reduce(list_prepend([CAST(0 AS BIGINT), CAST({_VIT_SWITCH} AS BIGINT)],
+                                  list_transform(bs, x -> [x])),
+           (acc, g) -> [least(acc[1], acc[2] + {_VIT_SWITCH})
+                          + greatest({_VIT_CALM_BASE} - g[1], 0),
+                        least(acc[2], acc[1] + {_VIT_SWITCH}) + g[1]]) AS vc
+  FROM vseq
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, n_gaps,
+       vc[1] AS calm_cost, vc[2] AS burst_cost,
+       CAST(CASE WHEN vc[2] < vc[1] THEN 1 ELSE 0 END AS BIGINT) AS end_state
+FROM vrun
+"""
+
+
+@register("burst_viterbi", _VITERBI_ORACLE)
+def q_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-state burst detection (Kleinberg, KDD'02, integerized):
+    inter-event gaps bucket by exact bit length, a calm state charges
+    ``max(12 − b, 0)`` (short gaps look bursty), a burst state charges
+    ``b`` (long gaps end bursts), switching costs 6, and the Viterbi
+    minimization runs as an ORDERED integer fold over each user's gap
+    sequence — associativity-free sequence DP made engine-exact the
+    same way as ``ewma_user_values``.  Output: terminal costs of both
+    states and the cheaper end state per user."""
+    ev = datasets.load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gap = ev.withColumn("gap_s", F.col("ts_s") - F.lag("ts_s").over(w)).filter(
+        F.col("gap_s").isNotNull()
+    )
+    buck = gap.select(
+        "user_id", "ts", "event_id", _bit_len(F.col("gap_s")).cast("long").alias("b")
+    )
+    seq = buck.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(ts, event_id, b))), s -> s.b)"
+        ).alias("bs")
+    )
+    fold = (
+        f"aggregate(bs, array(cast(0 as bigint), cast({_VIT_SWITCH} as bigint)),"
+        f" (acc, g) -> array("
+        f"least(acc[0], acc[1] + {_VIT_SWITCH})"
+        f" + greatest({_VIT_CALM_BASE} - g, 0),"
+        f" least(acc[1], acc[0] + {_VIT_SWITCH}) + g))"
+    )
+    return seq.select(
+        "user_id",
+        F.size("bs").cast("long").alias("n_gaps"),
+        F.expr(fold).alias("vc"),
+    ).select(
+        "user_id",
+        "n_gaps",
+        F.expr("vc[0]").alias("calm_cost"),
+        F.expr("vc[1]").alias("burst_cost"),
+        F.expr("cast(IF(vc[1] < vc[0], 1, 0) as bigint)").alias("end_state"),
+    )
