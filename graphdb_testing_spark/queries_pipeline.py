@@ -2067,3 +2067,66 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between document source and language
+# ---------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH mic AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c_xy FROM documents
+  GROUP BY source, lang
+),
+mis AS (SELECT source, SUM(c_xy) AS c_x FROM mic GROUP BY source),
+mil AS (SELECT lang, SUM(c_xy) AS c_y FROM mic GROUP BY lang),
+mn AS (SELECT SUM(c_xy) AS n FROM mic)
+SELECT c.source, c.lang, c.c_xy,
+       CAST(FLOOR(1e6 * c.c_xy *
+              (LN(CAST(c.c_xy AS DOUBLE)) + LN(CAST(mn.n AS DOUBLE))
+               - LN(CAST(s.c_x AS DOUBLE)) - LN(CAST(l.c_y AS DOUBLE)))
+              / mn.n) AS BIGINT) AS mi_contrib_micro
+FROM mic c
+JOIN mis s USING (source) JOIN mil l USING (lang) CROSS JOIN mn
+"""
+
+
+@register("source_lang_mi", _MI_ORACLE)
+def q_source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell mutual-information contributions between document
+    source and language — the dependence diagnostic that decides
+    whether per-source language balancing is needed before mixing
+    (near-zero MI = independent; concentrated cells = a source is a
+    language silo).  Same micro-quantized-log idiom as
+    ``user_type_entropy``: one small contingency aggregate, marginals
+    broadcast back."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    mic = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("c_xy")
+    )
+    mis = mic.groupBy("source").agg(F.sum("c_xy").alias("c_x"))
+    mil = mic.groupBy("lang").agg(F.sum("c_xy").alias("c_y"))
+    mn = mic.agg(F.sum("c_xy").alias("n"))
+    return (
+        mic.join(F.broadcast(mis), "source")
+        .join(F.broadcast(mil), "lang")
+        .crossJoin(F.broadcast(mn))
+        .select(
+            "source",
+            "lang",
+            "c_xy",
+            F.floor(
+                F.lit(1e6)
+                * F.col("c_xy")
+                * (
+                    F.log(F.col("c_xy").cast("double"))
+                    + F.log(F.col("n").cast("double"))
+                    - F.log(F.col("c_x").cast("double"))
+                    - F.log(F.col("c_y").cast("double"))
+                )
+                / F.col("n")
+            )
+            .cast("long")
+            .alias("mi_contrib_micro"),
+        )
+    )
