@@ -2130,3 +2130,162 @@ def q_source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mi_contrib_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence statistic (exact integer numerators)
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH xc AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c_xy FROM documents
+  GROUP BY source, lang
+),
+xs AS (SELECT source, SUM(c_xy) AS c_x FROM xc GROUP BY source),
+xl AS (SELECT lang, SUM(c_xy) AS c_y FROM xc GROUP BY lang),
+xn AS (SELECT SUM(c_xy) AS n FROM xc),
+cells AS (
+  SELECT c.source, c.lang, c.c_xy,
+         CAST(FLOOR(1e6 *
+           CAST((xn.n * c.c_xy - s.c_x * l.c_y) AS DOUBLE)
+           * (xn.n * c.c_xy - s.c_x * l.c_y)
+           / (CAST(xn.n AS DOUBLE) * s.c_x * l.c_y)) AS BIGINT)
+           AS chi2_contrib_micro
+  FROM xc c JOIN xs s USING (source) JOIN xl l USING (lang) CROSS JOIN xn
+)
+SELECT source, lang, c_xy, chi2_contrib_micro FROM cells
+"""
+
+
+@register("chi_square_source_lang", _CHI2_ORACLE)
+def q_chi_square_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence contributions for the
+    source×language contingency table — the log-free sibling of
+    ``source_lang_mi``: each cell's ``(n·o − r·c)²/(n·r·c)`` has an
+    EXACT integer numerator, so only one deterministic double division
+    per cell before micro-quantization."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    xc = docs.groupBy("source", "lang").agg(F.count("*").cast("long").alias("c_xy"))
+    xs = xc.groupBy("source").agg(F.sum("c_xy").alias("c_x"))
+    xl = xc.groupBy("lang").agg(F.sum("c_xy").alias("c_y"))
+    xn = xc.agg(F.sum("c_xy").alias("n"))
+    num = F.col("n") * F.col("c_xy") - F.col("c_x") * F.col("c_y")
+    return (
+        xc.join(F.broadcast(xs), "source")
+        .join(F.broadcast(xl), "lang")
+        .crossJoin(F.broadcast(xn))
+        .select(
+            "source",
+            "lang",
+            "c_xy",
+            F.floor(
+                F.lit(1e6)
+                * num.cast("double")
+                * num
+                / (F.col("n").cast("double") * F.col("c_x") * F.col("c_y"))
+            )
+            .cast("long")
+            .alias("chi2_contrib_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov distance between two value distributions (exact)
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH ka AS (
+  SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS v FROM events
+  WHERE event_type = 'view'
+),
+kb AS (
+  SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS v FROM events
+  WHERE event_type = 'purchase'
+),
+kn AS (
+  SELECT (SELECT COUNT(*) FROM ka) AS na, (SELECT COUNT(*) FROM kb) AS nb
+),
+pts AS (
+  SELECT v, SUM(ia) AS da, SUM(ib) AS db FROM (
+    SELECT v, 1 AS ia, 0 AS ib FROM ka
+    UNION ALL SELECT v, 0, 1 FROM kb
+  ) GROUP BY v
+),
+cum AS (
+  SELECT v,
+         SUM(da) OVER (ORDER BY v) AS ca,
+         SUM(db) OVER (ORDER BY v) AS cb
+  FROM pts
+)
+SELECT CAST(kn.na AS BIGINT) AS n_view, CAST(kn.nb AS BIGINT) AS n_purchase,
+       CAST(MAX(ABS(kn.nb * cum.ca - kn.na * cum.cb)) AS BIGINT) AS ks_num,
+       CAST(kn.na * kn.nb AS BIGINT) AS ks_den
+FROM cum CROSS JOIN kn
+GROUP BY kn.na, kn.nb
+"""
+
+
+@register("ks_test_event_values", _KS_ORACLE)
+def q_ks_test_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of 'view' and 'purchase' events, EXACT: the sup of
+    |F̂₁−F̂₂| is ``max |n₂·cum₁ − n₁·cum₂| / (n₁·n₂)`` over the merged
+    support — all integers (milli-quantized values), one sort-window
+    pass, no float CDFs.  The distribution-drift test a curation
+    pipeline runs between corpus snapshots."""
+    ev = datasets.load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 1000).cast("long").alias("v")
+    )
+    a = ev.filter(F.col("event_type") == "view").select(
+        "v", F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "v", F.lit(0).alias("ia"), F.lit(1).alias("ib")
+    )
+    pts = a.unionAll(b).groupBy("v").agg(
+        F.sum("ia").alias("da"), F.sum("ib").alias("db")
+    )
+    # scalable prefix sum: bucket the support, per-bucket windows, and
+    # a tiny bucket-offset table — never one global unpartitioned sort
+    # (the csr_offsets discipline)
+    pts = pts.withColumn("bk", F.expr("v div 1024"))
+    woff = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = (
+        pts.groupBy("bk")
+        .agg(F.sum("da").alias("ba"), F.sum("db").alias("bb"))
+        .select(
+            "bk",
+            (F.sum("ba").over(woff) - F.col("ba")).alias("oa"),
+            (F.sum("bb").over(woff) - F.col("bb")).alias("ob"),
+        )
+    )
+    win = Window.partitionBy("bk").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        pts.join(F.broadcast(offs), "bk")
+        .select(
+            "v",
+            (F.sum("da").over(win) + F.col("oa")).alias("ca"),
+            (F.sum("db").over(win) + F.col("ob")).alias("cb"),
+        )
+    )
+    nn = a.agg(F.count("*").alias("na")).crossJoin(b.agg(F.count("*").alias("nb")))
+    return (
+        cum.crossJoin(F.broadcast(nn))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(F.abs(F.col("nb") * F.col("ca") - F.col("na") * F.col("cb")))
+            .cast("long")
+            .alias("ks_num")
+        )
+        .select(
+            F.col("na").cast("long").alias("n_view"),
+            F.col("nb").cast("long").alias("n_purchase"),
+            "ks_num",
+            (F.col("na") * F.col("nb")).cast("long").alias("ks_den"),
+        )
+    )
