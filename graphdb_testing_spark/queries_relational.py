@@ -3101,3 +3101,112 @@ def q_trailing_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("long").alias("n_trailing_hour"),
         F.sum("vm").over(w).cast("long").alias("value_milli_trailing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit of order totals
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH bd AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+bc AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM bd GROUP BY digit),
+bn AS (SELECT SUM(n) AS total FROM bc)
+SELECT c.digit, c.n,
+       CAST(FLOOR(1e6 * c.n / bn.total) AS BIGINT) AS observed_ppm,
+       CAST(FLOOR(1e6 * LN(1e0 + 1e0 / c.digit) / LN(10e0)) AS BIGINT)
+         AS benford_ppm
+FROM bc c CROSS JOIN bn
+"""
+
+
+@register("benford_digit_audit", _BENFORD_ORACLE)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data screen: observed first-digit shares (ppm) next to
+    the log10(1+1/d) expectation.  Digit extraction is exact string
+    arithmetic on the floored total; only the final share divisions
+    touch doubles (identical inputs → identical ppm)."""
+    orders = datasets.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    bd = orders.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    bc = bd.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    bn = bc.agg(F.sum("n").alias("total"))
+    return bc.crossJoin(F.broadcast(bn)).select(
+        "digit",
+        "n",
+        F.floor(F.lit(1e6) * F.col("n") / F.col("total")).cast("long").alias(
+            "observed_ppm"
+        ),
+        F.floor(
+            F.lit(1e6) * F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+        )
+        .cast("long")
+        .alias("benford_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation numerators across lineitem numerics (exact)
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH ln_i AS (
+  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS p,
+         CAST(FLOOR(l_discount * 100) AS BIGINT) AS d,
+         CAST(FLOOR(l_tax * 100) AS BIGINT) AS t
+  FROM lineitem
+),
+pairs AS (
+  SELECT 'q_p' AS pair, q AS x, p AS y FROM ln_i
+  UNION ALL SELECT 'q_d', q, d FROM ln_i
+  UNION ALL SELECT 'p_d', p, d FROM ln_i
+  UNION ALL SELECT 'd_t', d, t FROM ln_i
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+       CAST(SUM(y * y) AS BIGINT) AS sum_yy
+FROM pairs GROUP BY pair
+"""
+
+
+@register("lineitem_correlations", _CORR_ORACLE)
+def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation SUFFICIENT STATISTICS for four lineitem
+    numeric pairs — raw exact sums (n, Σx, Σy, Σxy, Σx², Σy²) over
+    whole-dollar / percent-integerized columns.  ``r = (nΣxy−ΣxΣy)/
+    √((nΣx²−Σx²)(nΣy²−Σy²))`` is downstream float math; the emitted
+    statistics are BIGINT-exact, mergeable across partitions and
+    snapshots, and sized so no n·Σ product is ever formed in LONG
+    (whole dollars keep Σx² < 2⁶³ through sf 100)."""
+    li = datasets.load_table(spark, sf_dir, "lineitem").select(
+        F.floor("l_quantity").cast("long").alias("q"),
+        F.floor("l_extendedprice").cast("long").alias("p"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.floor(F.col("l_tax") * 100).cast("long").alias("t"),
+    )
+    pairs = None
+    for name, xc, yc in [("q_p", "q", "p"), ("q_d", "q", "d"), ("p_d", "p", "d"), ("d_t", "d", "t")]:
+        part = li.select(
+            F.lit(name).alias("pair"), F.col(xc).alias("x"), F.col(yc).alias("y")
+        )
+        pairs = part if pairs is None else pairs.unionAll(part)
+    return pairs.groupBy("pair").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_yy"),
+    )
