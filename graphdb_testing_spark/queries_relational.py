@@ -3210,3 +3210,73 @@ def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_yy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing over daily revenue (ordered fold)
+# ---------------------------------------------------------------------------
+
+_HOLT_ORACLE = """
+WITH hd AS (
+  SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day_epoch,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS DOUBLE) AS rev_c
+  FROM orders GROUP BY 1
+),
+hs AS (
+  SELECT list(rev_c ORDER BY day_epoch) AS vs, COUNT(*) AS n_days FROM hd
+),
+hr AS (
+  SELECT n_days,
+         list_reduce(list_prepend([vs[1], CAST(0.0 AS DOUBLE)],
+                                  list_transform(vs, x -> [x])),
+           (acc, v) -> [v[1] / 2 + (acc[1] + acc[2]) / 2,
+                        (v[1] / 2 + (acc[1] + acc[2]) / 2 - acc[1]) / 4
+                          + acc[2] * 3 / 4]) AS lt
+  FROM hs
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(FLOOR(lt[1]) AS BIGINT) AS level_cents,
+       CAST(FLOOR(1000 * lt[2]) AS BIGINT) AS trend_millicents,
+       CAST(FLOOR(lt[1] + 7 * lt[2]) AS BIGINT) AS forecast7_cents
+FROM hr
+"""
+
+
+@register("holt_revenue_forecast", _HOLT_ORACLE)
+def q_holt_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level+trend, α=1/2, β=1/4)
+    over the daily-revenue series, as an ORDERED fold — the smoothing
+    constants are dyadic so every update is exact-or-identically-
+    rounded IEEE arithmetic in the same order on both engines
+    (the ``ewma_user_values`` discipline, with a 2-vector state).
+    Emits the terminal level/trend and the 7-day-ahead forecast —
+    the capacity-planning number a pipeline schedules against."""
+    daily = (
+        datasets.load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("double")
+            .alias("rev_c")
+        )
+    )
+    series = daily.groupBy().agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(day, rev_c))), s -> s.rev_c)"
+        ).alias("vs"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    fold = (
+        "aggregate(vs, array(element_at(vs, 1), cast(0.0 as double)),"
+        " (acc, v) -> array("
+        "v / 2 + (acc[0] + acc[1]) / 2,"
+        " (v / 2 + (acc[0] + acc[1]) / 2 - acc[0]) / 4 + acc[1] * 3 / 4))"
+    )
+    return series.select(
+        "n_days", F.expr(fold).alias("lt")
+    ).select(
+        "n_days",
+        F.floor(F.expr("lt[0]")).cast("long").alias("level_cents"),
+        F.floor(F.lit(1000) * F.expr("lt[1]")).cast("long").alias("trend_millicents"),
+        F.floor(F.expr("lt[0] + 7 * lt[1]")).cast("long").alias("forecast7_cents"),
+    )
