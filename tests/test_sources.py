@@ -375,3 +375,31 @@ def test_csv_roundtrip_quotes_newlines_nulls(spark, tmp_path):
         .csv(p)
     )
     assert sorted(map(tuple, back.collect())) == sorted(rows, key=lambda r: r[0])
+
+
+def test_cache_table_uses_in_memory_scan(spark, tmp_path):
+    """cacheTable must turn subsequent scans into an in-memory relation scan
+    (columnar cache) and preserve results exactly."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(500)], "id long, k int")
+    df.createOrReplaceTempView("cache_t")
+    want = sorted(map(tuple, spark.table("cache_t").collect()))
+    spark.catalog.cacheTable("cache_t")
+    try:
+        spark.table("cache_t").groupBy("k").count().collect()  # materialize
+        # AQE-off explain of a FRESH plan (an executed DataFrame keeps
+        # its adaptive plan, which summarizes cache reads as stages)
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                spark.table("cache_t").groupBy("k").count().explain("formatted")
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        assert "InMemoryRelation" in buf.getvalue(), buf.getvalue()
+        assert sorted(map(tuple, spark.table("cache_t").collect())) == want
+    finally:
+        spark.catalog.uncacheTable("cache_t")
