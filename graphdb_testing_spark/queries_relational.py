@@ -3280,3 +3280,66 @@ def q_holt_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.lit(1000) * F.expr("lt[1]")).cast("long").alias("trend_millicents"),
         F.floor(F.expr("lt[0] + 7 * lt[1]")).cast("long").alias("forecast7_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily-revenue autocorrelation at lags 1 and 7 (exact lagged sums)
+# ---------------------------------------------------------------------------
+
+_ACF_ORACLE = """
+WITH ad AS (
+  SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) // 86400 AS day_no,
+         SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+lags AS (
+  SELECT 1 AS lag, a.rev AS x, b.rev AS y
+  FROM ad a JOIN ad b ON b.day_no = a.day_no + 1
+  UNION ALL
+  SELECT 7, a.rev, b.rev
+  FROM ad a JOIN ad b ON b.day_no = a.day_no + 7
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+       CAST(SUM(y * y) AS BIGINT) AS sum_yy
+FROM lags GROUP BY lag
+"""
+
+
+@register("revenue_autocorrelation", _ACF_ORACLE)
+def q_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation sufficient statistics of daily revenue at lags
+    1 and 7 (the weekly-seasonality probe): lagged day pairs by
+    calendar-day equi-join (never a window over the whole series),
+    whole-dollar integer sums so every statistic is BIGINT-exact and
+    mergeable — downstream ``r(ℓ)`` is one float division, same
+    contract as ``lineitem_correlations``."""
+    ad = (
+        datasets.load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.unix_micros(F.date_trunc("day", F.col("o_orderdate"))) / F.lit(86400000000))
+            .cast("long")
+            .alias("day_no")
+        )
+        .agg(F.sum(F.floor("o_totalprice").cast("long")).alias("rev"))
+        .localCheckpoint()
+    )
+    parts = []
+    for lag in (1, 7):
+        b = ad.select((F.col("day_no") - lag).alias("day_no"), F.col("rev").alias("y"))
+        parts.append(
+            ad.join(b, "day_no").select(
+                F.lit(lag).alias("lag"), F.col("rev").alias("x"), "y"
+            )
+        )
+    pairs = parts[0].unionAll(parts[1])
+    return pairs.groupBy(F.col("lag").cast("long").alias("lag")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_yy"),
+    )
