@@ -2289,3 +2289,62 @@ def q_ks_test_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("na") * F.col("nb")).cast("long").alias("ks_den"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scores (Flesch-style, vowel-group syllable proxy)
+# ---------------------------------------------------------------------------
+
+_READ_ORACLE = """
+WITH rtok AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+rsyl AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(GREATEST(len(regexp_split_to_array(lower(tok),
+                                                     '[^aeiouy]+')) - 1, 1))
+              AS BIGINT) AS n_syllables
+  FROM rtok GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_syllables,
+       CAST(FLOOR(1e3 * (206.835e0 - 84.6e0 * n_syllables / n_words))
+            AS BIGINT) AS flesch_milli
+FROM rsyl
+"""
+
+
+@register("readability_scores", _READ_ORACLE)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document with a vowel-group
+    syllable proxy (runs of ``[aeiouy]`` per lowercased word,
+    minimum 1) — the reading-level quality signal curation stacks
+    next to ``quality_scores``.  The syllable proxy is a class-only
+    regex split (byte-identical across engines, the ``BPE_PIECE_RE``
+    discipline); the sentence-length term is dropped because the
+    synthetic corpus carries no sentence punctuation — documented
+    deviation, not a hidden one."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    syl = F.greatest(
+        F.size(F.split(F.lower("tok"), "[^aeiouy]+")) - 1, F.lit(1)
+    )
+    per = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(syl).cast("long").alias("n_syllables"),
+    )
+    return per.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        F.floor(
+            F.lit(1e3)
+            * (F.lit(206.835) - F.lit(84.6) * F.col("n_syllables") / F.col("n_words"))
+        )
+        .cast("long")
+        .alias("flesch_milli"),
+    )
