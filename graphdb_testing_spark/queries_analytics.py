@@ -3513,3 +3513,73 @@ def q_anf_2hop_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_ball2_exact"))
     )
     return two_hop.join(est, "id").select("id", "n_ball2_exact", "est_milli")
+
+
+# ---------------------------------------------------------------------------
+# Directed reciprocity of the temporal-precedence interaction graph
+# ---------------------------------------------------------------------------
+
+_RECIP_ORACLE = """
+WITH rfirst AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, user_id,
+         MIN(ROW(epoch_us(ts), event_id)) AS first_key
+  FROM events GROUP BY 1, 2, 3
+),
+redges AS (
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM rfirst a JOIN rfirst b
+    ON a.event_type = b.event_type AND a.hour = b.hour
+   AND a.user_id <> b.user_id AND a.first_key < b.first_key
+),
+rstats AS (
+  SELECT (SELECT COUNT(*) FROM redges) AS n_edges,
+         (SELECT COUNT(*) FROM redges e
+          SEMI JOIN redges r ON r.src = e.dst AND r.dst = e.src) AS n_recip
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_recip AS BIGINT) AS n_reciprocal,
+       CAST(FLOOR(1e6 * n_recip / n_edges) AS BIGINT) AS reciprocity_ppm
+FROM rstats
+"""
+
+
+@register("graph_reciprocity", _RECIP_ORACLE)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the temporal-precedence interaction graph: u→v
+    when u's earliest event precedes v's inside a shared
+    (event_type, hour) bucket — pairs meeting repeatedly in both
+    orders create reciprocal edges, the directed-graph health metric
+    (Newman) the single-orientation SCC fixture can't express.
+    One bucket self-join builds the edges; reciprocity is a semi-join
+    against the transpose."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    first = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour"), "user_id"
+    ).agg(F.min(F.struct(F.unix_micros("ts").alias("us"), "event_id")).alias("fk"))
+    a = first.alias("a")
+    b = first.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.hour") == F.col("b.hour"))
+            & (F.col("a.user_id") != F.col("b.user_id"))
+            & (F.col("a.fk") < F.col("b.fk")),
+        )
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    recip = edges.join(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "left_semi",
+    )
+    return recip.agg(F.count("*").alias("nr")).select(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.col("nr").cast("long").alias("n_reciprocal"),
+        F.floor(F.lit(1e6) * F.col("nr") / F.lit(n_edges)).cast("long").alias(
+            "reciprocity_ppm"
+        ),
+    )
