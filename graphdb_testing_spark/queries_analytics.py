@@ -3583,3 +3583,37 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reciprocity_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deferred acceptance (Gale-Shapley) customer-supplier matching
+# ---------------------------------------------------------------------------
+
+from .operators.deferred import (  # noqa: E402
+    deferred_acceptance,
+    deferred_acceptance_oracle_sql,
+)
+
+
+@register(
+    "deferred_acceptance_4round",
+    "WITH dap AS (SELECT c_custkey AS c FROM customer),\n"
+    "daa AS (SELECT s_suppkey AS s FROM supplier),\n"
+    + deferred_acceptance_oracle_sql("dap", "daa", rounds=4, k=4)
+    + "\nSELECT c, matched_s, n_proposals FROM da_result",
+)
+def q_deferred_acceptance_4round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gale-Shapley deferred acceptance between customers (proposers)
+    and suppliers (one seat each), 4 synchronized rounds over
+    hash-scored top-4 preference lists — the allocation/matching
+    primitive behind ad auctions, shard placement, and school-choice
+    style assignment, expressed as per-round joins + per-acceptor min
+    (``operators/deferred.py``).  Unmatched proposers report ``-1``
+    plus how many proposals they spent."""
+    cust = datasets.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c")
+    )
+    sup = datasets.load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("s")
+    )
+    return deferred_acceptance(cust, sup, rounds=4, k=4)

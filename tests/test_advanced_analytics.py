@@ -359,3 +359,61 @@ def test_spectral_bisection_separates_bridged_cliques(spark, bridged_cliques):
     left = {sides[i] for i in range(4)}
     right = {sides[i] for i in range(4, 8)}
     assert len(left) == 1 and len(right) == 1 and left != right, (sides, vs)
+
+
+def test_deferred_acceptance_stability_and_model(spark):
+    """The distributed rounds must equal the sequential McVitie-Wilson
+    model on the same hash preferences, and the result must contain
+    no blocking pair among tried choices."""
+    import hashlib
+
+    from graphdb_testing_spark.operators.deferred import deferred_acceptance
+
+    ncust, nsup, k = 12, 4, 4
+    cust = spark.createDataFrame([(i,) for i in range(ncust)], "c long")
+    sup = spark.createDataFrame([(j,) for j in range(nsup)], "s long")
+    out = {
+        r["c"]: (r["matched_s"], r["n_proposals"])
+        for r in deferred_acceptance(cust, sup, rounds=12, k=k).collect()
+    }
+
+    def score(c, s):
+        return int(hashlib.md5(f"gs|{c}|{s}".encode()).hexdigest()[:8], 16)
+
+    prefs = {
+        c: sorted(range(nsup), key=lambda s: (score(c, s), s))[:k]
+        for c in range(ncust)
+    }
+    # sequential deferred acceptance
+    ptr = {c: 0 for c in range(ncust)}
+    held: dict[int, int] = {}
+    free = list(range(ncust))
+    while free:
+        c = free.pop(0)
+        if ptr[c] >= k:
+            continue
+        s = prefs[c][ptr[c]]
+        ptr[c] += 1
+        cur = held.get(s)
+        if cur is None or (score(c, s), c) < (score(cur, s), cur):
+            if cur is not None:
+                free.append(cur)
+            held[s] = c
+        else:
+            free.append(c)
+    want = {
+        c: next((s for s, cc in held.items() if cc == c), -1) for c in range(ncust)
+    }
+    assert {c: m for c, (m, _) in out.items()} == want
+    # no blocking pair among tried prefixes
+    for c in range(ncust):
+        m, n_used = out[c]
+        tried = prefs[c][:n_used]
+        for s in tried:
+            if s == m:
+                continue
+            holder = held.get(s)
+            assert holder is not None and (score(holder, s), holder) < (
+                score(c, s),
+                c,
+            )
