@@ -891,3 +891,107 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("group_size") < 5).cast("long").alias("violates_k5"),
         (F.col("l_diversity") < 3).cast("long").alias("violates_l3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot drift report (hash-split snapshots A/B)
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH dsnap AS (
+  SELECT doc_id, source, n_chars, text,
+         CASE WHEN ('0x' || substr(md5('snap|' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 2 = 0
+              THEN 'A' ELSE 'B' END AS snap
+  FROM documents
+),
+dcnt AS (
+  SELECT source,
+         SUM(CASE WHEN snap = 'A' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN snap = 'B' THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN snap = 'A' THEN n_chars ELSE 0 END) AS chars_a,
+         SUM(CASE WHEN snap = 'B' THEN n_chars ELSE 0 END) AS chars_b
+  FROM dsnap GROUP BY source
+),
+dvoc AS (
+  SELECT source, tok, MAX(CASE WHEN snap = 'A' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN snap = 'B' THEN 1 ELSE 0 END) AS in_b
+  FROM (
+    SELECT source, snap, UNNEST(string_split(text, ' ')) AS tok FROM dsnap
+  ) WHERE tok <> '' GROUP BY source, tok
+),
+dj AS (
+  SELECT source,
+         SUM(in_a * in_b) AS vocab_common,
+         SUM(GREATEST(in_a, in_b)) AS vocab_union
+  FROM dvoc GROUP BY source
+)
+SELECT c.source,
+       CAST(c.n_a AS BIGINT) AS n_a, CAST(c.n_b AS BIGINT) AS n_b,
+       CAST(c.chars_a AS BIGINT) AS chars_a, CAST(c.chars_b AS BIGINT) AS chars_b,
+       CAST(j.vocab_common AS BIGINT) AS vocab_common,
+       CAST(j.vocab_union AS BIGINT) AS vocab_union,
+       CAST(FLOOR(1e6 * j.vocab_common / j.vocab_union) AS BIGINT)
+         AS vocab_jaccard_ppm
+FROM dcnt c JOIN dj j USING (source)
+"""
+
+
+@register("corpus_snapshot_drift", _DRIFT_ORACLE)
+def q_corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source drift report between two corpus snapshots (here a
+    deterministic hash split standing in for consecutive crawls):
+    document and char-volume deltas plus vocabulary Jaccard — the
+    triage table that decides which sources need re-curation after a
+    refresh.  One pass for counts, one distinct-token pass for the
+    vocabulary overlap; everything integer or ppm-quantized."""
+    from .hashutil import hash_prefix
+
+    docs = datasets.load_table(spark, sf_dir, "documents").withColumn(
+        "snap",
+        F.when(
+            F.pmod(
+                hash_prefix(
+                    F.concat_ws("|", F.lit("snap"), F.col("doc_id").cast("string")), 8
+                ),
+                F.lit(2),
+            )
+            == 0,
+            F.lit("A"),
+        ).otherwise(F.lit("B")),
+    )
+    cnt = docs.groupBy("source").agg(
+        F.sum((F.col("snap") == "A").cast("long")).alias("n_a"),
+        F.sum((F.col("snap") == "B").cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("snap") == "A", F.col("n_chars")).otherwise(0)).alias(
+            "chars_a"
+        ),
+        F.sum(F.when(F.col("snap") == "B", F.col("n_chars")).otherwise(0)).alias(
+            "chars_b"
+        ),
+    )
+    toks = (
+        docs.select("source", "snap", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(
+            F.max((F.col("snap") == "A").cast("long")).alias("in_a"),
+            F.max((F.col("snap") == "B").cast("long")).alias("in_b"),
+        )
+    )
+    voc = toks.groupBy("source").agg(
+        F.sum(F.col("in_a") * F.col("in_b")).alias("vocab_common"),
+        F.sum(F.greatest("in_a", "in_b")).alias("vocab_union"),
+    )
+    return cnt.join(voc, "source").select(
+        "source",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("chars_a").cast("long").alias("chars_a"),
+        F.col("chars_b").cast("long").alias("chars_b"),
+        F.col("vocab_common").cast("long").alias("vocab_common"),
+        F.col("vocab_union").cast("long").alias("vocab_union"),
+        F.floor(F.lit(1e6) * F.col("vocab_common") / F.col("vocab_union"))
+        .cast("long")
+        .alias("vocab_jaccard_ppm"),
+    )
