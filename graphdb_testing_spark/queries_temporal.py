@@ -1264,3 +1264,137 @@ def q_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("vc[1]").alias("burst_cost"),
         F.expr("cast(IF(vc[1] < vc[0], 1, 0) as bigint)").alias("end_state"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Run-length structure of per-user event-type sequences
+# ---------------------------------------------------------------------------
+
+_RLE_ORACLE = """
+WITH rseq AS (
+  SELECT user_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+rrun AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(is_start) AS BIGINT) AS n_runs
+  FROM rseq GROUP BY user_id
+),
+rlen AS (
+  SELECT user_id, MAX(run_len) AS longest_run FROM (
+    SELECT user_id, run_id, COUNT(*) AS run_len FROM (
+      SELECT user_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(event_type) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id)
+                      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_start
+        FROM events))
+    GROUP BY user_id, run_id)
+  GROUP BY user_id
+)
+SELECT CAST(r.user_id AS BIGINT) AS user_id, r.n_events, r.n_runs,
+       CAST(l.longest_run AS BIGINT) AS longest_run
+FROM rrun r JOIN rlen l USING (user_id)
+"""
+
+
+@register("event_run_lengths", _RLE_ORACLE)
+def q_event_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length structure of each user's event-type sequence
+    (events, runs, longest run) — the repetition/compressibility audit
+    for behavioral logs (n_runs ≪ n_events = bot-like repetition,
+    the RLE twin of the text ``repetition_scores``).  Gaps-and-islands
+    with two windows, both keyed on user."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+        ).cast("long").alias("is_start"),
+    )
+    runs = seq.withColumn(
+        "run_id", F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(F.count("*").alias("run_len"))
+    return (
+        seq.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("is_start").cast("long").alias("n_runs"),
+        )
+        .join(
+            per_run.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+                F.max("run_len").cast("long").alias("longest_run")
+            ),
+            "user_id",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity survival curve steps (integer at-risk/churn table)
+# ---------------------------------------------------------------------------
+
+_SURV_ORACLE = """
+WITH slife AS (
+  SELECT user_id,
+         CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 86400000000 AS BIGINT)
+           AS life_days
+  FROM events GROUP BY user_id
+),
+sn AS (SELECT COUNT(*) AS n_users FROM slife),
+ssteps AS (
+  SELECT life_days AS day, CAST(COUNT(*) AS BIGINT) AS n_ended
+  FROM slife GROUP BY life_days
+),
+scum AS (
+  SELECT day, n_ended,
+         sn.n_users - COALESCE(SUM(n_ended) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM ssteps CROSS JOIN sn
+)
+SELECT CAST(day AS BIGINT) AS day, n_ended, CAST(n_at_risk AS BIGINT) AS n_at_risk
+FROM scum
+"""
+
+
+@register("activity_survival_steps", _SURV_ORACLE)
+def q_activity_survival_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier step table for user activity lifetime (days from
+    first to last event): per distinct lifetime, how many users ended
+    there and how many were still at risk — the INTEGER sufficient
+    statistics of the survival curve (Ŝ multiplies (1−d/n) downstream;
+    emitting the steps keeps the result exact and mergeable, the
+    ``lineitem_correlations`` contract).  Small ordered step table →
+    one bounded window."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(86400000000)
+        )
+        .cast("long")
+        .alias("life_days")
+    )
+    n_users = life.count()
+    steps = life.groupBy(F.col("life_days").alias("day")).agg(
+        F.count("*").cast("long").alias("n_ended")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return steps.select(
+        F.col("day").cast("long").alias("day"),
+        "n_ended",
+        (F.lit(n_users) - F.coalesce(F.sum("n_ended").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n_at_risk"),
+    )
