@@ -2348,3 +2348,84 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("flesch_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means elbow table: exact within-cluster SS for k in {2, 4, 8}
+# ---------------------------------------------------------------------------
+
+def _elbow_oracle() -> str:
+    parts = []
+    for k in (2, 4, 8):
+        parts.append(
+            f"""SELECT {k} AS k, SUM(dist2) AS wcss, COUNT(*) AS n_points FROM (
+  SELECT vec_id, cluster_id, dist2 FROM (
+    SELECT p.vec_id, c.cluster_id,
+           list_sum(list_transform(generate_series(1, 64),
+             i -> (1000 * p.p[i] - c.c[i]) * (1000 * p.p[i] - c.c[i]))) AS dist2,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, 64),
+               i -> (1000 * p.p[i] - c.c[i]) * (1000 * p.p[i] - c.c[i]))),
+             c.cluster_id) AS rn
+    FROM elpts p CROSS JOIN (
+      SELECT vec_id AS cluster_id, list_transform(p, x -> 1000 * x) AS c
+      FROM elpts ORDER BY vec_id LIMIT {k}) c)
+  WHERE rn = 1)"""
+        )
+    return (
+        """WITH elpts AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS p
+  FROM embeddings
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(wcss AS BIGINT) AS wcss,
+       CAST(n_points AS BIGINT) AS n_points
+FROM ("""
+        + "\nUNION ALL\n".join(parts)
+        + ")"
+    )
+
+
+@register("kmeans_elbow", _elbow_oracle())
+def q_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection for k-means: exact integer within-cluster
+    squared distance after one assignment round against deterministic
+    seeds, for k ∈ {2, 4, 8} — the elbow table, every number BIGINT
+    (the ``kmeans_lloyd`` arithmetic), so the k-choice diagnostic is
+    hash-checkable.  Three broadcast assignment passes over one
+    integerized point cache."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1024) as bigint))"
+        ).alias("p"),
+    ).localCheckpoint()
+    dist2 = F.expr(
+        "aggregate(zip_with(p, c, (x, y) -> (1000 * x - y) * (1000 * x - y)),"
+        " cast(0 as bigint), (acc, d) -> acc + d)"
+    )
+    out = None
+    for k in (2, 4, 8):
+        cents = (
+            pts.orderBy("vec_id")
+            .limit(k)
+            .select(
+                F.col("vec_id").alias("cluster_id"),
+                F.expr("transform(p, x -> 1000 * x)").alias("c"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
+        a = (
+            pts.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cluster_id", dist2.alias("dist2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .agg(
+                F.sum("dist2").cast("long").alias("wcss"),
+                F.count("*").cast("long").alias("n_points"),
+            )
+            .select(F.lit(k).cast("long").alias("k"), "wcss", "n_points")
+        )
+        out = a if out is None else out.unionAll(a)
+    return out
