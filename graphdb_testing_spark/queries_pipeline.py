@@ -2429,3 +2429,145 @@ def q_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = a if out is None else out.unionAll(a)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Silhouette-style cohesion/separation audit (probe subset, exact)
+# ---------------------------------------------------------------------------
+
+_SIL_ORACLE = """
+WITH slpts AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS p
+  FROM embeddings
+),
+slcent AS (
+  SELECT vec_id AS cluster_id, list_transform(p, x -> 1000 * x) AS c
+  FROM slpts ORDER BY vec_id LIMIT 8
+),
+slassign AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT p.vec_id, c.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, 64),
+               i -> (1000 * p.p[i] - c.c[i]) * (1000 * p.p[i] - c.c[i]))),
+             c.cluster_id) AS rn
+    FROM slpts p CROSS JOIN slcent c)
+  WHERE rn = 1
+),
+slprobe AS (
+  SELECT p.vec_id, p.p, a.cluster_id FROM slpts p JOIN slassign a USING (vec_id)
+  WHERE p.vec_id < 100
+),
+sld AS (
+  SELECT q.vec_id AS q_id, q.cluster_id AS own_c, t.cluster_id AS t_c,
+         list_sum(list_transform(generate_series(1, 64),
+           i -> (q.p[i] - t.p[i]) * (q.p[i] - t.p[i]))) AS d2
+  FROM slprobe q
+  JOIN (SELECT p.vec_id, p.p, a.cluster_id
+        FROM slpts p JOIN slassign a USING (vec_id)) t
+    ON t.vec_id <> q.vec_id
+),
+slg AS (
+  SELECT q_id, own_c, t_c, SUM(d2) AS s, COUNT(*) AS n
+  FROM sld GROUP BY 1, 2, 3
+),
+slb AS (
+  SELECT q_id, t_c AS b_cluster, s AS b_num, n AS b_den FROM (
+    SELECT q_id, t_c, s, n,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY CAST(s AS DOUBLE) / n, t_c) AS rn
+    FROM slg WHERE t_c <> own_c)
+  WHERE rn = 1
+)
+SELECT a.q_id AS vec_id, CAST(a.own_c AS BIGINT) AS own_cluster,
+       CAST(a.s AS BIGINT) AS a_num, CAST(a.n AS BIGINT) AS a_den,
+       CAST(b.b_cluster AS BIGINT) AS b_cluster,
+       CAST(b.b_num AS BIGINT) AS b_num, CAST(b.b_den AS BIGINT) AS b_den
+FROM (SELECT q_id, own_c, s, n FROM slg WHERE t_c = own_c) a
+JOIN slb b USING (q_id)
+"""
+
+
+@register("silhouette_probe", _SIL_ORACLE)
+def q_silhouette_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette-style cluster audit on a 100-vector probe subset
+    against the deterministic k=8 assignment: per probe, the exact
+    integer (Σd², n) cohesion statistics for its own cluster and for
+    the nearest other cluster (selected by mean — a ratio of exact
+    integers, tie → smaller cluster id).  The downstream silhouette
+    ``(b−a)/max(a,b)`` is two divisions; emitting the sufficient
+    statistics keeps the audit hash-exact, the
+    ``lineitem_correlations`` contract.  Probes broadcast; the corpus
+    streams once."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1024) as bigint))"
+        ).alias("p"),
+    ).localCheckpoint()
+    cents = (
+        pts.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cluster_id"),
+            F.expr("transform(p, x -> 1000 * x)").alias("c"),
+        )
+    )
+    cdist = F.expr(
+        "aggregate(zip_with(p, c, (x, y) -> (1000 * x - y) * (1000 * x - y)),"
+        " cast(0 as bigint), (acc, d) -> acc + d)"
+    )
+    wasg = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    assign = (
+        pts.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cluster_id", cdist.alias("d2"))
+        .withColumn("rn", F.row_number().over(wasg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id")
+    )
+    tagged = pts.join(assign, "vec_id").localCheckpoint()
+    probe = tagged.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("p").alias("qp"),
+        F.col("cluster_id").alias("own_c"),
+    )
+    pdist = F.expr(
+        "aggregate(zip_with(qp, p, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, d) -> acc + d)"
+    )
+    slg = (
+        tagged.crossJoin(F.broadcast(probe))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "own_c", F.col("cluster_id").alias("t_c"), pdist.alias("d2"))
+        .groupBy("q_id", "own_c", "t_c")
+        .agg(F.sum("d2").alias("s"), F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    wb = Window.partitionBy("q_id").orderBy(
+        (F.col("s").cast("double") / F.col("n")), "t_c"
+    )
+    slb = (
+        slg.filter(F.col("t_c") != F.col("own_c"))
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            F.col("t_c").alias("b_cluster"),
+            F.col("s").alias("b_num"),
+            F.col("n").alias("b_den"),
+        )
+    )
+    own = slg.filter(F.col("t_c") == F.col("own_c")).select(
+        "q_id", "own_c", F.col("s").alias("a_num"), F.col("n").alias("a_den")
+    )
+    return own.join(slb, "q_id").select(
+        F.col("q_id").alias("vec_id"),
+        F.col("own_c").cast("long").alias("own_cluster"),
+        F.col("a_num").cast("long").alias("a_num"),
+        F.col("a_den").cast("long").alias("a_den"),
+        F.col("b_cluster").cast("long").alias("b_cluster"),
+        F.col("b_num").cast("long").alias("b_num"),
+        F.col("b_den").cast("long").alias("b_den"),
+    )
