@@ -3343,3 +3343,65 @@ def q_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_yy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean order value per nation (exact order-statistic trim)
+# ---------------------------------------------------------------------------
+
+_TRIM_ORACLE = """
+WITH tor AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+trk AS (
+  SELECT nation, cents,
+         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY cents, cents) AS rn,
+         COUNT(*) OVER (PARTITION BY nation) AS n
+  FROM tor
+),
+tkeep AS (
+  SELECT nation, cents, n FROM trk
+  WHERE rn > n // 20 AND rn <= n - n // 20
+)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(cents) AS BIGINT) AS kept_sum_cents,
+       CAST(SUM(cents) // COUNT(*) AS BIGINT) AS trimmed_mean_cents
+FROM tkeep GROUP BY nation
+"""
+
+
+@register("trimmed_mean_order_value", _TRIM_ORACLE)
+def q_trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean order value per nation — the robust-location
+    statistic that survives the heavy order-value tail: rank within
+    nation, drop ⌊n/20⌋ from each end, integer-exact kept sum and
+    truncating-division mean.  Rank ties break on the value itself so
+    equal cents are interchangeable (any tie order keeps the same
+    multiset)."""
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    cust = datasets.load_table(spark, sf_dir, "customer")
+    tor = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("nation").orderBy("cents")
+    wn = Window.partitionBy("nation")
+    trk = tor.select(
+        "nation",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    keep = trk.filter(
+        (F.col("rn") > F.expr("n div 20")) & (F.col("rn") <= F.col("n") - F.expr("n div 20"))
+    )
+    return keep.groupBy(F.col("nation").cast("long").alias("nation")).agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("cents").cast("long").alias("kept_sum_cents"),
+        F.expr("cast(sum(cents) div count(*) as long)").alias("trimmed_mean_cents"),
+    )
