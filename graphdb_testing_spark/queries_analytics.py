@@ -3617,3 +3617,80 @@ def q_deferred_acceptance_4round(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("s")
     )
     return deferred_acceptance(cust, sup, rounds=4, k=4)
+
+
+# ---------------------------------------------------------------------------
+# Global path-motif census: 2-paths and 3-paths via degree identities
+# ---------------------------------------------------------------------------
+
+_PATH3_ORACLE = oracles.with_user_edges(
+    """
+SELECT n_edges, n_p2, n_p3_raw - 3 * n_tri AS n_p3
+FROM (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM p3e) AS n_edges,
+    (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM p3d) AS n_p2,
+    (SELECT CAST(SUM((da.d - 1) * (db.d - 1)) AS BIGINT)
+     FROM p3e e JOIN p3d da ON da.id = e.src JOIN p3d db ON db.id = e.dst)
+      AS n_p3_raw,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+       SELECT 1 FROM p3c ab JOIN p3c bc ON ab.dst = bc.src AND ab.src < bc.src
+       JOIN p3c ac ON ac.src = ab.src AND ac.dst = bc.dst AND bc.src < bc.dst))
+      AS n_tri
+)
+""",
+    extra_ctes="""p3c AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM user_edges WHERE src < dst
+),
+p3e AS (SELECT src, dst FROM p3c),
+p3d AS (
+  SELECT src AS id, COUNT(*) AS d FROM (
+    SELECT src, dst FROM p3c UNION ALL SELECT dst, src FROM p3c
+  ) GROUP BY src
+)""",
+)
+
+
+@register("path_motif_census", _PATH3_ORACLE)
+def q_path_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global path-motif counts from exact combinatorial identities:
+    2-paths = Σ d(d−1)/2, 3-paths = Σ_{(u,v)∈E}(d_u−1)(d_v−1) − 3·T
+    (each triangle is counted by all three of its edges but is not a
+    path).  Degrees and the triangle count reuse the oriented
+    enumeration; no path materialization at any scale — the same
+    closed-form discipline as ``butterfly_count``."""
+    g = datasets.user_graph(spark, sf_dir)
+    canon = (
+        g.edges.filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        canon.select("src", "dst")
+        .unionAll(canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("d"))
+    )
+    n_edges = canon.count()
+    p2 = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_p2")
+    )
+    da = deg.select(F.col("id").alias("src"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("dst"), F.col("d").alias("db"))
+    p3raw = (
+        canon.join(da, "src")
+        .join(db, "dst")
+        .agg(
+            F.sum((F.col("da") - 1) * (F.col("db") - 1)).cast("long").alias("n_p3_raw")
+        )
+    )
+    from .operators.triangles import _oriented_triangles
+
+    n_tri = _oriented_triangles(g.edges).count()
+    return (
+        p2.crossJoin(p3raw)
+        .select(
+            F.lit(n_edges).cast("long").alias("n_edges"),
+            "n_p2",
+            (F.col("n_p3_raw") - 3 * F.lit(n_tri)).cast("long").alias("n_p3"),
+        )
+    )
