@@ -995,3 +995,74 @@ def q_corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("vocab_jaccard_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document n-gram novelty rate (unique-to-this-doc trigram share)
+# ---------------------------------------------------------------------------
+
+_NOVEL_ORACLE = """
+WITH nvt AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+nvg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS ng
+  FROM nvt, UNNEST(generate_series(1, greatest(len(toks) - 2, 0))) AS s(i)
+),
+nvdf AS (SELECT ng, COUNT(*) AS df FROM nvg GROUP BY ng)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(FLOOR(1e6 * SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) / COUNT(*))
+            AS BIGINT) AS novelty_ppm
+FROM nvg g JOIN nvdf d USING (ng)
+GROUP BY g.doc_id
+"""
+
+
+@register("ngram_novelty_rates", _NOVEL_ORACLE)
+def q_ngram_novelty_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of its distinct word trigrams
+    that occur in NO other document — the inverse of boilerplate
+    (novelty_ppm → 0 marks template/duplicated text, → 1e6 marks
+    unique content).  One distinct-ngram pass, one document-frequency
+    aggregate joined back on the ngram — the ``ngram_jaccard``
+    inverted-index shape without the pair join."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
+    )
+    ng = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+                    " i -> array_join(slice(toks, i, 3), ' '))"
+                )
+            ).alias("ng"),
+        )
+        .filter(F.size(F.split(F.col("ng"), " ")) == 3)
+        .distinct()
+        .localCheckpoint()
+    )
+    df = ng.groupBy("ng").agg(F.count("*").alias("df"))
+    return (
+        ng.join(df, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.sum((F.col("df") == 1).cast("long")).cast("long").alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_unique",
+            F.floor(F.lit(1e6) * F.col("n_unique") / F.col("n_ngrams"))
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )

@@ -2571,3 +2571,116 @@ def q_silhouette_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_num").cast("long").alias("b_num"),
         F.col("b_den").cast("long").alias("b_den"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source unigram distributions
+# ---------------------------------------------------------------------------
+
+_JS_ORACLE = """
+WITH jt AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> '' GROUP BY source, tok
+),
+jtop AS (
+  SELECT source FROM (
+    SELECT source, SUM(c) AS tot,
+           ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, source) AS rn
+    FROM jt GROUP BY source) WHERE rn <= 3
+),
+jn AS (SELECT source, SUM(c) AS n FROM jt SEMI JOIN jtop USING (source) GROUP BY source),
+jp AS (
+  SELECT a.source AS sa, b.source AS sb FROM jtop a JOIN jtop b ON a.source < b.source
+),
+jterm AS (
+  SELECT p.sa, p.sb, t.tok,
+         COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb,
+         na.n AS na, nb.n AS nb
+  FROM jp p
+  JOIN (SELECT DISTINCT tok FROM jt SEMI JOIN jtop USING (source)) t ON TRUE
+  LEFT JOIN jt ca ON ca.source = p.sa AND ca.tok = t.tok
+  LEFT JOIN jt cb ON cb.source = p.sb AND cb.tok = t.tok
+  JOIN jn na ON na.source = p.sa
+  JOIN jn nb ON nb.source = p.sb
+  WHERE COALESCE(ca.c, 0) + COALESCE(cb.c, 0) > 0
+),
+jcontrib AS (
+  SELECT sa, sb,
+         CASE WHEN ca > 0 THEN
+           CAST(FLOOR(1e9 * (ca * 1e0 / na) *
+             LN((2e0 * ca / na) / (ca * 1e0 / na + cb * 1e0 / nb))) AS BIGINT)
+         ELSE 0 END
+         + CASE WHEN cb > 0 THEN
+           CAST(FLOOR(1e9 * (cb * 1e0 / nb) *
+             LN((2e0 * cb / nb) / (ca * 1e0 / na + cb * 1e0 / nb))) AS BIGINT)
+         ELSE 0 END AS js_nano
+  FROM jterm
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(SUM(js_nano) AS BIGINT) AS js_nano_x2
+FROM jcontrib GROUP BY sa, sb
+"""
+
+
+@register("source_js_divergence", _JS_ORACLE)
+def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (×2, nano-quantized) between
+    the unigram distributions of the three biggest sources — the
+    distribution-shift number domain-mixing weights react to.
+    Per-term contributions floor-quantize BEFORE the integer sum
+    (the ``user_type_entropy`` discipline), so the result is
+    order-independent and hash-exact despite the logs."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    jt = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    wtop = Window.orderBy(F.desc("tot"), "source")
+    jtop = (
+        jt.groupBy("source")
+        .agg(F.sum("c").alias("tot"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 3)
+        .select("source")
+    )
+    jts = jt.join(F.broadcast(jtop), "source")
+    jn = jts.groupBy("source").agg(F.sum("c").alias("n"))
+    a = jtop.select(F.col("source").alias("sa"))
+    b = jtop.select(F.col("source").alias("sb"))
+    jp = a.crossJoin(b).filter(F.col("sa") < F.col("sb"))
+    toks = jts.select("tok").distinct()
+    jterm = (
+        jp.crossJoin(toks)
+        .join(
+            jts.select(F.col("source").alias("sa"), "tok", F.col("c").alias("ca")),
+            ["sa", "tok"],
+            "left",
+        )
+        .join(
+            jts.select(F.col("source").alias("sb"), "tok", F.col("c").alias("cb")),
+            ["sb", "tok"],
+            "left",
+        )
+        .fillna(0, subset=["ca", "cb"])
+        .filter(F.col("ca") + F.col("cb") > 0)
+        .join(F.broadcast(jn.select(F.col("source").alias("sa"), F.col("n").alias("na"))), "sa")
+        .join(F.broadcast(jn.select(F.col("source").alias("sb"), F.col("n").alias("nb"))), "sb")
+    )
+    pa = F.col("ca") * F.lit(1.0) / F.col("na")
+    pb = F.col("cb") * F.lit(1.0) / F.col("nb")
+    term = F.when(
+        F.col("ca") > 0,
+        F.floor(F.lit(1e9) * pa * F.log((F.lit(2.0) * F.col("ca") / F.col("na")) / (pa + pb))).cast("long"),
+    ).otherwise(F.lit(0)) + F.when(
+        F.col("cb") > 0,
+        F.floor(F.lit(1e9) * pb * F.log((F.lit(2.0) * F.col("cb") / F.col("nb")) / (pa + pb))).cast("long"),
+    ).otherwise(F.lit(0))
+    return (
+        jterm.select(F.col("sa").alias("source_a"), F.col("sb").alias("source_b"), term.alias("js_nano"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("js_nano").cast("long").alias("js_nano_x2"))
+    )
