@@ -3405,3 +3405,134 @@ def q_trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("kept_sum_cents"),
         F.expr("cast(sum(cents) div count(*) as long)").alias("trimmed_mean_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC classification of parts by revenue
+# ---------------------------------------------------------------------------
+
+_ABC_ORACLE = """
+WITH arev AS (
+  SELECT l_partkey AS part,
+         SUM(CAST(FLOOR(l_extendedprice * (1e0 - l_discount) * 100) AS BIGINT))
+           AS rev_c
+  FROM lineitem GROUP BY l_partkey
+),
+atot AS (SELECT SUM(rev_c) AS total FROM arev),
+arnk AS (
+  SELECT part, rev_c,
+         SUM(rev_c) OVER (ORDER BY rev_c DESC, part) AS cum_c
+  FROM arev
+)
+SELECT CAST(cls AS VARCHAR) AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev_c) AS BIGINT) AS class_rev_cents
+FROM (
+  SELECT part, rev_c,
+         CASE WHEN 100 * (cum_c - rev_c) < 80 * atot.total THEN 'A'
+              WHEN 100 * (cum_c - rev_c) < 95 * atot.total THEN 'B'
+              ELSE 'C' END AS cls
+  FROM arnk CROSS JOIN atot)
+GROUP BY cls
+"""
+
+
+@register("abc_revenue_classes", _ABC_ORACLE)
+def q_abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC analysis of parts by revenue: class A until the
+    cumulative share BEFORE the part reaches 80%, B to 95%, C beyond —
+    thresholds cross-multiplied (``100·cum < 80·total``) so no float
+    share is ever computed.  The classic inventory-prioritization
+    rollup; one revenue aggregate + one ranked prefix sum."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("rev_c")
+    )
+    tot = rev.agg(F.sum("rev_c").alias("total"))
+    w = Window.orderBy(F.desc("rev_c"), "part").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.withColumn("cum_c", F.sum("rev_c").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    cls = (
+        F.when(
+            100 * (F.col("cum_c") - F.col("rev_c")) < 80 * F.col("total"), F.lit("A")
+        )
+        .when(
+            100 * (F.col("cum_c") - F.col("rev_c")) < 95 * F.col("total"), F.lit("B")
+        )
+        .otherwise(F.lit("C"))
+    )
+    return ranked.select(cls.alias("abc_class"), "rev_c").groupBy("abc_class").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("rev_c").cast("long").alias("class_rev_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order backlog over time (open orders per day, sweep-line)
+# ---------------------------------------------------------------------------
+
+_BACKLOG_ORACLE = """
+WITH bspan AS (
+  SELECT o.o_orderkey,
+         CAST(epoch(o.o_orderdate) AS BIGINT) // 86400 AS d0,
+         CAST(epoch(MAX(l.l_shipdate)) AS BIGINT) // 86400 AS d1
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+bev AS (
+  SELECT d0 AS day, 1 AS delta FROM bspan
+  UNION ALL SELECT d1 + 1, -1 FROM bspan
+),
+bday AS (SELECT day, SUM(delta) AS net FROM bev GROUP BY day),
+bcum AS (
+  SELECT day, SUM(net) OVER (ORDER BY day) AS backlog FROM bday
+)
+SELECT CAST(p.backlog AS BIGINT) AS peak_backlog,
+       CAST(p.day AS BIGINT) AS peak_day,
+       CAST((SELECT COUNT(*) FROM bcum) AS BIGINT) AS n_change_days
+FROM (SELECT day, backlog FROM bcum ORDER BY backlog DESC, day LIMIT 1) p
+"""
+
+
+@register("order_backlog_peak", _BACKLOG_ORACLE)
+def q_order_backlog_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak open-order backlog: an order is open from its order date
+    until its last lineitem ships; the sweep-line (+1 at open, −1
+    after close) prefix-sums daily deltas — O(distinct days) state,
+    never per-order rows in the cumulative pass (the
+    ``peak_concurrency`` shape on the fulfillment span).  Peak day
+    ties resolve to the earliest day."""
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    span = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            (F.unix_micros("o_orderdate") / F.lit(86400000000)).cast("long").alias("d0"),
+            ((F.unix_micros("last_ship") / F.lit(86400000000)).cast("long") + 1).alias(
+                "d1"
+            ),
+        )
+    )
+    ev = span.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionAll(
+        span.select(F.col("d1").alias("day"), F.lit(-1).alias("delta"))
+    )
+    bday = ev.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bday.withColumn("backlog", F.sum("net").over(w))
+    wpk = Window.orderBy(F.desc("backlog"), "day")
+    peak = cum.withColumn("rn", F.row_number().over(wpk)).filter(F.col("rn") == 1)
+    n_days = cum.agg(F.count("*").alias("n"))
+    return peak.crossJoin(F.broadcast(n_days)).select(
+        F.col("backlog").cast("long").alias("peak_backlog"),
+        F.col("day").cast("long").alias("peak_day"),
+        F.col("n").cast("long").alias("n_change_days"),
+    )
