@@ -3536,3 +3536,59 @@ def q_order_backlog_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("long").alias("peak_day"),
         F.col("n").cast("long").alias("n_change_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier market concentration (HHI) per nation
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH hrev AS (
+  SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+         SUM(CAST(FLOOR(l.l_extendedprice * (1e0 - l.l_discount) * 100) AS BIGINT))
+           AS rev_c
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+htot AS (SELECT nation, SUM(rev_c) AS total FROM hrev GROUP BY nation)
+SELECT CAST(r.nation AS BIGINT) AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(FLOOR(1e9 * (r.rev_c * 1e0 / t.total)
+                           * (r.rev_c * 1e0 / t.total)) AS BIGINT)) AS BIGINT)
+         AS hhi_nano
+FROM hrev r JOIN htot t USING (nation)
+GROUP BY r.nation
+"""
+
+
+@register("supplier_hhi", _HHI_ORACLE)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation (Σ share², nano-quantized per supplier before the
+    integer sum — order-independent despite the float shares): the
+    single-vendor-risk companion to ``supplier_risk_exposure`` —
+    hhi_nano → 1e9 means one supplier owns the nation's volume."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    sup = datasets.load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("rev_c")
+        )
+    )
+    tot = rev.groupBy("nation").agg(F.sum("rev_c").alias("total"))
+    share = F.col("rev_c") * F.lit(1.0) / F.col("total")
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .select("nation", F.floor(F.lit(1e9) * share * share).cast("long").alias("h"))
+        .groupBy(F.col("nation").cast("long").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum("h").cast("long").alias("hhi_nano"),
+        )
+    )
