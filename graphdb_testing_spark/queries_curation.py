@@ -1066,3 +1066,60 @@ def q_ngram_novelty_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-class composition per source (corpus hygiene profile)
+# ---------------------------------------------------------------------------
+
+_CHARCLASS_ORACLE = """
+WITH cdoc AS (
+  SELECT source,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         CAST(len(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_alpha) AS BIGINT) AS alpha_chars,
+       CAST(SUM(n_digit) AS BIGINT) AS digit_chars,
+       CAST(SUM(n_space) AS BIGINT) AS space_chars,
+       CAST(SUM(n_chars - n_alpha - n_digit - n_space) AS BIGINT) AS other_chars,
+       CAST(FLOOR(1e6 * SUM(n_alpha) / SUM(n_chars)) AS BIGINT) AS alpha_ppm
+FROM cdoc GROUP BY source
+"""
+
+
+@register("char_class_profile", _CHARCLASS_ORACLE)
+def q_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source (alpha/digit/space/other
+    counts and alpha share) — the first-pass hygiene profile that
+    flags binary-junk or table-dump sources before tokenization.
+    Class-only regexes (the ``BPE_PIECE_RE`` portability rule), pure
+    counting, one aggregate."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    cdoc = docs.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("long").alias(
+            "n_alpha"
+        ),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("n_digit"),
+        F.length(F.regexp_replace("text", "[^ ]", "")).cast("long").alias("n_space"),
+    )
+    return cdoc.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_alpha").cast("long").alias("alpha_chars"),
+        F.sum("n_digit").cast("long").alias("digit_chars"),
+        F.sum("n_space").cast("long").alias("space_chars"),
+        F.sum(
+            F.col("n_chars") - F.col("n_alpha") - F.col("n_digit") - F.col("n_space")
+        )
+        .cast("long")
+        .alias("other_chars"),
+        F.floor(F.lit(1e6) * F.sum("n_alpha") / F.sum("n_chars"))
+        .cast("long")
+        .alias("alpha_ppm"),
+    )
