@@ -364,3 +364,51 @@ def test_arrow_gram_matches_exact_integer_covariance(spark):
     for (i, j), g in gram.items():
         want = n * g - sx[i - 1] * sx[j - 1]
         assert abs(cov[(i, j)] - want) <= 1e-6 * max(1.0, abs(want))
+
+
+def test_python_udtf_chunking_matches_native(spark):
+    """Spark 4 Python UDTF surface: a chunk-expanding UDTF must agree
+    with the native sequence/transform expression (UDTFs are the
+    escape hatch for row-to-rows logic the built-ins can't express;
+    this pins the API and the parity)."""
+    import pyspark.sql.functions as SF
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id long, start long, length long")
+    class Chunker:
+        def eval(self, doc_id: int, n: int, size: int):
+            s = 0
+            while s < n:
+                yield doc_id, s, min(size, n - s)
+                s += size
+
+    spark.udtf.register("chunker", Chunker)
+    spark.createDataFrame(
+        [(1, 10), (2, 7), (3, 3)], "doc_id long, n long"
+    ).createOrReplaceTempView("udtf_docs")
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT c.doc_id, c.start, c.length FROM udtf_docs d,"
+                " LATERAL chunker(d.doc_id, d.n, 4) c"
+            ).collect(),
+        )
+    )
+    native = sorted(
+        map(
+            tuple,
+            spark.table("udtf_docs")
+            .select(
+                "doc_id",
+                SF.explode(
+                    SF.expr("transform(sequence(0, cast((n + 3) div 4 as int) - 1),"
+                            " i -> struct(i * 4 as start,"
+                            " least(4, n - i * 4) as length))")
+                ).alias("c"),
+            )
+            .select("doc_id", "c.start", "c.length")
+            .collect(),
+        )
+    )
+    assert got == native and len(got) == 3 + 2 + 1
