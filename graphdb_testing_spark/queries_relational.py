@@ -3592,3 +3592,55 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h").cast("long").alias("hhi_nano"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-key sequence gap audit (gaps-and-islands data quality)
+# ---------------------------------------------------------------------------
+
+_GAPS_ORACLE = """
+WITH gk AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+gnb AS (
+  SELECT k,
+         k - LAG(k) OVER (ORDER BY k) AS delta
+  FROM gk
+),
+ggaps AS (
+  SELECT k - delta + 1 AS gap_start, k - 1 AS gap_end, delta - 1 AS gap_len
+  FROM gnb WHERE delta > 1
+)
+SELECT CAST((SELECT COUNT(*) FROM gk) AS BIGINT) AS n_keys,
+       CAST((SELECT MAX(k) - MIN(k) + 1 FROM gk) AS BIGINT) AS span,
+       CAST((SELECT COUNT(*) FROM ggaps) AS BIGINT) AS n_gaps,
+       CAST(COALESCE((SELECT SUM(gap_len) FROM ggaps), 0) AS BIGINT)
+         AS missing_keys,
+       CAST(COALESCE((SELECT MAX(gap_len) FROM ggaps), 0) AS BIGINT)
+         AS widest_gap
+"""
+
+
+@register("orderkey_gap_audit", _GAPS_ORACLE)
+def q_orderkey_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit of order keys (gaps-and-islands): how many
+    keys exist vs the id span, how many holes, the total and widest
+    missing ranges — the ingestion-loss / sequence-integrity check a
+    pipeline runs after every load.  One lag window over distinct
+    keys."""
+    ok = (
+        datasets.load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    w = Window.orderBy("k")
+    nb = ok.withColumn("delta", F.col("k") - F.lag("k").over(w))
+    gaps = nb.filter(F.col("delta") > 1).select((F.col("delta") - 1).alias("gap_len"))
+    base = ok.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        (F.max("k") - F.min("k") + 1).cast("long").alias("span"),
+    )
+    gagg = gaps.agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.coalesce(F.sum("gap_len"), F.lit(0)).cast("long").alias("missing_keys"),
+        F.coalesce(F.max("gap_len"), F.lit(0)).cast("long").alias("widest_gap"),
+    )
+    return base.crossJoin(gagg)
