@@ -1398,3 +1398,97 @@ def q_activity_survival_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session handoff matrix (session-exit type -> next-session entry type)
+# ---------------------------------------------------------------------------
+
+_HANDOFF_ORACLE = """
+WITH hev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events
+),
+hnew AS (
+  SELECT user_id, event_type, event_id, us,
+         CASE WHEN us - LAG(us) OVER w > 1800000000 OR
+                   LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM hev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+hsess AS (
+  SELECT user_id, event_type, event_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM hnew
+),
+hrk AS (
+  SELECT user_id, sess_no, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sess_no
+                            ORDER BY us, event_id) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sess_no
+                            ORDER BY us DESC, event_id DESC) AS rl
+  FROM hsess
+),
+hends AS (
+  SELECT user_id, sess_no,
+         MAX(CASE WHEN rf = 1 THEN event_type END) AS first_type,
+         MAX(CASE WHEN rl = 1 THEN event_type END) AS last_type
+  FROM hrk GROUP BY user_id, sess_no
+),
+hpairs AS (
+  SELECT last_type AS exit_type,
+         LEAD(first_type) OVER (PARTITION BY user_id ORDER BY sess_no)
+           AS entry_type
+  FROM hends
+)
+SELECT exit_type, entry_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM hpairs WHERE entry_type IS NOT NULL
+GROUP BY exit_type, entry_type
+"""
+
+
+@register("session_handoff_matrix", _HANDOFF_ORACLE)
+def q_session_handoff_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-session behavior: how users LEAVE one session (its last
+    event type) versus how they RE-ENTER the next (its first) — the
+    retention/habit matrix one level above the within-session
+    ``event_transitions``.  Sessionization is the 30-minute
+    gaps-and-islands of ``user_sessions``; per-session endpoints are
+    ``min_by``/``max_by`` on the (time, event_id) key; one lead over
+    the per-user session sequence."""
+    ev = datasets.load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sess = ev.withColumn(
+        "is_new",
+        (
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1800000000)
+        ).cast("long"),
+    ).withColumn(
+        "sess_no", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    wf = Window.partitionBy("user_id", "sess_no").orderBy("us", "event_id")
+    wl = Window.partitionBy("user_id", "sess_no").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    ends = (
+        sess.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rl", F.row_number().over(wl))
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.max(F.when(F.col("rf") == 1, F.col("event_type"))).alias("first_type"),
+            F.max(F.when(F.col("rl") == 1, F.col("event_type"))).alias("last_type"),
+        )
+    )
+    ws = Window.partitionBy("user_id").orderBy("sess_no")
+    pairs = ends.select(
+        F.col("last_type").alias("exit_type"),
+        F.lead("first_type").over(ws).alias("entry_type"),
+    ).filter(F.col("entry_type").isNotNull())
+    return pairs.groupBy("exit_type", "entry_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
