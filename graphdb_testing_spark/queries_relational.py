@@ -3644,3 +3644,35 @@ def q_orderkey_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("gap_len"), F.lit(0)).cast("long").alias("widest_gap"),
     )
     return base.crossJoin(gagg)
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day activity profile per event type (diurnal shape)
+# ---------------------------------------------------------------------------
+
+_HOURPROFILE_ORACLE = """
+SELECT event_type,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events
+GROUP BY event_type, EXTRACT(hour FROM ts)
+"""
+
+
+@register("hour_of_day_profile", _HOURPROFILE_ORACLE)
+def q_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal activity shape: counts and exact milli-value sums per
+    (event type, hour-of-day) — the 24-bucket profile behind
+    load-aware scheduling and anomaly baselines (the hour-of-day
+    sibling of ``weekday_activity``).  One map-side-combined
+    aggregate of ≤ types×24 groups."""
+    ev = datasets.load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("value_milli"),
+    )
