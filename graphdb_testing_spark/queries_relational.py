@@ -3676,3 +3676,94 @@ def q_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("value_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue rank movers: part rank shift between timeline halves
+# ---------------------------------------------------------------------------
+
+_MOVERS_ORACLE = """
+WITH msplit AS (
+  SELECT CAST((MIN(epoch_us(o_orderdate)) + MAX(epoch_us(o_orderdate))) // 2
+              AS BIGINT) AS mid
+  FROM orders
+),
+mrev AS (
+  SELECT l.l_partkey AS part,
+         CASE WHEN epoch_us(o.o_orderdate) < m.mid THEN 0 ELSE 1 END AS half,
+         SUM(CAST(FLOOR(l.l_extendedprice * (1e0 - l.l_discount) * 100) AS BIGINT))
+           AS rev_c
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  CROSS JOIN msplit m
+  GROUP BY 1, 2
+),
+mrk AS (
+  SELECT part, half, rev_c,
+         ROW_NUMBER() OVER (PARTITION BY half ORDER BY rev_c DESC, part) AS rnk
+  FROM mrev
+),
+mboth AS (
+  SELECT a.part, a.rnk AS rank_h1, b.rnk AS rank_h2,
+         a.rev_c AS rev_h1, b.rev_c AS rev_h2
+  FROM (SELECT * FROM mrk WHERE half = 0) a
+  JOIN (SELECT * FROM mrk WHERE half = 1) b USING (part)
+)
+SELECT part, rank_h1, rank_h2,
+       CAST(rank_h1 - rank_h2 AS BIGINT) AS rank_gain,
+       CAST(rev_h1 AS BIGINT) AS rev_h1, CAST(rev_h2 AS BIGINT) AS rev_h2
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(rank_h1 - rank_h2) DESC, part) AS mo
+  FROM mboth)
+WHERE mo <= 20
+"""
+
+
+@register("revenue_rank_movers", _MOVERS_ORACLE)
+def q_revenue_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest part-revenue RANK shifts between the first and second
+    half of the order timeline — trend detection by exact rank delta
+    (ranks from integer cent sums, midpoint split from the data's own
+    epoch bounds, the ``activity_churn`` discipline).  Top 20 by
+    absolute shift, ties to the smaller part key."""
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    bounds = orders.agg(
+        ((F.min(F.unix_micros("o_orderdate")) + F.max(F.unix_micros("o_orderdate"))) / 2)
+        .cast("long")
+        .alias("mid")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("l_partkey").alias("part"),
+            (F.unix_micros("o_orderdate") >= F.col("mid")).cast("int").alias("half"),
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+            ).cast("long").alias("cents"),
+        )
+        .groupBy("part", "half")
+        .agg(F.sum("cents").alias("rev_c"))
+    )
+    w = Window.partitionBy("half").orderBy(F.desc("rev_c"), "part")
+    rk = rev.withColumn("rnk", F.row_number().over(w))
+    a = rk.filter(F.col("half") == 0).select(
+        "part", F.col("rnk").alias("rank_h1"), F.col("rev_c").alias("rev_h1")
+    )
+    b = rk.filter(F.col("half") == 1).select(
+        "part", F.col("rnk").alias("rank_h2"), F.col("rev_c").alias("rev_h2")
+    )
+    both = a.join(b, "part")
+    wm = Window.orderBy(F.abs(F.col("rank_h1") - F.col("rank_h2")).desc(), "part")
+    return (
+        both.withColumn("mo", F.row_number().over(wm))
+        .filter(F.col("mo") <= 20)
+        .select(
+            "part",
+            F.col("rank_h1").cast("long").alias("rank_h1"),
+            F.col("rank_h2").cast("long").alias("rank_h2"),
+            (F.col("rank_h1") - F.col("rank_h2")).cast("long").alias("rank_gain"),
+            "rev_h1",
+            "rev_h2",
+        )
+    )
