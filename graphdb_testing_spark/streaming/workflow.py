@@ -1276,3 +1276,65 @@ def streaming_kmeans(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_ewma(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str = "ewma_stream",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of ``ewma_user_values``: per user the state is
+    ONE double (the running ``acc/2 + v`` fold) plus the event count —
+    the smallest possible stateful operator, and bit-exact against the
+    batch ordered fold because each micro-batch's rows are folded in
+    (ts, event_id) order and addition order never varies (the
+    ``streaming_debounce`` event-time-order file contract).  Emits the
+    running EWMA per user per batch; the last emission equals the
+    batch query exactly (parity test)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def upd(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            acc, n = state.get
+        else:
+            acc, n = 0.0, 0
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            if n:
+                state.update((acc, n))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for v in pdf["value"].astype(float):
+            acc = acc / 2 + v
+        n += len(pdf)
+        state.update((acc, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma_micro": [int(acc * 1e6 // 1)],
+            }
+        )
+
+    ev = _events_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    ).select("user_id", "ts", "event_id", "value")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        upd,
+        outputStructType="user_id long, n_events long, ewma_micro long",
+        stateStructType="acc double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

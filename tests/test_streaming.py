@@ -819,3 +819,40 @@ def test_streaming_kmeans_single_batch_equals_lloyd_update(spark, tmp_path):
             ((1000 * pts.sum(axis=0)) // len(pts)).tolist() if len(pts) else cents[c].tolist()
         )
     assert got == want
+
+
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.queries import all_queries
+    import graphdb_testing_spark.queries_temporal  # noqa: F401 (registers)
+    from graphdb_testing_spark.streaming.workflow import streaming_ewma
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "ewma_stream"
+    stream_dir.mkdir()
+    t = pq.read_table(f"{sf}/events.parquet")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), f"{stream_dir}/part-0.parquet")
+    pq.write_table(t.slice(half), f"{stream_dir}/part-1.parquet")
+    now = time.time()
+    os.utime(f"{stream_dir}/part-0.parquet", (now - 10, now - 10))
+    os.utime(f"{stream_dir}/part-1.parquet", (now, now))
+    q = streaming_ewma(
+        spark, str(stream_dir), query_name="t_ewma", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "select user_id, ewma_micro from (select *, row_number() over"
+        " (partition by user_id order by n_events desc) rn from t_ewma)"
+        " where rn = 1"
+    ).collect()
+    got = {r.user_id: r.ewma_micro for r in rows}
+    batch = {
+        r["user_id"]: r["ewma_micro"]
+        for r in all_queries()["ewma_user_values"](spark, sf).collect()
+    }
+    assert got == batch
