@@ -3485,7 +3485,13 @@ def q_anf_2hop_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, and exactly the shape that scales to
     billion-edge diameters where exact per-vertex balls cannot.  The
     estimate arithmetic is the dyadic-exact HLL formula (sums of
-    2^-rho are exact doubles), so the whole query hash-matches."""
+    2^-rho are exact doubles), so the whole query hash-matches.
+
+    Cost note: ``n_ball2_exact`` (the ground-truth column) is the
+    expensive side — it materializes every radius-2 pair, which is
+    precisely what the sketch exists to avoid; at 100 TB you ship
+    ONLY the register rounds and drop the exact column (58s of this
+    query's 60s at sf0.1 is the ground truth, 2s is the sketch)."""
     g = datasets.user_graph(spark, sf_dir)
     e = g.edges.select("src", "dst").localCheckpoint()
     verts = e.select(F.col("src").alias("id")).distinct()
