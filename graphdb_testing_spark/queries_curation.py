@@ -13,7 +13,7 @@ sides agrees bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import datasets
@@ -1123,3 +1123,78 @@ def q_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alpha_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization of quality scores across sources
+# ---------------------------------------------------------------------------
+
+from .queries_graphops import _QUALITY_ORACLE as _QSRC_ORACLE
+
+_QNORM_ORACLE = f"""
+WITH qq AS (
+  SELECT q.doc_id, d.source,
+         CAST(FLOOR(1e6 * q.quality) AS BIGINT) AS q_micro
+  FROM ({_QSRC_ORACLE.strip()}) q
+  JOIN documents d USING (doc_id)
+),
+qsr AS (
+  SELECT doc_id, source, q_micro,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY q_micro, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS ns
+  FROM qq
+),
+qgr AS (
+  SELECT q_micro AS g_value,
+         ROW_NUMBER() OVER (ORDER BY q_micro, doc_id) AS g,
+         COUNT(*) OVER () AS n
+  FROM qq
+),
+qmap AS (
+  SELECT s.doc_id, s.source, s.q_micro,
+         GREATEST(1, (s.r * (SELECT MAX(n) FROM qgr)) // s.ns) AS g_target
+  FROM qsr s
+)
+SELECT m.doc_id, m.source, m.q_micro,
+       CAST(g.g_value AS BIGINT) AS q_norm_micro
+FROM qmap m JOIN qgr g ON g.g = m.g_target
+"""
+
+
+@register("quality_quantile_norm", _QNORM_ORACLE)
+def q_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of quality scores ACROSS sources (the
+    batch-effect correction of expression arrays, applied to corpus
+    quality): each document's within-source rank maps to the global
+    score at the same relative rank — ``g = max(1, r·N div n_s)`` is
+    pure integer arithmetic, so a strict source is no longer punished
+    relative to a lenient one by its own scale.  Two rank windows and
+    one equi-join on the target rank."""
+    from .functions.textstats import quality_score
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    qq = quality_score(docs).join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        F.floor(F.lit(1e6) * F.col("quality")).cast("long").alias("q_micro"),
+    )
+    ws = Window.partitionBy("source").orderBy("q_micro", "doc_id")
+    wsn = Window.partitionBy("source")
+    qsr = qq.withColumn("r", F.row_number().over(ws)).withColumn(
+        "ns", F.count("*").over(wsn)
+    )
+    wg = Window.orderBy("q_micro", "doc_id")
+    qgr = qq.select("q_micro", "doc_id").withColumn(
+        "g", F.row_number().over(wg)
+    )
+    n_total = qq.count()
+    qmap = qsr.select(
+        "doc_id",
+        "source",
+        "q_micro",
+        F.greatest(F.lit(1), F.expr(f"(r * {n_total}) div ns")).alias("g_target"),
+    )
+    return qmap.join(
+        qgr.select(F.col("g").alias("g_target"), F.col("q_micro").alias("q_norm_micro")),
+        "g_target",
+    ).select("doc_id", "source", "q_micro", F.col("q_norm_micro").cast("long"))
