@@ -3767,3 +3767,64 @@ def q_revenue_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_h2",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-total reconciliation vs lineitem roll-up (financial audit)
+# ---------------------------------------------------------------------------
+
+_RECON_ORACLE = """
+WITH rsum AS (
+  SELECT l_orderkey AS k,
+         SUM(CAST(FLOOR(l_extendedprice * (1e0 + l_tax) * (1e0 - l_discount)
+                        * 100) AS BIGINT)) AS computed_c
+  FROM lineitem GROUP BY l_orderkey
+),
+rcmp AS (
+  SELECT o.o_orderstatus AS status,
+         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS stated_c,
+         r.computed_c
+  FROM orders o JOIN rsum r ON r.k = o.o_orderkey
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN ABS(stated_c - computed_c) <= 100
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_dollar,
+       CAST(SUM(ABS(stated_c - computed_c)) AS BIGINT) AS abs_diff_cents,
+       CAST(MAX(ABS(stated_c - computed_c)) AS BIGINT) AS worst_diff_cents
+FROM rcmp GROUP BY status
+"""
+
+
+@register("order_total_reconciliation", _RECON_ORACLE)
+def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation: the stated ``o_totalprice`` against
+    the lineitem roll-up ``Σ price·(1+tax)·(1−disc)``, in exact cents
+    per order status — the ledger-vs-detail audit every warehouse
+    runs.  One per-order integer aggregate joined back to orders;
+    diffs are exact cents (the synthetic generator's pricing model is
+    itself under test here — honest diffs, not assumed zeros)."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    rs = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) + F.col("l_tax"))
+                * (F.lit(1.0) - F.col("l_discount"))
+                * 100
+            ).cast("long")
+        ).alias("computed_c")
+    )
+    cmpd = orders.join(rs, orders.o_orderkey == F.col("k")).select(
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("stated_c"),
+        "computed_c",
+    )
+    diff = F.abs(F.col("stated_c") - F.col("computed_c"))
+    return cmpd.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum((diff <= 100).cast("long")).cast("long").alias("n_within_dollar"),
+        F.sum(diff).cast("long").alias("abs_diff_cents"),
+        F.max(diff).cast("long").alias("worst_diff_cents"),
+    )
