@@ -3700,3 +3700,73 @@ def q_path_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_p3_raw") - 3 * F.lit(n_tri)).cast("long").alias("n_p3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree-dependent clustering curve c(k) (log-degree buckets)
+# ---------------------------------------------------------------------------
+
+from .functions.sketches import _bit_len as _ck_bit_len  # noqa: E402
+from .functions.sketches import _bit_len_sql as _ck_bit_len_sql  # noqa: E402
+
+_CK_ORACLE = oracles.with_user_edges(
+    body=f"""
+SELECT CAST({_ck_bit_len_sql("a.degree")} AS BIGINT) AS degree_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(MIN(a.degree) AS BIGINT) AS min_degree,
+       CAST(MAX(a.degree) AS BIGINT) AS max_degree,
+       CAST(SUM(CASE WHEN a.degree >= 2 THEN
+         CAST(FLOOR(1e6 * COALESCE(2 * t.n, 0)
+                    / (1e0 * a.degree * (a.degree - 1))) AS BIGINT)
+         ELSE 0 END) AS BIGINT) AS sum_cc_micro
+FROM (SELECT src AS id, COUNT(*) AS degree FROM user_edges GROUP BY src) a
+LEFT JOIN (
+  SELECT id, COUNT(*) AS n FROM (
+    SELECT e1.src AS id FROM ckc e1 JOIN ckc e2 ON e1.dst = e2.src
+                        JOIN ckc e3 ON e1.src = e3.src AND e2.dst = e3.dst
+    UNION ALL
+    SELECT e1.dst FROM ckc e1 JOIN ckc e2 ON e1.dst = e2.src
+                  JOIN ckc e3 ON e1.src = e3.src AND e2.dst = e3.dst
+    UNION ALL
+    SELECT e2.dst FROM ckc e1 JOIN ckc e2 ON e1.dst = e2.src
+                  JOIN ckc e3 ON e1.src = e3.src AND e2.dst = e3.dst
+  ) GROUP BY id
+) t ON a.id = t.id
+GROUP BY 1
+""",
+    extra_ctes="ckc AS (SELECT DISTINCT src, dst FROM user_edges WHERE src < dst)",
+)
+
+
+@register("clustering_by_degree", _CK_ORACLE)
+def q_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The c(k) curve: mean local clustering per log-degree bucket
+    (bit-length buckets, the ``interevent_gaps`` ladder) — falling
+    c(k) with degree is the hierarchical-structure signature
+    (Ravasz-Barabási).  Per-vertex cc micro-quantizes from exact
+    integers before the bucket sum, so the curve is hash-exact;
+    downstream mean = sum_cc_micro / n_vertices."""
+    from .operators.triangles import clustering_coefficients
+
+    g = datasets.user_graph(spark, sf_dir)
+    cc = clustering_coefficients(g.edges)
+    per = cc.select(
+        _ck_bit_len(F.col("degree")).cast("long").alias("degree_bits"),
+        "degree",
+        F.when(
+            F.col("degree") >= 2,
+            F.floor(
+                F.lit(1e6)
+                * F.col("ntri")
+                / (F.col("degree").cast("double") * (F.col("degree") - 1))
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("cc_micro"),
+    )
+    return per.groupBy("degree_bits").agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        F.min("degree").cast("long").alias("min_degree"),
+        F.max("degree").cast("long").alias("max_degree"),
+        F.sum("cc_micro").cast("long").alias("sum_cc_micro"),
+    )
