@@ -3828,3 +3828,54 @@ def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(diff).cast("long").alias("abs_diff_cents"),
         F.max(diff).cast("long").alias("worst_diff_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-returned part pairs (defect-affinity basket analysis)
+# ---------------------------------------------------------------------------
+
+_CORETURN_ORACLE = """
+WITH cr AS (
+  SELECT DISTINCT l_orderkey AS k, l_partkey AS part
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+crp AS (
+  SELECT a.part AS part_a, b.part AS part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM cr a JOIN cr b ON a.k = b.k AND a.part < b.part
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_orders, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT part_a, part_b, n_orders,
+         ROW_NUMBER() OVER (ORDER BY n_orders DESC, part_a, part_b) AS rnk
+  FROM crp)
+WHERE rnk <= 20
+"""
+
+
+@register("co_returned_parts", _CORETURN_ORACLE)
+def q_co_returned_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs most often RETURNED in the same order — the
+    defect-affinity twin of ``frequent_type_pairs`` (correlated
+    returns point at a shared supplier batch or bundling flaw).
+    The returned-lineitem filter pushes to the scan, the pair join
+    keys on orderkey (bounded per-order fan-out), top-20 by support
+    with deterministic tie-break."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    cr = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a = cr.alias("a")
+    b = cr.alias("b")
+    crp = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.part") < F.col("b.part")))
+        .groupBy(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    w = Window.orderBy(F.desc("n_orders"), "part_a", "part_b")
+    return (
+        crp.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+    )
