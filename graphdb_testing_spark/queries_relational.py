@@ -3879,3 +3879,64 @@ def q_co_returned_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         crp.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier delivery-speed scorecard (exact median ship lag)
+# ---------------------------------------------------------------------------
+
+_SHIPLAG_ORACLE = """
+WITH sl AS (
+  SELECT l.l_suppkey AS supp,
+         CAST((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000
+              AS BIGINT) AS lag_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+sr AS (
+  SELECT supp, lag_days,
+         ROW_NUMBER() OVER (PARTITION BY supp ORDER BY lag_days, lag_days) AS rn,
+         COUNT(*) OVER (PARTITION BY supp) AS n
+  FROM sl
+)
+SELECT CAST(supp AS BIGINT) AS supp, CAST(MAX(n) AS BIGINT) AS n_items,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN lag_days END) AS BIGINT)
+         AS median_lag_days,
+       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_days END) AS BIGINT)
+         AS p90_lag_days,
+       CAST(MAX(lag_days) AS BIGINT) AS worst_lag_days
+FROM sr GROUP BY supp
+"""
+
+
+@register("supplier_ship_lag", _SHIPLAG_ORACLE)
+def q_supplier_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier delivery scorecard: exact lower-median, p90 (rank
+    ``⌈9n/10⌉``) and worst ship lag in days — the vendor SLA ranking
+    (the supplier slice of ``fulfillment_lag``).  Pure order
+    statistics on integer day lags, one partitioned rank window."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    orders = datasets.load_table(spark, sf_dir, "orders")
+    sl = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("supp"),
+        (
+            (F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate"))
+            / F.lit(86400000000)
+        )
+        .cast("long")
+        .alias("lag_days"),
+    )
+    w = Window.partitionBy("supp").orderBy("lag_days")
+    wn = Window.partitionBy("supp")
+    sr = sl.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return sr.groupBy(F.col("supp").cast("long").alias("supp")).agg(
+        F.max("n").cast("long").alias("n_items"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("lag_days")))
+        .cast("long")
+        .alias("median_lag_days"),
+        F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("lag_days")))
+        .cast("long")
+        .alias("p90_lag_days"),
+        F.max("lag_days").cast("long").alias("worst_lag_days"),
+    )
