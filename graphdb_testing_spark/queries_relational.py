@@ -3940,3 +3940,45 @@ def q_supplier_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_lag_days"),
         F.max("lag_days").cast("long").alias("worst_lag_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier returns-rate scorecard (complement to ship lag)
+# ---------------------------------------------------------------------------
+
+_RETRATE_ORACLE = """
+SELECT CAST(l_suppkey AS BIGINT) AS supp,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents,
+       CAST(SUM(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS returned_cents,
+       CAST(FLOOR(1e6 * SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  / COUNT(*)) AS BIGINT) AS return_ppm
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+@register("supplier_return_rates", _RETRATE_ORACLE)
+def q_supplier_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier return rates by item count and revenue — the
+    quality half of the vendor scorecard next to
+    ``supplier_ship_lag``.  One conditional aggregate, exact cents,
+    ppm share quantized from exact integers."""
+    li = datasets.load_table(spark, sf_dir, "lineitem")
+    ret = (F.col("l_returnflag") == "R").cast("long")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy(F.col("l_suppkey").cast("long").alias("supp")).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(ret).cast("long").alias("n_returned"),
+        F.sum(cents).cast("long").alias("rev_cents"),
+        F.sum(F.when(F.col("l_returnflag") == "R", cents).otherwise(0))
+        .cast("long")
+        .alias("returned_cents"),
+        F.floor(F.lit(1e6) * F.sum(ret) / F.count("*"))
+        .cast("long")
+        .alias("return_ppm"),
+    )
