@@ -2684,3 +2684,82 @@ def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.sum("js_nano").cast("long").alias("js_nano_x2"))
     )
+
+
+# ---------------------------------------------------------------------------
+# nDCG@10 of the IVF ranking against exact ground truth
+# ---------------------------------------------------------------------------
+
+_NDCG_ORACLE = f"""
+WITH nexact AS ({_ANN_ORACLE.strip()}),
+nivf AS ({_ivf_oracle().strip()}),
+nrel AS (
+  SELECT i.query_id, i.rank AS ivf_rank,
+         COALESCE(11 - e.rank, 0) AS rel
+  FROM nivf i
+  LEFT JOIN nexact e ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+),
+ndcg AS (
+  SELECT query_id,
+         SUM(CAST(FLOOR(1e6 * rel / (LN(1 + ivf_rank) / LN(2e0))) AS BIGINT))
+           AS dcg_micro
+  FROM nrel GROUP BY query_id
+),
+nideal AS (
+  SELECT query_id,
+         SUM(CAST(FLOOR(1e6 * (11 - rank) / (LN(1 + rank) / LN(2e0))) AS BIGINT))
+           AS idcg_micro
+  FROM nexact GROUP BY query_id
+)
+SELECT d.query_id, CAST(d.dcg_micro AS BIGINT) AS dcg_micro,
+       CAST(i.idcg_micro AS BIGINT) AS idcg_micro
+FROM ndcg d JOIN nideal i USING (query_id)
+"""
+
+
+@register("ivf_ndcg", _NDCG_ORACLE)
+def q_ivf_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking quality of the IVF index: DCG@10 with graded
+    relevance ``11 − exact_rank`` against the ideal DCG of the exact
+    ranking — position-sensitive where ``ivf_recall`` is set-only.
+    Per-position terms micro-quantize before the integer sum (the
+    log discipline), so both columns hash-match; nDCG = dcg/idcg
+    downstream."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = simsearch.cosine_topk(emb, queries, k=10).select(
+        "query_id", "vec_id", F.col("rank").alias("e_rank")
+    )
+    ivf = simsearch.ivf_topk(emb, queries, k=10).select(
+        "query_id", "vec_id", F.col("rank").alias("ivf_rank")
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    nrel = (
+        ivf.join(exact, ["query_id", "vec_id"], "left")
+        .select(
+            "query_id",
+            "ivf_rank",
+            F.coalesce(F.lit(11) - F.col("e_rank"), F.lit(0)).alias("rel"),
+        )
+    )
+    dcg = nrel.groupBy("query_id").agg(
+        F.sum(
+            F.floor(
+                F.lit(1e6) * F.col("rel") / log2(F.lit(1.0) + F.col("ivf_rank"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("dcg_micro")
+    )
+    ideal = exact.groupBy("query_id").agg(
+        F.sum(
+            F.floor(
+                F.lit(1e6)
+                * (F.lit(11) - F.col("e_rank"))
+                / log2(F.lit(1.0) + F.col("e_rank"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("idcg_micro")
+    )
+    return dcg.join(ideal, "query_id")
