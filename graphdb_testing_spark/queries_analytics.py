@@ -1308,18 +1308,18 @@ def q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of the degree distribution (0 = egalitarian,
     →1 = hub-dominated): the sorted-rank formula ``2·Σ(i·dᵢ)/(n·Σd)
     − (n+1)/n`` with integer rank-weighted sums and one final
-    division.  The global sort is over the degree VALUES (one row per
-    vertex — at 100 TB, approximate via quantile bucketing)."""
-    from pyspark.sql import Window
+    division.  The global rank over the O(nv) degree table is
+    :func:`operators.prefix.range_row_number` (range shuffle +
+    parallel local ranks + broadcast bases) — exact at any scale, no
+    single-task sort."""
+    from .operators.prefix import range_row_number
 
     g = datasets.user_graph(spark, sf_dir)
     nbrs = g.edges.select("src", "dst").distinct()
     deg = nbrs.groupBy(F.col("src").alias("id")).agg(
         F.count("*").cast("long").alias("deg")
     )
-    ranked = deg.withColumn(
-        "rnk", F.row_number().over(Window.orderBy("deg", "id")).cast("long")
-    )
+    ranked = range_row_number(deg, [F.col("deg"), F.col("id")], "rnk")
     agg = ranked.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("deg").cast("long").alias("total"),
@@ -1927,11 +1927,14 @@ def q_ppr_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 30 prefix rows (broadcast) against per-edge rank intervals —
     exact integers; at larger sweep widths switch to the
     difference-array prefix-sum form (same relations, no cross).
-    The global rank window is over one small PPR-support vector; at
-    100 TB rank via range partitioning (physmap idiom)."""
+    The global conductance-sweep order is
+    :func:`operators.prefix.range_row_number` over the O(nv) score
+    vector (range shuffle + parallel local ranks + broadcast bases);
+    only the ≤ ``_SWEEP_K``-row prefix gets an in-task window."""
     from pyspark.sql import Window
 
     from .operators.pagerank import personalized_pagerank
+    from .operators.prefix import range_row_number
 
     g = datasets.user_graph(spark, sf_dir)
     edges = g.edges.select("src", "dst").localCheckpoint()
@@ -1945,10 +1948,9 @@ def q_ppr_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree",
         F.floor(F.lit(1e9) * F.col("pr") / F.col("degree")).cast("long").alias("sq"),
     )
-    wr = Window.orderBy(F.desc("sq"), "id")
-    ranked = scored.select(
-        "id", "degree", F.row_number().over(wr).alias("rnk")
-    ).localCheckpoint()
+    ranked = range_row_number(
+        scored, [F.desc("sq"), F.col("id")], "rnk"
+    ).select("id", "degree", "rnk").localCheckpoint()
     ra = ranked.select(F.col("id").alias("src"), F.col("rnk").alias("ra"))
     rb = ranked.select(F.col("id").alias("dst"), F.col("rnk").alias("rb"))
     epairs = (

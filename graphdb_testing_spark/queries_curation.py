@@ -252,20 +252,23 @@ FROM d GROUP BY decile
 
 @register("quality_deciles", _DECILES_ORACLE)
 def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile summary of the heuristic quality distribution (NTILE
-    over a deterministic (quality, doc_id) order) — the bucketing a
-    curriculum / data-mixing stage consumes.  NTILE at 100 TB: a
-    global sort is implied; approx_percentile cutpoints are the
-    documented scale substitute (same decile boundaries within
-    epsilon) — this exact query is the small-scale oracle twin."""
-    from pyspark.sql import Window
+    """Decile summary of the heuristic quality distribution (exact
+    NTILE semantics over a deterministic (quality, doc_id) order) —
+    the bucketing a curriculum / data-mixing stage consumes.
 
+    Scale shape: :func:`operators.prefix.range_ntile` (range shuffle +
+    parallel local ranks + closed-form ntile) — the single-task
+    ``ntile().over(Window.orderBy(...))`` global sort never happens,
+    so the EXACT deciles themselves are now the scale path
+    (approx_percentile remains the cheaper-still alternative when
+    epsilon error is acceptable)."""
     from .functions import textstats
+    from .operators.prefix import range_ntile
 
     docs = datasets.load_table(spark, sf_dir, "documents")
     q = textstats.quality_score(docs)
-    d = q.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("quality", "doc_id"))
+    d = range_ntile(
+        q, [F.col("quality"), F.col("doc_id")], 10, "decile"
     )
     return d.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -648,11 +651,13 @@ def q_weighted_sample_50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("key_micro"),
     )
+    # A-ES top-k via orderBy().limit → TakeOrderedAndProject (exactly
+    # the per-partition-heap + merge the algorithm calls for); the
+    # rank window then covers 50 rows
+    top = keyed.orderBy(F.col("key_micro").desc(), F.col("doc_id")).limit(50)
     w = Window.orderBy(F.col("key_micro").desc(), F.col("doc_id"))
-    return (
-        keyed.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-        .select("doc_id", "w", "key_micro", F.col("rank").cast("long").alias("rank"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "w", "key_micro", F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -1168,24 +1173,26 @@ def q_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality): each document's within-source rank maps to the global
     score at the same relative rank — ``g = max(1, r·N div n_s)`` is
     pure integer arithmetic, so a strict source is no longer punished
-    relative to a lenient one by its own scale.  Two rank windows and
-    one equi-join on the target rank."""
+    relative to a lenient one by its own scale.  The per-source rank
+    is a partitioned window (parallel across sources); the GLOBAL rank
+    is :func:`operators.prefix.range_row_number` — never a single-task
+    ``Window.orderBy`` over the O(docs) table."""
     from .functions.textstats import quality_score
+    from .operators.prefix import range_row_number
 
     docs = datasets.load_table(spark, sf_dir, "documents")
     qq = quality_score(docs).join(docs.select("doc_id", "source"), "doc_id").select(
         "doc_id",
         "source",
         F.floor(F.lit(1e6) * F.col("quality")).cast("long").alias("q_micro"),
-    )
+    ).localCheckpoint()
     ws = Window.partitionBy("source").orderBy("q_micro", "doc_id")
     wsn = Window.partitionBy("source")
     qsr = qq.withColumn("r", F.row_number().over(ws)).withColumn(
         "ns", F.count("*").over(wsn)
     )
-    wg = Window.orderBy("q_micro", "doc_id")
-    qgr = qq.select("q_micro", "doc_id").withColumn(
-        "g", F.row_number().over(wg)
+    qgr = range_row_number(
+        qq.select("q_micro", "doc_id"), [F.col("q_micro"), F.col("doc_id")], "g"
     )
     n_total = qq.count()
     qmap = qsr.select(

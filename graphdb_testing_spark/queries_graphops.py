@@ -549,19 +549,20 @@ def q_strongest_edges_named(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 heaviest part–supplier co-occurrence edges resolved back
     to names — the id→attribute join a user-facing result needs
     (M8 physmap direction: internal ids out, names in), deterministic
-    (weight, pk, sk) tie-break."""
-    from pyspark.sql import Window
+    (weight, pk, sk) tie-break.
 
+    Scale shape: top-k via ``orderBy().limit(k)`` — Catalyst plans
+    TakeOrderedAndProject (per-partition heaps + driver merge of k·p
+    rows), never the single-task global sort a
+    ``row_number().over(Window.orderBy(...))`` would force over the
+    O(ne) pair table."""
     li = datasets.load_table(spark, sf_dir, "lineitem")
     part = datasets.load_table(spark, sf_dir, "part")
     supp = datasets.load_table(spark, sf_dir, "supplier")
     directed = li.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).agg(F.count("*").cast("long").alias("wgt"))
-    w = Window.orderBy(F.desc("wgt"), F.asc("pk"), F.asc("sk"))
-    top = directed.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= 20
-    )
+    top = directed.orderBy(F.desc("wgt"), F.asc("pk"), F.asc("sk")).limit(20)
     return (
         top.join(part, top.pk == part.p_partkey)
         .join(supp, top.sk == supp.s_suppkey)
@@ -841,7 +842,11 @@ def q_weakest_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical edges (triangle support, zero = a true local bridge
     whose removal stretches its endpoints to distance >= 3) — the
     community-boundary signal, composed from the shared edge-support
-    kernel plus one top-k window."""
+    kernel plus a top-k.
+
+    Scale shape: ``orderBy().limit(20)`` → TakeOrderedAndProject over
+    the O(ne) support table (no single-task global sort); the rank
+    window then runs over exactly 20 rows."""
     from pyspark.sql import Window
 
     from .operators.triangles import edge_triangle_support
@@ -852,12 +857,11 @@ def q_weakest_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = edge_triangle_support(canon).select(
         "src", "dst", F.col("sup").cast("long").alias("sup")
     )
-    w = Window.orderBy("sup", "src", "dst")
-    return (
-        sup.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select("src", "dst", "sup", F.col("rnk").cast("long").alias("rnk"))
-    )
+    top = sup.orderBy("sup", "src", "dst").limit(20)
+    w = Window.orderBy("sup", "src", "dst")  # over 20 rows only
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).select("src", "dst", "sup", "rnk")
 
 
 # ---------------------------------------------------------------------------

@@ -372,7 +372,11 @@ FROM ranked WHERE rank <= 25
 )
 def q_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped top-k: aggregate ⋈ orders, global top-25 by
-    DECIMAL-exact revenue (deterministic tie-break on orderkey)."""
+    DECIMAL-exact revenue (deterministic tie-break on orderkey).
+
+    Scale shape: ``orderBy().limit(25)`` → TakeOrderedAndProject over
+    the O(orders) table (per-partition heaps, no single-task sort);
+    the rank window then covers exactly 25 rows."""
     from pyspark.sql import Window
 
     li = datasets.load_table(spark, sf_dir, "lineitem")
@@ -381,13 +385,14 @@ def q_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,6)"
     )
     rev = li.groupBy("l_orderkey").agg(F.sum(disc).cast("double").alias("revenue"))
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-    return (
+    top = (
         rev.join(orders, rev.l_orderkey == orders.o_orderkey)
         .select("o_orderkey", "o_custkey", "revenue")
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 25)
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(25)
     )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))  # 25 rows
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -1272,11 +1277,12 @@ def q_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # top-k via orderBy().limit → TakeOrderedAndProject over the
+    # O(pair-vocab) table; the rank window runs over 20 rows only
+    top = pairs.orderBy(F.desc("n"), "left_sym", "right_sym").limit(20)
     w = Window.orderBy(F.desc("n"), "left_sym", "right_sym")
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select("left_sym", "right_sym", "n", F.col("rnk").cast("long").alias("rnk"))
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "left_sym", "right_sym", "n", F.col("rnk").cast("long").alias("rnk")
     )
 
 
@@ -1496,9 +1502,13 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("f"))
     )
-    ranked = freq.withColumn(
+    # top-k via orderBy().limit → TakeOrderedAndProject over the
+    # O(vocab) frequency table; the rank window then covers only the
+    # _ZIPF_TOP surviving rows
+    top = freq.orderBy(F.desc("f"), "tok").limit(_ZIPF_TOP)
+    ranked = top.withColumn(
         "rnk", F.row_number().over(Window.orderBy(F.desc("f"), "tok"))
-    ).filter(F.col("rnk") <= _ZIPF_TOP)
+    )
     pts = ranked.select(
         F.floor(F.lit(1e6) * F.log(F.col("rnk").cast("double"))).cast("long").alias("x"),
         F.floor(F.lit(1e6) * F.log(F.col("f").cast("double"))).cast("long").alias("y"),
@@ -1701,11 +1711,12 @@ def q_embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cov_num"),
         )
     )
+    # top-k via orderBy().limit → TakeOrderedAndProject (cov is only
+    # O(dim²) rows, but the discipline costs nothing); the rank
+    # window then covers 20 rows
+    top = cov.orderBy(F.abs(F.col("cov_num")).desc(), "dim_i", "dim_j").limit(20)
     w = Window.orderBy(F.abs(F.col("cov_num")).desc(), "dim_i", "dim_j")
-    return (
-        cov.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -2639,12 +2650,13 @@ def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("c"))
         .localCheckpoint()
     )
-    wtop = Window.orderBy(F.desc("tot"), "source")
+    # top-3 sources via orderBy().limit → TakeOrderedAndProject over
+    # the per-source totals (no unpartitioned rank window)
     jtop = (
         jt.groupBy("source")
         .agg(F.sum("c").alias("tot"))
-        .withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= 3)
+        .orderBy(F.desc("tot"), "source")
+        .limit(3)
         .select("source")
     )
     jts = jt.join(F.broadcast(jtop), "source")

@@ -484,16 +484,37 @@ FROM orders
 def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + quartile of every order by total price
     (deterministic (price, key) order) — the remaining ranking-window
-    surface next to row_number/rank/ntile-by-group."""
-    from pyspark.sql import Window
+    surface next to row_number/rank/ntile-by-group.
+
+    Scale shape: the global order statistic comes from
+    :func:`operators.prefix.range_row_number` (range shuffle +
+    parallel local ranks + broadcast per-partition bases), NOT an
+    unpartitioned window; (price, key) is a total order so
+    ``percent_rank = (rn−1)/(n−1)`` and ``ntile`` has the closed form
+    in :func:`operators.prefix.ntile_expr`."""
+    from .operators.prefix import ntile_expr, range_row_number
 
     orders = datasets.load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
-        "o_orderkey",
-        F.round("o_totalprice", 2).alias("total"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+    ranked = range_row_number(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        "_rn",
+    )
+    n_tot = orders.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.round(
+                (F.col("_rn") - 1)
+                / F.greatest(F.col("_n") - 1, F.lit(1)).cast("double"),
+                6,
+            ).alias("pct_rank"),
+            ntile_expr(F.col("_rn"), F.col("_n"), 4).cast("long").alias(
+                "quartile"
+            ),
+        )
     )
 
 
@@ -843,10 +864,10 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions: ±1 deltas at session boundaries, running sum, global
     max — the interval-overlap primitive (capacity planning, load
     peaks).  Sessionization shuffles once on user; the sweep's
-    global running sum runs over boundary COUNTS (two rows per
-    session, pre-aggregated per timestamp) — at 100 TB, range-
-    partition the time axis and prefix-sum per partition (the
-    operators/prefix idiom)."""
+    global running sum is :func:`operators.prefix.range_prefix_sum`
+    over the time axis (range shuffle + parallel per-partition scans +
+    broadcast bases) — never a single-task ``Window.orderBy`` over the
+    O(sessions) boundary table."""
     ev = datasets.load_table(spark, sf_dir, "events")
     marks = ev.select("user_id", F.unix_micros("ts").alias("t"))
     wu = Window.partitionBy("user_id").orderBy("t")
@@ -868,7 +889,11 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
     )
     sweep = deltas.groupBy("t").agg(F.sum("delta").alias("d"))
-    run = sweep.withColumn("live", F.sum("d").over(Window.orderBy("t")))
+    from .operators.prefix import range_prefix_sum
+
+    run = range_prefix_sum(sweep, "t", "d", "_excl").withColumn(
+        "live", F.col("_excl") + F.col("d")
+    )
     n_sessions = sess.count()
     peak = (
         run.orderBy(F.desc("live"), "t")
@@ -1569,19 +1594,21 @@ def q_activity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("second_half"),
         )
     )
+    # top-k via orderBy().limit → TakeOrderedAndProject over the
+    # O(users) table; the rank window then covers 20 rows only
+    top = (
+        halves.filter(F.col("first_half") > 0)
+        .orderBy(F.desc(F.col("first_half") - F.col("second_half")), "user_id")
+        .limit(20)
+    )
     w = Window.orderBy(
         F.desc(F.col("first_half") - F.col("second_half")), "user_id"
     )
-    return (
-        halves.filter(F.col("first_half") > 0)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select(
-            "user_id",
-            F.col("first_half").cast("long"),
-            F.col("second_half").cast("long"),
-            F.col("rnk").cast("long").alias("rnk"),
-        )
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "user_id",
+        F.col("first_half").cast("long"),
+        F.col("second_half").cast("long"),
+        F.col("rnk").cast("long").alias("rnk"),
     )
 
 
@@ -1614,11 +1641,14 @@ def q_range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ground truth it approximates)."""
     ev = datasets.load_table(spark, sf_dir, "events")
     keys = ev.select(F.col("user_id").alias("k")).distinct()
-    w = Window.orderBy("k")
-    ranked = keys.select(
-        "k",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    # exact order statistics via the distributed two-level rank
+    # (range shuffle + local ranks + broadcast bases) — never a
+    # single-task Window.orderBy over the O(keys) table
+    from .operators.prefix import range_row_number
+
+    n_tot = keys.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    ranked = range_row_number(keys, [F.col("k")], "rn").crossJoin(
+        F.broadcast(n_tot)
     )
     buckets = F.explode(
         F.array(*[F.lit(b) for b in range(1, _NSPLITS)])
@@ -1846,17 +1876,22 @@ FROM ranked
 def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration across customers (Gini via the sorted
     rank-weighted formula; DECIMAL money so Σ rnk·r is exact) — the
-    80/20 health metric; 0 = uniform spend, →1 = whale-dominated."""
+    80/20 health metric; 0 = uniform spend, →1 = whale-dominated.
+
+    Scale shape: the global rank comes from
+    :func:`operators.prefix.range_row_number` (range shuffle, parallel
+    local ranks, broadcast bases) — never a single-task
+    ``Window.orderBy`` over the O(customers) table; the count rides a
+    broadcast 1-row aggregate."""
+    from .operators.prefix import range_row_number
+
     od = datasets.load_table(spark, sf_dir, "orders")
     rev = od.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
     )
-    ranked = rev.select(
-        "r",
-        F.row_number().over(Window.orderBy("r", "o_custkey")).alias("rnk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
-    return ranked.agg(
+    ranked = range_row_number(rev, [F.col("r"), F.col("o_custkey")], "rnk")
+    n_tot = rev.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    return ranked.crossJoin(F.broadcast(n_tot)).agg(
         F.max("n").cast("long").alias("n_customers"),
         F.sum("r").cast("double").alias("total_revenue"),
         F.round(
@@ -1944,19 +1979,41 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: quartile codes for recency,
     frequency, and monetary value (deterministic NTILE with custkey
     tie-break), rolled up to segment populations — the classic CRM
-    partitioning; three ordered windows over the per-customer
-    aggregate (one row per customer, never the fact table)."""
+    partitioning; three ordered quantile codes over the per-customer
+    aggregate (one row per customer, never the fact table).
+
+    Scale shape: each quartile code is
+    :func:`operators.prefix.range_ntile` (range shuffle + parallel
+    local ranks + closed-form ntile), NOT a single-task
+    ``ntile().over(Window.orderBy(...))``; the three codes re-join on
+    custkey (three bounded shuffles of the O(customers) aggregate)."""
+    from .operators.prefix import range_ntile
+
     od = datasets.load_table(spark, sf_dir, "orders")
     per_cust = od.groupBy("o_custkey").agg(
         F.max(F.unix_micros("o_orderdate")).alias("last_us"),
         F.count("*").cast("long").alias("freq"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("money"),
-    )
-    coded = per_cust.select(
-        F.ntile(4).over(Window.orderBy("last_us", "o_custkey")).alias("r_q"),
-        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f_q"),
-        F.ntile(4).over(Window.orderBy("money", "o_custkey")).alias("m_q"),
-    )
+    ).localCheckpoint()
+    r_q = range_ntile(
+        per_cust.select("o_custkey", "last_us"),
+        [F.col("last_us"), F.col("o_custkey")],
+        4,
+        "r_q",
+    ).select("o_custkey", "r_q")
+    f_q = range_ntile(
+        per_cust.select("o_custkey", "freq"),
+        [F.col("freq"), F.col("o_custkey")],
+        4,
+        "f_q",
+    ).select("o_custkey", "f_q")
+    m_q = range_ntile(
+        per_cust.select("o_custkey", "money"),
+        [F.col("money"), F.col("o_custkey")],
+        4,
+        "m_q",
+    ).select("o_custkey", "m_q")
+    coded = r_q.join(f_q, "o_custkey").join(m_q, "o_custkey")
     return (
         coded.select(
             (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
@@ -2284,17 +2341,16 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).alias("rev_dec"))
     )
+    # top-k via orderBy().limit → TakeOrderedAndProject over the
+    # O(orders) aggregate; the rank window then covers 10 rows
+    top = agg.orderBy(F.col("rev_dec").desc(), F.col("l_orderkey")).limit(10)
     w = Window.orderBy(F.col("rev_dec").desc(), F.col("l_orderkey"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select(
-            "l_orderkey",
-            F.col("rev_dec").cast("double").alias("revenue"),
-            F.col("o_orderdate").cast("long").alias("orderdate_epoch"),
-            "o_orderpriority",
-            F.col("rank").cast("long").alias("rank"),
-        )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "l_orderkey",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.col("o_orderdate").cast("long").alias("orderdate_epoch"),
+        "o_orderpriority",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -2414,17 +2470,16 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(F.sum(rev).alias("rev_dec"))
     )
+    # top-k via orderBy().limit → TakeOrderedAndProject over the
+    # O(customers) aggregate; the rank window then covers 20 rows
+    top = agg.orderBy(F.col("rev_dec").desc(), F.col("c_custkey")).limit(20)
     w = Window.orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select(
-            "c_custkey",
-            "c_name",
-            "nation",
-            F.col("rev_dec").cast("double").alias("revenue"),
-            F.col("rank").cast("long").alias("rank"),
-        )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "c_custkey",
+        "c_name",
+        "nation",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -2766,12 +2821,14 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: revenue by nation where the supplier and the ordering
     customer share a nation, restricted to one region and order year.
 
-    Scale shape: the three dims (supplier, nation⋈region, filtered-year
-    order keys stay large so they shuffle) — supplier/nation/region all
-    broadcast; the only shuffles are lineitem⋈orders on orderkey and
-    the final small group-by.  The nation-equality predicate rides the
-    supplier join so no post-join filter blowup.  (Reference analog:
-    the typed multi-way joins of ``tests/sqlite/test.c``.)"""
+    Scale shape: supplier/nation/region broadcast; customer is NOT
+    hinted — at 100 TB it is far beyond broadcast range, so it
+    shuffles on ``o_custkey`` (Catalyst/AQE still picks a broadcast at
+    test scale on its own).  The remaining shuffles are
+    lineitem⋈orders on orderkey and the final small group-by.  The
+    nation-equality predicate rides the supplier join so no post-join
+    filter blowup.  (Reference analog: the typed multi-way joins of
+    ``tests/sqlite/test.c``.)"""
     cust = datasets.load_table(spark, sf_dir, "customer")
     orders = datasets.load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -2785,7 +2842,7 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(cust.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(sup.select("s_suppkey", "s_nationkey")),
@@ -3443,7 +3500,15 @@ def q_abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative share BEFORE the part reaches 80%, B to 95%, C beyond —
     thresholds cross-multiplied (``100·cum < 80·total``) so no float
     share is ever computed.  The classic inventory-prioritization
-    rollup; one revenue aggregate + one ranked prefix sum."""
+    rollup; one revenue aggregate + one ranked prefix sum.
+
+    Scale shape: the global cumulative revenue is
+    :func:`operators.prefix.range_prefix_sum` (range shuffle +
+    parallel local scans + broadcast partition bases) in
+    (rev desc, part) order — never a single-task ``Window.orderBy``
+    over the O(parts) table."""
+    from .operators.prefix import range_prefix_sum
+
     li = datasets.load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
         F.sum(
@@ -3453,11 +3518,13 @@ def q_abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rev_c")
     )
     tot = rev.agg(F.sum("rev_c").alias("total"))
-    w = Window.orderBy(F.desc("rev_c"), "part").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = rev.withColumn("cum_c", F.sum("rev_c").over(w)).crossJoin(
-        F.broadcast(tot)
+    # exclusive prefix + own value = the inclusive running total
+    ranked = (
+        range_prefix_sum(
+            rev, [F.desc("rev_c"), F.col("part")], "rev_c", "cum_excl"
+        )
+        .withColumn("cum_c", F.col("cum_excl") + F.col("rev_c"))
+        .crossJoin(F.broadcast(tot))
     )
     cls = (
         F.when(
@@ -3526,10 +3593,12 @@ def q_order_backlog_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         span.select(F.col("d1").alias("day"), F.lit(-1).alias("delta"))
     )
     bday = ev.groupBy("day").agg(F.sum("delta").alias("net"))
+    # the sweep is day-granular (bounded calendar domain, O(10³)
+    # rows), so its running sum is cheap; the peak pick is a top-1 via
+    # orderBy().limit(1) → TakeOrderedAndProject, not a rank window
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = bday.withColumn("backlog", F.sum("net").over(w))
-    wpk = Window.orderBy(F.desc("backlog"), "day")
-    peak = cum.withColumn("rn", F.row_number().over(wpk)).filter(F.col("rn") == 1)
+    peak = cum.orderBy(F.desc("backlog"), "day").limit(1)
     n_days = cum.agg(F.count("*").alias("n"))
     return peak.crossJoin(F.broadcast(n_days)).select(
         F.col("backlog").cast("long").alias("peak_backlog"),
@@ -3624,15 +3693,22 @@ def q_orderkey_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-gap audit of order keys (gaps-and-islands): how many
     keys exist vs the id span, how many holes, the total and widest
     missing ranges — the ingestion-loss / sequence-integrity check a
-    pipeline runs after every load.  One lag window over distinct
-    keys."""
+    pipeline runs after every load.
+
+    Scale shape: the global lag comes from
+    :func:`operators.prefix.range_lag` (range shuffle + parallel local
+    lags + a one-row-per-partition boundary patch) — never a
+    single-task ``Window.orderBy`` over the O(orders) key set."""
+    from .operators.prefix import range_lag
+
     ok = (
         datasets.load_table(spark, sf_dir, "orders")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
     )
-    w = Window.orderBy("k")
-    nb = ok.withColumn("delta", F.col("k") - F.lag("k").over(w))
+    nb = range_lag(ok, [F.col("k")], "k", "_prev").withColumn(
+        "delta", F.col("k") - F.col("_prev")
+    )
     gaps = nb.filter(F.col("delta") > 1).select((F.col("delta") - 1).alias("gap_len"))
     base = ok.agg(
         F.count("*").cast("long").alias("n_keys"),
@@ -3745,19 +3821,27 @@ def q_revenue_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part", "half")
         .agg(F.sum("cents").alias("rev_c"))
     )
-    w = Window.partitionBy("half").orderBy(F.desc("rev_c"), "part")
-    rk = rev.withColumn("rnk", F.row_number().over(w))
-    a = rk.filter(F.col("half") == 0).select(
-        "part", F.col("rnk").alias("rank_h1"), F.col("rev_c").alias("rev_h1")
-    )
-    b = rk.filter(F.col("half") == 1).select(
-        "part", F.col("rnk").alias("rank_h2"), F.col("rev_c").alias("rev_h2")
-    )
+    # per-half exact ranks via the distributed two-level rank (a
+    # partitionBy("half") window is a 2-task sort of the whole parts
+    # table); the mover shortlist is orderBy().limit(20) →
+    # TakeOrderedAndProject
+    from .operators.prefix import range_row_number
+
+    rev = rev.localCheckpoint()
+    a = range_row_number(
+        rev.filter(F.col("half") == 0),
+        [F.desc("rev_c"), F.col("part")],
+        "rank_h1",
+    ).select("part", "rank_h1", F.col("rev_c").alias("rev_h1"))
+    b = range_row_number(
+        rev.filter(F.col("half") == 1),
+        [F.desc("rev_c"), F.col("part")],
+        "rank_h2",
+    ).select("part", "rank_h2", F.col("rev_c").alias("rev_h2"))
     both = a.join(b, "part")
-    wm = Window.orderBy(F.abs(F.col("rank_h1") - F.col("rank_h2")).desc(), "part")
     return (
-        both.withColumn("mo", F.row_number().over(wm))
-        .filter(F.col("mo") <= 20)
+        both.orderBy(F.abs(F.col("rank_h1") - F.col("rank_h2")).desc(), "part")
+        .limit(20)
         .select(
             "part",
             F.col("rank_h1").cast("long").alias("rank_h1"),
@@ -3874,11 +3958,11 @@ def q_co_returned_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b"))
         .agg(F.count("*").cast("long").alias("n_orders"))
     )
+    # top-k via orderBy().limit → TakeOrderedAndProject over the
+    # O(pairs) table; the rank window then covers 20 rows
+    top = crp.orderBy(F.desc("n_orders"), "part_a", "part_b").limit(20)
     w = Window.orderBy(F.desc("n_orders"), "part_a", "part_b")
-    return (
-        crp.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 20)
-    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------

@@ -478,12 +478,14 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("true_count"), "user_id")
-    top = (
-        true.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .localCheckpoint()
-    )
+    # top-k via orderBy().limit → TakeOrderedAndProject over the
+    # O(users) count table (no single-task global sort); the rank
+    # window then runs over exactly 20 rows
+    top20 = true.orderBy(F.desc("true_count"), "user_id").limit(20)
+    w = Window.orderBy(F.desc("true_count"), "user_id")  # 20 rows
+    top = top20.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).localCheckpoint()
     est = sketches.cms_point_estimates(
         counters, top.select("user_id"), "user_id", depth=4, width=512
     )

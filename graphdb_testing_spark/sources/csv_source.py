@@ -16,7 +16,7 @@ hash + probe design of the reference physmap, minus the probing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -54,16 +54,21 @@ def read_csv_edges(
 def build_physmap(names: DataFrame, compact: bool = False) -> DataFrame:
     """``(name, id)`` dimension table from a single-column name DF.
 
-    ``compact=True`` assigns dense sequential ids via a global
-    ``row_number`` (exact but serializes through one partition — fine
-    for dimension-sized name sets); default is ``xxhash64`` ids,
-    which need no shuffle and scale to any size.
+    ``compact=True`` assigns dense sequential ids via the distributed
+    two-level rank (:func:`operators.prefix.range_row_number`: range
+    shuffle + parallel local ranks + broadcast bases — no
+    single-partition window sort, same discipline as
+    ``operators/physmap.py``); default is ``xxhash64`` ids, which
+    need no shuffle at all and scale to any size.
     Reference: ``stinger_mapping_create`` (``include/stinger.h:171-183``).
     """
     distinct = names.select(F.col(names.columns[0]).alias("name")).distinct()
     if compact:
-        w = Window.orderBy("name")
-        return distinct.withColumn("id", F.row_number().over(w).cast("long") - 1)
+        from ..operators.prefix import range_row_number
+
+        return range_row_number(distinct, [F.col("name")], "id").withColumn(
+            "id", F.col("id") - 1
+        )
     return distinct.withColumn("id", F.xxhash64("name"))
 
 

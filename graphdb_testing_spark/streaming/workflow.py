@@ -56,9 +56,11 @@ class IncrementalComponents(BatchAlg):
     Insert-only batches take the fast path — new edges joined to the
     current labels, one min-propagation round merges the touched
     components (plus pointer jumps to fixpoint only over the affected
-    label set).  Any batch containing deletions falls back to full
-    recompute, the documented honest mapping of the reference's
-    spanning-forest repair (``src/alg/streaming_components.c``).
+    label set).  Batches containing deletions take the
+    component-local repair path (:meth:`_repair_after_deletes`): only
+    the components containing batch endpoints are re-solved, the
+    Spark analog of the reference's spanning-forest repair
+    (``src/alg/streaming_components.c:119-190``).
     """
 
     name = "components"
@@ -70,10 +72,78 @@ class IncrementalComponents(BatchAlg):
         self.labels = connected_components(edges)
         store.publish(self.name, self.labels)
 
+    def _repair_after_deletes(self, edges: DataFrame, batch: DataFrame) -> DataFrame:
+        """Component-local repair for batches containing deletions.
+
+        Reference (``tests/stinger/src/alg/streaming_components.c:119-190``)
+        repairs only the component that lost an edge; everything else
+        keeps its label.  Spark mapping: deletes can only *split* the
+        components containing the deleted edges, and inserts can only
+        *merge* components containing batch endpoints — so every label
+        that can change belongs to a batch endpoint's old component.
+        We therefore (1) collect the O(|batch|) set of affected old
+        labels, (2) broadcast-semi-join the edge table down to edges
+        whose endpoints lie in those components, (3) re-run the CC
+        kernel on that (usually tiny) subgraph, and (4) stitch:
+        unaffected rows of the old label table pass through untouched.
+
+        Scale shape: the full edge table is read ONCE through a
+        broadcast semi-join filter (no shuffle of the big side); the
+        multi-round CC fixpoint runs only over the affected subgraph.
+        Labels are globally min-vertex-id, and affected components are
+        wholly contained in the subgraph, so re-computed labels are
+        exactly what a full recompute would assign — parity-tested in
+        ``tests/test_streaming.py``.
+        """
+        is_del = F.col("src") < 0
+        decoded = batch.select(
+            F.when(is_del, -F.col("src") - 1).otherwise(F.col("src")).alias("u"),
+            F.when(is_del, -F.col("dst") - 1).otherwise(F.col("dst")).alias("v"),
+        )
+        endpoints = (
+            decoded.select(F.col("u").alias("id"))
+            .unionAll(decoded.select(F.col("v").alias("id")))
+            .distinct()
+        )
+        labels = self.labels
+        assert labels is not None
+        # affected old labels: endpoints' components, plus brand-new
+        # vertices (not in the label table — their "old label" is
+        # themselves).  O(|batch|) rows — broadcastable by construction.
+        affected = (
+            labels.join(endpoints, "id", "left_semi")
+            .select("label")
+            .unionAll(
+                endpoints.join(labels, "id", "left_anti").select(
+                    F.col("id").alias("label")
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # vertex ids inside affected components (old view) + new ids
+        affected_ids = (
+            labels.join(F.broadcast(affected), "label", "left_semi")
+            .select("id")
+            .unionAll(endpoints.join(labels, "id", "left_anti"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sub_edges = edges.join(
+            affected_ids.withColumnRenamed("id", "src"), "src", "left_semi"
+        ).localCheckpoint()
+        keep = labels.join(F.broadcast(affected), "label", "left_anti")
+        if sub_edges.limit(1).count() == 0:
+            return keep.localCheckpoint()
+        sub_labels = connected_components(sub_edges)
+        return keep.unionByName(sub_labels).localCheckpoint()
+
     def after_batch(self, edges: DataFrame, batch: DataFrame, store: NamedResultStore) -> None:
         has_delete = batch.filter(F.col("src") < 0).limit(1).count() > 0
-        if has_delete or self.labels is None:
+        if self.labels is None:
             self.labels = connected_components(edges)
+        elif has_delete:
+            self.labels = self._repair_after_deletes(edges, batch)
         else:
             # insert-only: union-merge via repeated min-label over the
             # (small) delta edge set until stable
@@ -103,6 +173,7 @@ class IncrementalComponents(BatchAlg):
             touched = delta.select(F.col("u").alias("id")).distinct()
             sub = labels.join(touched, "id", "left_semi").localCheckpoint()
             orig = sub  # id → pre-merge label, anchors the composed remap
+            at_fixpoint = False
             for _ in range(20):
                 l_u = sub.withColumnRenamed("id", "u").withColumnRenamed(
                     "label", "lu"
@@ -116,6 +187,7 @@ class IncrementalComponents(BatchAlg):
                     .filter(F.col("lu") != F.col("lv"))
                 )
                 if moves.limit(1).count() == 0:
+                    at_fixpoint = True
                     break
                 # merge: everything labeled max(lu,lv) -> min(lu,lv)
                 remap = (
@@ -125,7 +197,34 @@ class IncrementalComponents(BatchAlg):
                     )
                     .groupBy("from_label")
                     .agg(F.min("to_label").alias("to_label"))
-                )
+                ).localCheckpoint()
+                # Pointer-jump the remap to transitive closure before
+                # applying it: a→b, b→c becomes a→c, c stays, so a
+                # chain of k merging components collapses in O(log k)
+                # outer rounds instead of one hop per round.  The remap
+                # table is O(|delta|) — the self-joins are broadcasts.
+                for _ in range(6):
+                    nxt = remap.withColumnRenamed(
+                        "from_label", "j_from"
+                    ).withColumnRenamed("to_label", "j_to")
+                    jumped = (
+                        remap.join(
+                            F.broadcast(nxt),
+                            remap.to_label == nxt.j_from,
+                            "left",
+                        )
+                        .select(
+                            "from_label",
+                            F.coalesce("j_to", "to_label").alias("to_label"),
+                        )
+                        .localCheckpoint()
+                    )
+                    changed = (
+                        jumped.subtract(remap).limit(1).count() > 0
+                    )
+                    remap = jumped
+                    if not changed:
+                        break
                 sub = (
                     sub.join(
                         F.broadcast(remap),
@@ -138,6 +237,15 @@ class IncrementalComponents(BatchAlg):
                     )
                     .localCheckpoint()
                 )
+            if not at_fixpoint:
+                # Safety net (ADVICE r2): a pathological batch that
+                # still has cross-label delta edges after 20 rounds
+                # means the composed remap below would be built on a
+                # non-fixpoint state — fall back to the always-correct
+                # full recompute rather than publish wrong labels.
+                self.labels = connected_components(edges)
+                store.publish(self.name, self.labels)
+                return
             # Label-level remaps hit every vertex sharing a label
             # identically, so (pre-merge label → post-merge label) is a
             # well-defined function; the loop ran to fixpoint, so it
@@ -1218,10 +1326,18 @@ def streaming_kmeans(
         import numpy as np
         import pandas as pd
 
+        buf = None  # pre-seed row buffer (undersized first batches)
         if state.exists:
             (flat, n_seen) = state.get
-            cents = np.array(flat, dtype=np.int64).reshape(k, dim)
-            have = True
+            if n_seen < 0:
+                # n_seen < 0 marks buffering state: flat holds |n_seen|
+                # not-yet-seeded rows, not k centroids (ADVICE r2 — a
+                # first batch smaller than k must not seed).
+                buf = np.array(flat, dtype=np.int64).reshape(-1, dim)
+                n_seen, have = 0, False
+            else:
+                cents = np.array(flat, dtype=np.int64).reshape(k, dim)
+                have = True
         else:
             cents, n_seen, have = None, 0, False
         # one mini-batch = ALL rows of this trigger for the key
@@ -1229,6 +1345,8 @@ def streaming_kmeans(
         if not chunks:
             if have:
                 state.update((cents.reshape(-1).tolist(), n_seen))
+            elif buf is not None:
+                state.update((buf.reshape(-1).tolist(), -len(buf)))
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values("vec_id")
         X = np.floor(
@@ -1236,7 +1354,13 @@ def streaming_kmeans(
             * 1024
         ).astype(np.int64)
         if not have:
-            cents = 1000 * X[:k]  # k smallest ids of the first batch
+            if buf is not None and len(buf):
+                X = np.concatenate([buf, X])
+            if len(X) < k:
+                # still short of k rows: keep buffering, emit nothing
+                state.update((X.reshape(-1).tolist(), -len(X)))
+                return
+            cents = 1000 * X[:k]  # k smallest ids of the accumulated seed
         # integer squared distances in milli units, ties -> smaller idx
         d2 = ((1000 * X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
@@ -1244,7 +1368,7 @@ def streaming_kmeans(
             pts = X[assign == c]
             if len(pts):
                 cents[c] = (1000 * pts.sum(axis=0)) // len(pts)
-        n_seen += len(pdf)
+        n_seen += len(X)
         state.update((cents.reshape(-1).tolist(), n_seen))
         yield pd.DataFrame(
             {

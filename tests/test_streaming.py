@@ -834,7 +834,10 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
     sf = "/root/testdata/sf0.001"
     stream_dir = tmp_path / "ewma_stream"
     stream_dir.mkdir()
-    t = pq.read_table(f"{sf}/events.parquet")
+    # ewma's bit-exact parity contract needs micro-batches in per-key
+    # event-time order — sort by ts before splitting (ADVICE r2: don't
+    # rely on the fixture file happening to be ts-ordered)
+    t = pq.read_table(f"{sf}/events.parquet").sort_by("ts")
     half = t.num_rows // 2
     pq.write_table(t.slice(0, half), f"{stream_dir}/part-0.parquet")
     pq.write_table(t.slice(half), f"{stream_dir}/part-1.parquet")
