@@ -65,6 +65,7 @@ class CSRGraphReader(DataSourceReader):
         if not self.path:
             raise ValueError("csrg source requires .option('path', ...)")
         self.n_partitions = int(options.get("partitions", "8"))
+        self.batch_edges = int(options.get("batch_edges", str(self.BATCH_EDGES)))
 
     def partitions(self):
         import numpy as np
@@ -131,8 +132,9 @@ class CSRGraphReader(DataSourceReader):
         off = off.astype(np.int64)  # absolute edge offsets, ascending
         ind_base = base + 8 * (p.nv + 1)
         wgt_base = ind_base + 8 * p.ne
-        for c0 in range(p.e_start, p.e_end, self.BATCH_EDGES):
-            c1 = min(c0 + self.BATCH_EDGES, p.e_end)
+        step = self.batch_edges
+        for c0 in range(p.e_start, p.e_end, step):
+            c1 = min(c0 + step, p.e_end)
             n = c1 - c0
             ind = np.fromfile(
                 p.path, dtype="<u8", count=n, offset=ind_base + 8 * c0
@@ -175,16 +177,22 @@ class CSRGraphDataSource(DataSource):
         return CSRGraphReader(self.options)
 
 
-def read_graph_file_distributed(spark, path: str, partitions: int = 8):
+def read_graph_file_distributed(
+    spark, path: str, partitions: int = 8, batch_edges: int | None = None
+):
     """Partitioned ``.g`` read — the scale path.  Registers the
-    source idempotently and returns ``edges(src, dst, wgt)``."""
+    source idempotently and returns ``edges(src, dst, wgt)``.
+    ``batch_edges`` bounds the per-yield Arrow batch size (default
+    :attr:`CSRGraphReader.BATCH_EDGES`)."""
     spark.dataSource.register(CSRGraphDataSource)
-    return (
+    reader = (
         spark.read.format("csrg")
         .option("path", path)
         .option("partitions", str(partitions))
-        .load()
     )
+    if batch_edges is not None:
+        reader = reader.option("batch_edges", str(batch_edges))
+    return reader.load()
 
 
 # ---------------------------------------------------------------------------

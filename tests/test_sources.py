@@ -313,6 +313,37 @@ def test_csrg_datasource_matches_driver_reader(spark, tmp_path):
     assert got == want
 
 
+def test_csrg_reader_chunks_bounded_batches(spark, tmp_path):
+    """The partition reader streams its byte range through bounded
+    Arrow batches (ADVICE r2) — force a tiny batch size (an option, so
+    it reaches the pickled executor-side reader) so every partition
+    needs several, and verify the edge set is unchanged and chunk
+    boundaries mid-vertex expand src runs correctly."""
+    from graphdb_testing_spark.sources.csr import (
+        read_graph_file,
+        write_graph_file,
+    )
+    from graphdb_testing_spark.sources import csr_datasource as cds
+
+    edges = spark.createDataFrame(
+        # skewed degrees: vertex 0 owns a long run that will straddle
+        # several 64-edge chunks
+        [(0, d, 1) for d in range(1, 200)]
+        + [(i % 37, (i * 17) % 37, 1 + i % 3) for i in range(300)],
+        "src long, dst long, wgt long",
+    ).distinct()
+    p = str(tmp_path / "gchunk.g")
+    write_graph_file(edges, p)
+    want = sorted(map(tuple, read_graph_file(spark, p).collect()))
+
+    for be in (64, 1):  # several chunks / one edge per chunk
+        got_df = cds.read_graph_file_distributed(
+            spark, p, partitions=3, batch_edges=be
+        )
+        got = sorted(map(tuple, got_df.collect()))
+        assert got == want, f"batch_edges={be}"
+
+
 def test_csra_stream_source_replays_action_file(spark, tmp_path):
     """The csra streaming source must deliver exactly the file's
     (seq, src, dst) rows across multiple micro-batches."""

@@ -73,6 +73,82 @@ def test_incremental_components_delete_fallback(spark):
     }
 
 
+def test_incremental_components_delete_repair_is_component_local(spark):
+    # three components; the delete touches only the path component —
+    # repair must re-solve just that one and stitch the rest through
+    base = _edges(
+        spark,
+        # path 1-2-3-4 (split target)
+        [(1, 2, 1), (2, 1, 1), (2, 3, 1), (3, 2, 1), (3, 4, 1), (4, 3, 1)]
+        # triangle 10-11-12 (untouched)
+        + [(10, 11, 1), (11, 10, 1), (11, 12, 1), (12, 11, 1), (10, 12, 1), (12, 10, 1)]
+        # pair 20-21 (untouched)
+        + [(20, 21, 1), (21, 20, 1)],
+    )
+    alg = IncrementalComponents()
+    wf = ActionStreamWorkflow(base, algs=[alg])
+    acts = _actions(spark, [(0, -3, -4, 1)])  # delete 2-3 (complement enc)
+    wf.run(acts, batch_size=10)
+    labels = wf.store.get("components")
+    full = connected_components(wf.edges)
+    assert {(r.id, r.label) for r in labels.collect()} == {
+        (r.id, r.label) for r in full.collect()
+    }
+    assert component_count(labels) == 4
+
+
+def test_incremental_components_mixed_insert_delete_batch(spark):
+    base = _edges(
+        spark,
+        [(1, 2, 1), (2, 1, 1), (2, 3, 1), (3, 2, 1), (5, 6, 1), (6, 5, 1)],
+    )
+    alg = IncrementalComponents()
+    wf = ActionStreamWorkflow(base, algs=[alg])
+    # one batch: delete 2-3 (split) AND insert 3-5 (merge into {5,6})
+    acts = _actions(spark, [(0, -3, -4, 1), (1, 3, 5, 1)])
+    wf.run(acts, batch_size=10)
+    labels = wf.store.get("components")
+    full = connected_components(wf.edges)
+    assert {(r.id, r.label) for r in labels.collect()} == {
+        (r.id, r.label) for r in full.collect()
+    }
+
+
+def test_incremental_components_vertex_vanishes_on_full_delete(spark):
+    base = _edges(spark, [(1, 2, 1), (2, 1, 1), (3, 4, 1), (4, 3, 1)])
+    alg = IncrementalComponents()
+    wf = ActionStreamWorkflow(base, algs=[alg])
+    acts = _actions(spark, [(0, -4, -5, 1)])  # delete 3-4 entirely
+    wf.run(acts, batch_size=10)
+    labels = wf.store.get("components")
+    got = {r.id: r.label for r in labels.collect()}
+    # parity with full recompute: 3 and 4 have no edges left -> absent
+    assert got == {1: 1, 2: 1}
+
+
+def test_incremental_components_long_insert_chain_converges(spark):
+    # 30 singleton-edge components chained into ONE by a single
+    # insert-only batch: one-hop-per-round merging would need ~30
+    # rounds (> the 20-round cap) — the pointer-jumped remap plus the
+    # non-fixpoint fallback (ADVICE r2) must still produce exact labels
+    base = _edges(
+        spark,
+        [(2 * i + d, 2 * i + 1 - d, 1) for i in range(30) for d in (0, 1)],
+    )
+    alg = IncrementalComponents()
+    wf = ActionStreamWorkflow(base, algs=[alg])
+    acts = _actions(
+        spark, [(i, 2 * i + 1, 2 * i + 2, 1) for i in range(29)]
+    )
+    wf.run(acts, batch_size=100)
+    labels = wf.store.get("components")
+    assert component_count(labels) == 1
+    full = connected_components(wf.edges)
+    assert {(r.id, r.label) for r in labels.collect()} == {
+        (r.id, r.label) for r in full.collect()
+    }
+
+
 def test_incremental_triangles_published_per_batch(spark, bowtie_graph):
     alg = IncrementalTriangles()
     wf = ActionStreamWorkflow(bowtie_graph, algs=[alg])
@@ -819,6 +895,57 @@ def test_streaming_kmeans_single_batch_equals_lloyd_update(spark, tmp_path):
             ((1000 * pts.sum(axis=0)) // len(pts)).tolist() if len(pts) else cents[c].tolist()
         )
     assert got == want
+
+
+def test_streaming_kmeans_defers_seeding_on_undersized_first_batch(spark, tmp_path):
+    """A first micro-batch with fewer than k rows must NOT seed
+    centroids (ADVICE r2: it used to IndexError / corrupt the state
+    reshape).  Rows are buffered in state until k accumulate; the
+    final centroids equal the single-batch run over the same sorted
+    rows, because the seed is the k smallest vec_ids either way."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.streaming.workflow import streaming_kmeans
+
+    sf = "/root/testdata/sf0.001"
+    src = pq.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
+    k, total = 4, src.num_rows
+
+    # split: first file has k-2 rows (< k), rest in the second file
+    d1 = tmp_path / "km_small_first"
+    d1.mkdir()
+    pq.write_table(src.slice(0, k - 2), f"{d1}/part-0.parquet")
+    pq.write_table(src.slice(k - 2), f"{d1}/part-1.parquet")
+    now = time.time()
+    os.utime(f"{d1}/part-0.parquet", (now - 10, now - 10))
+    os.utime(f"{d1}/part-1.parquet", (now, now))
+    q = streaming_kmeans(
+        spark, str(d1), k=k, dim=64, query_name="t_km_defer",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    rows = spark.table("t_km_defer").collect()
+    got = {r.cluster_id: list(r.centroid) for r in rows if r.n_seen == total}
+    assert got, "no emission covering all rows — seeding never completed"
+
+    # reference: one-shot stream over the identical row set
+    d2 = tmp_path / "km_oneshot"
+    d2.mkdir()
+    pq.write_table(src, f"{d2}/all.parquet")
+    q2 = streaming_kmeans(spark, str(d2), k=k, dim=64, query_name="t_km_ref")
+    q2.awaitTermination()
+    ref = {
+        r.cluster_id: list(r.centroid)
+        for r in spark.table("t_km_ref").collect()
+        if r.n_seen == total
+    }
+    # the deferred run seeds from the k smallest ids (buffered ∪ batch)
+    # then updates over ALL rows in that seeding batch — identical to
+    # the one-shot mini-batch, so centroids match exactly
+    assert got == ref
 
 
 def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
