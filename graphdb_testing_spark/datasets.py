@@ -195,6 +195,47 @@ def typed_user_graph(spark: SparkSession, sf_dir: str) -> Graph:
     return Graph(edges=sym.select("src", "dst", "wgt", "etype"))
 
 
+def typed_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(id, vtype)`` — vertex types for the user graph.
+
+    The reference stores a small-int type per VERTEX next to the
+    per-edge type (``tests/stinger/include/stinger.h:143-149``) and
+    filters algorithms to "active" vtypes (A9's typed component
+    count, ``tests/stinger/src/alg/static_components.c:106-264``).
+    Here ``vtype`` = dense rank of the user's DOMINANT event type
+    (most frequent, ties to the alphabetically first) — deterministic
+    on both engines.  Matches :data:`oracles.TYPED_VERTICES_CTE`.
+
+    Scale shape: one groupBy on (user, type), a PARTITIONED window
+    per user (never global), and a broadcast join against the tiny
+    type dim.
+    """
+    ensure_utc(spark)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    wdom = Window.partitionBy("user_id").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    dom = (
+        counts.withColumn("rn", F.row_number().over(wdom))
+        .filter(F.col("rn") == 1)
+        .select(F.col("user_id").alias("id"), "event_type")
+    )
+    tmap = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "vtype",
+            (F.dense_rank().over(Window.orderBy("event_type")) - 1).cast(
+                "long"
+            ),
+        )
+    )
+    return dom.join(F.broadcast(tmap), "event_type").select("id", "vtype")
+
+
 def directed_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed orientation of the user co-participation graph.
 

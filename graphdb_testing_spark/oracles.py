@@ -138,3 +138,36 @@ def with_user_edges(body: str, extra_ctes: str = "") -> str:
     if extra_ctes:
         ctes += ",\n" + extra_ctes.strip()
     return f"WITH {ctes}\n{body}"
+
+
+#: Typed vertex table (vtype = dense rank of the user's dominant
+#: event type, ties to the alphabetically first type).  Lockstep with
+#: :func:`datasets.typed_vertices` — the reference's per-vertex type
+#: slot (``tests/stinger/include/stinger.h:143-149``).
+TYPED_VERTICES_CTE = """
+vtmap AS (
+  SELECT event_type, DENSE_RANK() OVER (ORDER BY event_type) - 1 AS vtype
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+vdom AS (
+  SELECT user_id AS id, event_type FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY COUNT(*) DESC, event_type) AS rn
+    FROM events GROUP BY user_id, event_type)
+  WHERE rn = 1
+),
+vertices AS (
+  SELECT d.id, CAST(m.vtype AS BIGINT) AS vtype
+  FROM vdom d JOIN vtmap m ON d.event_type = m.event_type
+)
+"""
+
+
+def with_typed_vertices(body: str, extra_ctes: str = "") -> str:
+    """user_edges + the typed vertex table, for vtype-filtered
+    queries (the reference's active-vtype logic)."""
+    ctes = USER_EDGES_CTE.strip() + ",\n" + TYPED_VERTICES_CTE.strip()
+    if extra_ctes:
+        ctes += ",\n" + extra_ctes.strip()
+    return f"WITH {ctes}\n{body}"

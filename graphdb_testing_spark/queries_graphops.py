@@ -1009,3 +1009,148 @@ def q_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only form inside shared buckets, never all-pairs."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return textstats.fingerprint_overlap_pairs(docs, k=8, keep=4, min_shared=2)
+
+
+# ---------------------------------------------------------------------------
+# Vertex types (vtype): the reference's per-vertex type slot and
+# type-filtered ("active vtypes only") algorithms
+# ---------------------------------------------------------------------------
+
+_VTYPE_COUNTS_ORACLE = oracles.with_typed_vertices(
+    """
+SELECT v.vtype,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(COALESCE(SUM(d.deg), 0) AS BIGINT) AS total_degree
+FROM vertices v LEFT JOIN (
+  SELECT src AS id, COUNT(*) AS deg
+  FROM (SELECT DISTINCT src, dst FROM user_edges) GROUP BY src
+) d ON d.id = v.id
+GROUP BY v.vtype
+"""
+)
+
+
+@register("typed_vertex_counts", _VTYPE_COUNTS_ORACLE)
+def q_typed_vertex_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex census by VERTEX type: population and total (simple)
+    degree per vtype — the per-type vertex view of the reference's
+    typed vertex array (``tests/stinger/include/stinger.h:143-149``,
+    ``stinger_vtype_get``).  One groupBy over the vertex dim with a
+    left-joined degree aggregate; every stage is key-partitioned."""
+    verts = datasets.typed_vertices(spark, sf_dir)
+    g = datasets.user_graph(spark, sf_dir)
+    deg = (
+        g.edges.select("src", "dst")
+        .distinct()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        verts.join(deg, "id", "left")
+        .groupBy("vtype")
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.coalesce(F.sum("deg"), F.lit(0)).cast("long").alias("total_degree"),
+        )
+    )
+
+
+_VTYPE_CC_ORACLE = oracles.with_typed_vertices(
+    """
+SELECT CAST((SELECT COUNT(*) FROM active) AS BIGINT) AS n_active,
+       CAST((SELECT COUNT(DISTINCT label) FROM lab)
+            + (SELECT COUNT(*) FROM active a
+               WHERE NOT EXISTS (SELECT 1 FROM lab l WHERE l.id = a.id))
+         AS BIGINT) AS n_components
+""",
+    extra_ctes="""
+active AS (SELECT id FROM vertices WHERE vtype = 0),
+aedges AS (
+  SELECT DISTINCT e.src, e.dst FROM user_edges e
+  JOIN active a ON e.src = a.id JOIN active b ON e.dst = b.id
+),
+reach(id, label) AS (
+  SELECT src, src FROM aedges
+  UNION
+  SELECT e.dst, r.label FROM aedges e JOIN reach r ON e.src = r.id
+),
+lab AS (SELECT id, MIN(label) AS label FROM reach GROUP BY id)
+""",
+).replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+@register("typed_active_components", _VTYPE_CC_ORACLE)
+def q_typed_active_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 with the reference's vtype filter: component count over the
+    subgraph induced on ACTIVE-vtype vertices only (vtype 0), plus
+    singleton components for active vertices with no active-active
+    edge — the exact "active vtypes only" semantics of
+    ``tests/stinger/src/alg/static_components.c:106-264``.
+
+    Scale shape: two semi-joins restrict the edge table (one scan),
+    the CC kernel runs only on the induced subgraph, and the three
+    scalar aggregates ride broadcast 1-row cross joins."""
+    from .operators.components import connected_components
+
+    verts = datasets.typed_vertices(spark, sf_dir)
+    active = verts.filter(F.col("vtype") == 0).select("id").localCheckpoint()
+    g = datasets.user_graph(spark, sf_dir)
+    nbrs = g.edges.select("src", "dst").distinct()
+    sub = (
+        nbrs.join(active.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(active.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    labels = connected_components(sub).localCheckpoint()
+    na = active.agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    nc = labels.agg(F.countDistinct("label").alias("n_cc"))
+    ns = active.join(labels, "id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_singles")
+    )
+    return (
+        na.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "n_active",
+            (F.col("n_cc") + F.col("n_singles")).cast("long").alias("n_components"),
+        )
+    )
+
+
+_VTYPE_MIX_ORACLE = oracles.with_typed_vertices(
+    """
+SELECT vs.vtype AS src_vtype, vd.vtype AS dst_vtype,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(e.wgt) AS BIGINT) AS total_wgt
+FROM user_edges e
+JOIN vertices vs ON e.src = vs.id
+JOIN vertices vd ON e.dst = vd.id
+GROUP BY 1, 2
+"""
+)
+
+
+@register("vtype_mixing_matrix", _VTYPE_MIX_ORACLE)
+def q_vtype_mixing_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge mixing matrix across VERTEX types: edge count and total
+    weight per (src vtype, dst vtype) — the typed-endpoint scan the
+    reference exposes through per-vertex type checks inside edge
+    traversals (``stinger_vtype_get`` guards in
+    ``static_components.c:106-264``), and the homophily summary of
+    multiplex analysis.  Two dimension joins (vertex dim is tiny
+    relative to edges — Catalyst/AQE broadcasts it at test scale;
+    at 100 TB it shuffles on the join key) + one grouped aggregate."""
+    verts = datasets.typed_vertices(spark, sf_dir)
+    g = datasets.user_graph(spark, sf_dir)
+    vs = verts.select(F.col("id").alias("src"), F.col("vtype").alias("src_vtype"))
+    vd = verts.select(F.col("id").alias("dst"), F.col("vtype").alias("dst_vtype"))
+    return (
+        g.edges.join(vs, "src")
+        .join(vd, "dst")
+        .groupBy("src_vtype", "dst_vtype")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum("wgt").cast("long").alias("total_wgt"),
+        )
+    )
