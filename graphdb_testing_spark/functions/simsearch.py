@@ -73,6 +73,14 @@ def cosine_topk(
     )
 
 
+#: :func:`embedding_near_duplicates` is O(n²) by construction — past
+#: this row count the pair space exceeds ~10¹⁰ comparisons; refuse
+#: and point at the bucketed twin (the ``write_graph_file`` guard
+#: discipline: make the exact-baseline contract explicit rather than
+#: letting a user launch an accidental quadratic job on big data).
+MAX_EXACT_ALLPAIRS_ROWS = 100_000
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -83,10 +91,18 @@ def embedding_near_duplicates(
 
     **Exact baseline — quadratic by construction** (self-join on
     ``a_id < b_id`` is a cross product with a filter).  Use only as
-    ground truth at test scale; the scale path is
+    ground truth at test scale; refuses inputs past
+    :data:`MAX_EXACT_ALLPAIRS_ROWS`.  The scale path is
     :func:`embedding_near_duplicates_bucketed`, whose candidate set
     comes from a sign-bucket equi-join instead.
     """
+    n = embeddings.count()
+    if n > MAX_EXACT_ALLPAIRS_ROWS:
+        raise ValueError(
+            f"embedding_near_duplicates is an exact all-pairs baseline "
+            f"({n} rows > {MAX_EXACT_ALLPAIRS_ROWS} ⇒ ~{n * (n - 1) // 2:.2g} "
+            f"pairs); use embedding_near_duplicates_bucketed at this scale"
+        )
     base = with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("_norm").alias("n")
     ).localCheckpoint()  # feeds both sides of the self-join

@@ -141,6 +141,16 @@ def test_embedding_near_dups_include_self_similar(spark, embeddings):
     assert all(r.sim >= 0.99 for r in out.collect())
 
 
+def test_embedding_near_dups_guard_refuses_large_input(spark, embeddings, monkeypatch):
+    # the exact all-pairs baseline must refuse big inputs and point at
+    # the bucketed twin (contract guard, write_graph_file discipline)
+    import pytest
+
+    monkeypatch.setattr(simsearch, "MAX_EXACT_ALLPAIRS_ROWS", 3)
+    with pytest.raises(ValueError, match="bucketed"):
+        simsearch.embedding_near_duplicates(embeddings, threshold=0.99)
+
+
 def test_bucketed_near_dups_recall_and_precision(spark, embeddings):
     exact = {
         (r.a_id, r.b_id): r.sim

@@ -344,6 +344,43 @@ def test_csrg_reader_chunks_bounded_batches(spark, tmp_path):
         assert got == want, f"batch_edges={be}"
 
 
+def test_distributed_g_writer_byte_identical(spark, tmp_path):
+    """The parallel section writer must produce a byte-identical .g
+    file to the driver-side writer, across partition counts, with
+    zero-degree vertices (holes in the id space) and skewed degrees —
+    and roundtrip through both readers."""
+    from graphdb_testing_spark.sources.csr import (
+        read_graph_file,
+        write_graph_file,
+    )
+    from graphdb_testing_spark.sources.csr_datasource import (
+        read_graph_file_distributed,
+        write_graph_file_distributed,
+    )
+
+    edges = spark.createDataFrame(
+        # hub vertex 0, holes at ids with no outgoing edges, tail ids
+        [(0, d, d % 7 + 1) for d in range(1, 150)]
+        + [(i * 3 % 101, (i * 41) % 101, 1 + i % 4) for i in range(400)],
+        "src long, dst long, wgt long",
+    ).distinct().filter("src != dst")
+
+    p_ref = str(tmp_path / "ref.g")
+    nv_ref, ne_ref = write_graph_file(edges, p_ref)
+    for parts in (1, 3, 8):
+        p_dist = str(tmp_path / f"dist{parts}.g")
+        nv, ne = write_graph_file_distributed(edges, p_dist, partitions=parts)
+        assert (nv, ne) == (nv_ref, ne_ref)
+        assert open(p_dist, "rb").read() == open(p_ref, "rb").read(), (
+            f"partitions={parts} not byte-identical"
+        )
+    # roundtrip through both readers
+    want = sorted(map(tuple, edges.collect()))
+    assert sorted(map(tuple, read_graph_file(spark, p_ref).collect())) == want
+    got = read_graph_file_distributed(spark, str(tmp_path / "dist3.g"), partitions=4)
+    assert sorted(map(tuple, got.collect())) == want
+
+
 def test_csra_stream_source_replays_action_file(spark, tmp_path):
     """The csra streaming source must deliver exactly the file's
     (seq, src, dst) rows across multiple micro-batches."""
