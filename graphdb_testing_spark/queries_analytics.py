@@ -2912,6 +2912,9 @@ def q_dominating_set_5round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     un = nbhd.select("p").distinct().localCheckpoint()
     picks = []
+    # one scalar top-1 collect per round (TakeOrderedAndProject, a
+    # 1-row driver fetch, not a data collect); the ROUND COUNT is the
+    # scale knob — cost is rounds × one distributed aggregate
     for r in range(1, 6):
         gains = (
             nbhd.join(un, "p", "semi")

@@ -1404,6 +1404,9 @@ def q_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     un = cov.select("p").distinct().localCheckpoint()
     picks = []
+    # one scalar top-1 collect per round (TakeOrderedAndProject, a
+    # 1-row driver fetch, not a data collect); the ROUND COUNT is the
+    # scale knob — cost is rounds × one distributed aggregate
     for r in range(1, 6):
         gains = (
             cov.join(un, "p", "semi")

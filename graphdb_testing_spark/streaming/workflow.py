@@ -304,15 +304,22 @@ class IncrementalPageRank(BatchAlg):
 class IncrementalTriangles(BatchAlg):
     """A4: per-batch clustering-coefficient maintenance.
 
-    Insert-only batches take the TRUE incremental path: per-vertex
-    triangle counts are carried as state and updated with
-    :func:`operators.triangles.triangle_delta` (per new edge, common
-    neighbors in the post-insert adjacency — O(|delta|·d̄) work,
-    independent of the global triangle count, the reference's
-    streaming kernel semantics).  Coefficients are re-derived from the
-    maintained counts + fresh degrees (one aggregate).  Batches with
-    deletions fall back to recompute (SURVEY.md §7 hard-part (d));
-    equivalence of both paths is pytest-gated."""
+    EVERY batch takes the TRUE incremental path: per-vertex triangle
+    counts are carried as state and updated with
+    :func:`operators.triangles.triangle_delta` — for ADDED pairs, the
+    triangles of the post-batch graph containing ≥1 added edge; for
+    REMOVED pairs, symmetrically, the triangles of the PRE-batch
+    graph containing ≥1 removed edge (the pre-graph is the post-graph
+    plus the removals, so the same delta kernel applies; the two
+    triangle sets are disjoint, so
+    ``ntri' = ntri − Δ(G_pre, removed) + Δ(G_post, added)`` exactly).
+    O(|delta|·d̄) work per batch, independent of the global triangle
+    count — the reference's streaming kernel semantics
+    (``streaming_clustering_coefficients.c:14-70``, which handles
+    insertions and removals with the same |N(u) ∩ N(v)| update).
+    Coefficients are re-derived from the maintained counts + fresh
+    degrees (one aggregate).  Equivalence with recompute is
+    pytest-gated on insert, delete, and mixed batches."""
 
     name = "clustering"
 
@@ -348,25 +355,54 @@ class IncrementalTriangles(BatchAlg):
     def after_batch(self, edges: DataFrame, batch: DataFrame, store: NamedResultStore) -> None:
         from ..operators.triangles import triangle_delta, triangles_per_vertex
 
-        has_delete = batch.filter(F.col("src") < 0).limit(1).count() > 0
-        if has_delete or self.ntri is None or self.prev_edges is None:
+        if self.ntri is None or self.prev_edges is None:
             self.ntri = triangles_per_vertex(edges).localCheckpoint()
-        else:
-            pairs = (
-                batch.select(
-                    F.least("src", "dst").alias("u"),
-                    F.greatest("src", "dst").alias("v"),
-                )
-                .filter(F.col("u") != F.col("v"))
-                .distinct()
+            self.prev_edges = edges
+            self._publish(edges, store)
+            return
+        # touched pairs, complement-decoded (deletes arrive as ~id)
+        is_del = F.col("src") < 0
+        du = F.when(is_del, -F.col("src") - 1).otherwise(F.col("src"))
+        dv = F.when(is_del, -F.col("dst") - 1).otherwise(F.col("dst"))
+        pairs = (
+            batch.select(
+                F.least(du, dv).alias("u"), F.greatest(du, dv).alias("v")
             )
-            prev_canon = self.prev_edges.filter(
-                F.col("src") < F.col("dst")
-            ).select(F.col("src").alias("u"), F.col("dst").alias("v"))
-            new_pairs = pairs.join(prev_canon, ["u", "v"], "left_anti")
-            delta = triangle_delta(edges, new_pairs)
-            self.ntri = (
-                self.ntri.join(delta, "id", "full_outer")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        prev_canon = self.prev_edges.filter(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+        post_canon = edges.filter(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+        # net diff restricted to touched pairs (a remove-then-reinsert
+        # pair appears in neither set)
+        added = pairs.join(post_canon, ["u", "v"], "left_semi").join(
+            prev_canon, ["u", "v"], "left_anti"
+        )
+        removed = pairs.join(prev_canon, ["u", "v"], "left_semi").join(
+            post_canon, ["u", "v"], "left_anti"
+        )
+        ntri = self.ntri
+        if removed.limit(1).count() > 0:
+            lost = triangle_delta(self.prev_edges, removed)
+            ntri = (
+                ntri.join(lost, "id", "full_outer")
+                .select(
+                    "id",
+                    (
+                        F.coalesce("ntri", F.lit(0))
+                        - F.coalesce("d_ntri", F.lit(0))
+                    ).alias("ntri"),
+                )
+            )
+        if added.limit(1).count() > 0:
+            gained = triangle_delta(edges, added)
+            ntri = (
+                ntri.join(gained, "id", "full_outer")
                 .select(
                     "id",
                     (
@@ -374,8 +410,8 @@ class IncrementalTriangles(BatchAlg):
                         + F.coalesce("d_ntri", F.lit(0))
                     ).alias("ntri"),
                 )
-                .localCheckpoint()
             )
+        self.ntri = ntri.localCheckpoint()
         self.prev_edges = edges
         self._publish(edges, store)
 

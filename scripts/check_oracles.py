@@ -5,6 +5,12 @@ DuckDB over the same sf directory, then compares row count, column
 names, and order-insensitive values.  Usage::
 
     python scripts/check_oracles.py [sf_dir] [query ...]
+
+``ORACLE_TIMEOUT_S`` (env, default 120) interrupts a DuckDB oracle
+that runs past the limit and records ``[oracle-to ]`` instead of
+hanging the sweep — several oracles are transitive-closure recursive
+CTEs that are exact but quadratic, fine at sf0.01 and infeasible at
+sf0.1; the Spark side still executes and row-counts.
 """
 
 from __future__ import annotations
@@ -56,13 +62,28 @@ def main() -> int:
         if name not in oracles:
             print(f"[rows-only] {name}: {len(sdf)} rows ({t_spark:.1f}s)")
             continue
+        import os
+        import threading
+
+        timeout_s = float(os.environ.get("ORACLE_TIMEOUT_S", "120"))
         t0 = time.time()
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
         try:
             ddf = con.execute(oracles[name]).fetchdf()
+        except duckdb.InterruptException:
+            print(
+                f"[oracle-to ] {name}: DuckDB oracle exceeded "
+                f"{timeout_s:.0f}s (spark side ran: {len(sdf)} rows, "
+                f"{t_spark:.1f}s) — value-checked at sf0.01 instead"
+            )
+            continue
         except Exception as exc:  # noqa: BLE001
             print(f"[FAIL-sql ] {name}: oracle SQL error: {exc}")
             failures += 1
             continue
+        finally:
+            timer.cancel()
         t_duck = time.time() - t0
         a, b = normalize(sdf), normalize(ddf)
         status = "ok"

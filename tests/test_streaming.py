@@ -635,6 +635,43 @@ def test_incremental_triangles_equals_recompute_on_batches(spark):
         assert got == want
 
 
+def test_incremental_triangles_delete_and_mixed_batches(spark):
+    """Delete and mixed batches now take the incremental path too
+    (Δ(G_pre, removed) subtracted, Δ(G_post, added) added) —
+    maintained counts must equal a cold recompute after every batch,
+    including triangles destroyed by several deleted edges at once
+    and a remove-then-reinsert no-op pair."""
+    from graphdb_testing_spark.operators.triangles import triangles_per_vertex
+    from graphdb_testing_spark.streaming.workflow import IncrementalTriangles
+
+    # two triangles sharing edge (1,2): {0,1,2} and {1,2,3}, plus a
+    # pendant 3-4; symmetric base
+    und = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3), (3, 4)]
+    base = _edges(
+        spark, [(u, v, 1) for (a, b) in und for (u, v) in ((a, b), (b, a))]
+    )
+    alg = IncrementalTriangles()
+    wf = ActionStreamWorkflow(base, algs=[alg])
+    batches = [
+        # pure delete: removing shared edge (1,2) kills BOTH triangles
+        [(0, -2, -3, 1)],
+        # mixed: delete (0,2) [kills nothing now], re-add (1,2)
+        # [rebuilds {1,2,3} only, since (0,2) is gone], and a
+        # remove-then-reinsert of (3,4) in one batch (net no-op pair)
+        [(1, -1, -3, 1), (2, 1, 2, 1), (3, -4, -5, 1), (4, 3, 4, 1)],
+        # delete two edges of one triangle in the same batch (the
+        # inclusion-exclusion case: triangle {1,2,3} counted once)
+        [(5, -2, -4, 1), (6, -3, -4, 1)],
+    ]
+    for i, rows in enumerate(batches):
+        wf.run(_actions(spark, rows), batch_size=10)
+        got = {r.id: r.ntri for r in wf.store.get("clustering").collect()}
+        want = {
+            r.id: r.ntri for r in triangles_per_vertex(wf.edges).collect()
+        }
+        assert got == want, f"batch {i}: {got} != {want}"
+
+
 def test_streaming_prequential_matches_batch(spark, tmp_path):
     """Every hour the stream closes scores identically to the batch
     prequential query; only each type's final (still-open) hour and
