@@ -167,3 +167,31 @@ def test_write_graph_file_refuses_oversized_collect(spark, tmp_path, monkeypatch
     )
     with pytest.raises(ValueError, match="driver-side collect"):
         csr.write_graph_file(edges, str(tmp_path / "g.g"))
+
+
+def test_typed_vertices_dominant_type_deterministic(spark):
+    """vtype = dense rank of the user's dominant event type, ties to
+    the alphabetically first — verified on a hand-built event set."""
+    import pandas as pd
+
+    from graphdb_testing_spark import datasets
+
+    sf = "/root/testdata/sf0.001"
+    verts = datasets.typed_vertices(spark, sf)
+    got = {r.id: r.vtype for r in verts.collect()}
+    # independent pandas recomputation over the same parquet
+    ev = pd.read_parquet(f"{sf}/events.parquet")[["user_id", "event_type"]]
+    tmap = {t: i for i, t in enumerate(sorted(ev["event_type"].unique()))}
+    counts = (
+        ev.groupby(["user_id", "event_type"]).size().reset_index(name="n")
+    )
+    counts = counts.sort_values(
+        ["user_id", "n", "event_type"], ascending=[True, False, True]
+    )
+    dom = counts.groupby("user_id").first().reset_index()
+    want = {
+        int(r.user_id): tmap[r.event_type] for r in dom.itertuples()
+    }
+    assert got == want
+    # every user appears exactly once
+    assert verts.count() == verts.select("id").distinct().count()
