@@ -98,7 +98,8 @@ def read_graph_file(spark: SparkSession, path: str) -> DataFrame:
     import pandas as pd
 
     pdf = pd.DataFrame({"src": src, "dst": ind, "wgt": wgt})
-    return spark.createDataFrame(pdf)
+    # explicit schema: an empty .g file has no rows to infer from
+    return spark.createDataFrame(pdf, "src long, dst long, wgt long")
 
 
 def write_actions_file(actions: DataFrame, path: str) -> int:

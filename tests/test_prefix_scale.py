@@ -160,3 +160,22 @@ def test_topk_query_plans(spark, name):
 
     df = all_queries()[name](spark, SF)
     assert "TakeOrderedAndProject" in _plan(df), name
+
+
+def test_helpers_on_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "id long, v long")
+    one = spark.createDataFrame([(7, 3)], "id long, v long")
+    assert range_row_number(empty, [F.col("id")], "r").count() == 0
+    assert range_ntile(empty, [F.col("id")], 4, "b").count() == 0
+    assert range_lag(empty, [F.col("id")], "v", "p").count() == 0
+    r = range_row_number(one, [F.col("id")], "r").collect()[0]
+    assert (r.id, r.r) == (7, 1)
+    b = range_ntile(one, [F.col("id")], 4, "b").collect()[0]
+    assert b.b == 1
+    p = range_lag(one, [F.col("id")], "v", "p").collect()[0]
+    assert p.p is None
+
+
+def test_range_ntile_k1(skewed):
+    got = range_ntile(skewed, [F.col("v"), F.col("id")], 1, "b")
+    assert got.filter(F.col("b") != 1).count() == 0

@@ -471,3 +471,18 @@ def test_cache_table_uses_in_memory_scan(spark, tmp_path):
         assert sorted(map(tuple, spark.table("cache_t").collect())) == want
     finally:
         spark.catalog.uncacheTable("cache_t")
+
+
+def test_distributed_g_writer_empty_graph(spark, tmp_path):
+    from graphdb_testing_spark.sources.csr import read_graph_file, write_graph_file
+    from graphdb_testing_spark.sources.csr_datasource import (
+        write_graph_file_distributed,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long, wgt long")
+    p_ref = str(tmp_path / "e_ref.g")
+    p_dist = str(tmp_path / "e_dist.g")
+    assert write_graph_file(empty, p_ref) == (0, 0)
+    assert write_graph_file_distributed(empty, p_dist) == (0, 0)
+    assert open(p_dist, "rb").read() == open(p_ref, "rb").read()
+    assert read_graph_file(spark, p_dist).count() == 0
