@@ -43,14 +43,8 @@ def range_prefix_sum(
     total order; values of the full order key must be unique.  Output
     partitioning follows the per-partition scan.
     """
-    spark = df.sparkSession
-    n = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
     order_exprs = order_col if isinstance(order_col, (list, tuple)) else [order_col]
-    ranged = df.repartitionByRange(n, *order_exprs).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    ranged, _ = _ranged_with_pid(df, order_exprs, num_partitions)
     # 2. local exclusive scan within each range slice
     w_local = (
         Window.partitionBy("_pid")
@@ -81,15 +75,22 @@ def _ranged_with_pid(df: DataFrame, order_exprs, num_partitions: int | None):
     with its physical partition id.  ``repartitionByRange`` assigns
     ascending partition ids to ascending sort-key ranges (for ``desc``
     expressions, to descending value ranges) — so ``_pid`` order IS
-    global order, the invariant every helper below builds on."""
+    global order, the invariant every helper below builds on.
+
+    The result is ``localCheckpoint``-ed: every helper consumes it in
+    TWO branches (local ranks + per-partition bases), and joining them
+    on ``_pid`` is only sound if both branches see the SAME sampled
+    range boundaries — the checkpoint pins one materialization instead
+    of relying on exchange-reuse deduplicating two identical shuffles
+    (which ``spark.sql.exchange.reuse=false`` would break silently)."""
     spark = df.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     return (
-        df.repartitionByRange(n, *order_exprs).withColumn(
-            "_pid", F.spark_partition_id()
-        ),
+        df.repartitionByRange(n, *order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(),
         n,
     )
 
@@ -112,6 +113,17 @@ def range_row_number(
     plus a per-partition-count table of ≤ ``num_partitions`` rows whose
     global window is trivially cheap, broadcast back as rank bases.
     """
+    local, bases = _local_ranks_and_bases(df, order_exprs, num_partitions)
+    return (
+        local.join(F.broadcast(bases.select("_pid", "_base")), "_pid")
+        .withColumn(out_col, (F.col("_base") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_base")
+    )
+
+
+def _local_ranks_and_bases(df, order_exprs, num_partitions):
+    """Shared core of row_number/ntile: (per-row local ranks tagged
+    with ``_pid``, per-partition ``(_pid, _tot, _base)`` table)."""
     ranged, _ = _ranged_with_pid(df, order_exprs, num_partitions)
     w_local = Window.partitionBy("_pid").orderBy(*order_exprs)
     local = ranged.withColumn("_local", F.row_number().over(w_local))
@@ -123,13 +135,8 @@ def range_row_number(
             "_base",
             F.coalesce(F.sum("_tot").over(w_base), F.lit(0)).cast("long"),
         )
-        .select("_pid", "_base")
     )
-    return (
-        local.join(F.broadcast(bases), "_pid")
-        .withColumn(out_col, (F.col("_base") + F.col("_local")).cast("long"))
-        .drop("_pid", "_local", "_base")
-    )
+    return local, bases
 
 
 def range_ntile(
@@ -147,8 +154,15 @@ def range_ntile(
     global rank, so the single-task ``ntile().over(Window.orderBy())``
     sort never happens.  ``order_exprs`` must be a total order.
     """
-    ranked = range_row_number(df, order_exprs, "_gr", num_partitions)
-    n_tot = df.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    local, bases = _local_ranks_and_bases(df, order_exprs, num_partitions)
+    ranked = (
+        local.join(F.broadcast(bases.select("_pid", "_base")), "_pid")
+        .withColumn("_gr", (F.col("_base") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_base")
+    )
+    # total row count from the (≤ num_partitions-row) bases table — no
+    # second scan of the input lineage
+    n_tot = bases.agg(F.sum("_tot").cast("long").alias("_n"))
     bucket = ntile_expr(F.col("_gr"), F.col("_n"), k)
     return (
         ranked.crossJoin(F.broadcast(n_tot))

@@ -66,6 +66,10 @@ class CSRGraphReader(DataSourceReader):
             raise ValueError("csrg source requires .option('path', ...)")
         self.n_partitions = int(options.get("partitions", "8"))
         self.batch_edges = int(options.get("batch_edges", str(self.BATCH_EDGES)))
+        if self.batch_edges < 1:
+            raise ValueError(
+                f"batch_edges must be >= 1, got {self.batch_edges}"
+            )
 
     def partitions(self):
         import numpy as np
@@ -324,7 +328,6 @@ def write_graph_file_distributed(
     import tempfile
 
     import numpy as np
-    from pyspark import TaskContext
     from pyspark.sql import functions as F
 
     from ..operators.prefix import range_prefix_sum
@@ -346,63 +349,84 @@ def write_graph_file_distributed(
 
     def _writer(section: str):
         # "off" writes one part file; "edges" writes TWO per partition
-        # (ind + wgt); "wb" truncates on task retry so a re-run never
-        # duplicates bytes, and per-chunk appends within the one open
-        # handle never interleave the sections
+        # (ind + wgt).  Output-commit discipline: each task ATTEMPT
+        # writes to an attempt-unique temp name and atomically renames
+        # into place at the end — overlapping attempts of one task
+        # (speculation, zombie tasks after a stage retry) can no longer
+        # interleave bytes in a shared file; the last complete rename
+        # wins, and a rename is all-or-nothing on POSIX.
         def fn(it):
+            import os as _os
+
             import numpy as _np
             from pyspark import TaskContext as _TC
 
-            pid = _TC.get().partitionId()
+            tc = _TC.get()
+            pid = tc.partitionId()
+            att = tc.taskAttemptId()
+
+            def final(sec):
+                return _os.path.join(tmp, f"{sec}-{pid:06d}.bin")
+
+            def attempt(sec):
+                return _os.path.join(tmp, f"{sec}-{pid:06d}.attempt{att}")
+
             if section == "off":
-                with open(os.path.join(tmp, f"off-{pid:06d}.bin"), "wb") as f:
+                with open(attempt("off"), "wb") as f:
                     for pdf in it:
                         _np.asarray(pdf["off"], dtype="<u8").tofile(f)
+                _os.replace(attempt("off"), final("off"))
             else:
-                fi = open(os.path.join(tmp, f"ind-{pid:06d}.bin"), "wb")
-                fw = open(os.path.join(tmp, f"wgt-{pid:06d}.bin"), "wb")
-                with fi, fw:
+                with open(attempt("ind"), "wb") as fi, open(
+                    attempt("wgt"), "wb"
+                ) as fw:
                     for pdf in it:
                         _np.asarray(pdf["dst"], dtype="<u8").tofile(fi)
                         _np.asarray(pdf["wgt"], dtype="<u8").tofile(fw)
+                _os.replace(attempt("ind"), final("ind"))
+                _os.replace(attempt("wgt"), final("wgt"))
             yield __import__("pandas").DataFrame({"pid": [pid]})
 
         return fn
 
-    # off section: dense 0..nv-1 ids, zero-degree vertices included,
-    # exclusive prefix sum of degrees in id order (distributed)
-    if ne:
-        deg = e.groupBy(F.col("src").alias("id")).agg(
-            F.count(F.lit(1)).alias("deg")
-        )
-        ids = (
-            spark.range(nv)
-            .withColumnRenamed("id", "id")
-            .join(deg, "id", "left")
-            .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
-        )
-        offd = (
-            range_prefix_sum(ids, "id", "deg", "off", num_partitions=partitions)
-            .repartitionByRange(partitions, "id")
-            .sortWithinPartitions("id")
-            .select("id", "off")
-        )
-        offd.mapInPandas(_writer("off"), "pid long").collect()
-        # ind/wgt sections: global (src, dst) order = CSR adjacency
-        # order; each range slice is one pair of contiguous byte runs
-        ew = (
-            e.repartitionByRange(partitions, "src", "dst")
-            .sortWithinPartitions("src", "dst")
-            .select("dst", "wgt")
-        )
-        ew.mapInPandas(_writer("edges"), "pid long").collect()
-    with open(path, "wb") as out:
-        np.array([ENDIAN_CHECK, nv, ne], dtype="<u8").tofile(out)
-        for sec in ("off", "ind", "wgt"):
-            for part in sorted(glob.glob(os.path.join(tmp, f"{sec}-*.bin"))):
-                with open(part, "rb") as f:
-                    shutil.copyfileobj(f, out)
-            if sec == "off":
-                np.array([ne], dtype="<u8").tofile(out)  # off[nv]
-    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        # off section: dense 0..nv-1 ids, zero-degree vertices
+        # included, exclusive prefix sum of degrees in id order
+        if ne:
+            deg = e.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("deg")
+            )
+            ids = spark.range(nv).join(deg, "id", "left").select(
+                "id", F.coalesce("deg", F.lit(0)).alias("deg")
+            )
+            offd = (
+                range_prefix_sum(
+                    ids, "id", "deg", "off", num_partitions=partitions
+                )
+                .repartitionByRange(partitions, "id")
+                .sortWithinPartitions("id")
+                .select("id", "off")
+            )
+            offd.mapInPandas(_writer("off"), "pid long").collect()
+            # ind/wgt sections: global (src, dst) order = CSR
+            # adjacency order; each range slice is one pair of
+            # contiguous byte runs
+            ew = (
+                e.repartitionByRange(partitions, "src", "dst")
+                .sortWithinPartitions("src", "dst")
+                .select("dst", "wgt")
+            )
+            ew.mapInPandas(_writer("edges"), "pid long").collect()
+        with open(path, "wb") as out:
+            np.array([ENDIAN_CHECK, nv, ne], dtype="<u8").tofile(out)
+            for sec in ("off", "ind", "wgt"):
+                for part in sorted(
+                    glob.glob(os.path.join(tmp, f"{sec}-*.bin"))
+                ):
+                    with open(part, "rb") as f:
+                        shutil.copyfileobj(f, out)
+                if sec == "off":
+                    np.array([ne], dtype="<u8").tofile(out)  # off[nv]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return nv, ne

@@ -95,10 +95,10 @@ class IncrementalComponents(BatchAlg):
         exactly what a full recompute would assign — parity-tested in
         ``tests/test_streaming.py``.
         """
-        is_del = F.col("src") < 0
-        decoded = batch.select(
-            F.when(is_del, -F.col("src") - 1).otherwise(F.col("src")).alias("u"),
-            F.when(is_del, -F.col("dst") - 1).otherwise(F.col("dst")).alias("v"),
+        from ..operators.updates import decode_actions
+
+        decoded = decode_actions(batch).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
         )
         endpoints = (
             decoded.select(F.col("u").alias("id"))
@@ -361,12 +361,13 @@ class IncrementalTriangles(BatchAlg):
             self._publish(edges, store)
             return
         # touched pairs, complement-decoded (deletes arrive as ~id)
-        is_del = F.col("src") < 0
-        du = F.when(is_del, -F.col("src") - 1).otherwise(F.col("src"))
-        dv = F.when(is_del, -F.col("dst") - 1).otherwise(F.col("dst"))
+        from ..operators.updates import decode_actions
+
         pairs = (
-            batch.select(
-                F.least(du, dv).alias("u"), F.greatest(du, dv).alias("v")
+            decode_actions(batch)
+            .select(
+                F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"),
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()

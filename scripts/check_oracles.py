@@ -67,10 +67,14 @@ def main() -> int:
 
         timeout_s = float(os.environ.get("ORACLE_TIMEOUT_S", "120"))
         t0 = time.time()
-        timer = threading.Timer(timeout_s, con.interrupt)
+        # per-query cursor: shares the catalog (views) but isolates
+        # the interrupt flag, so a timer that fires just after a
+        # query completes cannot poison the NEXT oracle
+        cur = con.cursor()
+        timer = threading.Timer(timeout_s, cur.interrupt)
         timer.start()
         try:
-            ddf = con.execute(oracles[name]).fetchdf()
+            ddf = cur.execute(oracles[name]).fetchdf()
         except duckdb.InterruptException:
             print(
                 f"[oracle-to ] {name}: DuckDB oracle exceeded "
@@ -84,6 +88,7 @@ def main() -> int:
             continue
         finally:
             timer.cancel()
+            cur.close()
         t_duck = time.time() - t0
         a, b = normalize(sdf), normalize(ddf)
         status = "ok"
