@@ -77,12 +77,16 @@ def _ranged_with_pid(df: DataFrame, order_exprs, num_partitions: int | None):
     expressions, to descending value ranges) — so ``_pid`` order IS
     global order, the invariant every helper below builds on.
 
-    The result is ``localCheckpoint``-ed: every helper consumes it in
-    TWO branches (local ranks + per-partition bases), and joining them
-    on ``_pid`` is only sound if both branches see the SAME sampled
-    range boundaries — the checkpoint pins one materialization instead
-    of relying on exchange-reuse deduplicating two identical shuffles
-    (which ``spark.sql.exchange.reuse=false`` would break silently)."""
+    The result is ``persist``-ed: every helper consumes it in TWO
+    branches (local ranks + per-partition bases), and joining them on
+    ``_pid`` is only sound if both branches see the SAME sampled range
+    boundaries.  A cached Dataset pins one materialization (both
+    subtrees resolve to the same InMemoryRelation, whose range
+    boundaries are fixed at first computation) without relying on
+    exchange-reuse deduplicating two identical shuffles — which
+    ``spark.sql.exchange.reuse=false`` would silently break — and,
+    unlike ``localCheckpoint``, stays LAZY: no extra eager job per
+    helper call."""
     spark = df.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -90,7 +94,7 @@ def _ranged_with_pid(df: DataFrame, order_exprs, num_partitions: int | None):
     return (
         df.repartitionByRange(n, *order_exprs)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(),
+        .persist(),
         n,
     )
 
