@@ -289,6 +289,60 @@ def hyperplane_lsh_signature(
     return embeddings.select(F.col(id_col).alias("vec_id"), sig.alias("sig"))
 
 
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style near-duplicate pairs: k-means CLUSTER blocking
+    (Abbas et al. 2023) — assign every embedding to its nearest of
+    ``k`` deterministic centroids (:func:`kmeans_assign` semantics),
+    then compare pairs ONLY within a cluster.
+
+    ``(cluster_id, a_id, b_id, sim)`` for within-cluster cosine ≥
+    ``threshold``.  Scale shape: the pair space is an equi-join on
+    ``cluster_id`` — Σ|cluster|² work instead of n², the same
+    blocking contract as the sign-bucket variant but with
+    data-adaptive regions (clusters follow the embedding density, so
+    semantically-close pairs co-locate even when their leading sign
+    bits differ).  Misses only pairs straddling a cluster boundary —
+    the documented SemDeDup trade; measure with the recall query.
+    """
+    asg = kmeans_assign(embeddings, k=k, id_col=id_col, vec_col=vec_col).select(
+        "vec_id", "cluster_id"
+    )
+    base = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.col("_norm").alias("n"),
+    )
+    keyed = base.join(asg, "vec_id").localCheckpoint()
+    a = keyed.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = keyed.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    _den = F.col("na") * F.col("nb")
+    sim = F.round(
+        F.when(_den > 0, _dot("va", "vb") / _den).otherwise(F.lit(0.0)), 6
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("cluster_id", "a_id", "b_id", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 8,

@@ -2775,3 +2775,88 @@ def q_ivf_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("idcg_micro")
     )
     return dcg.join(ideal, "query_id")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means-cluster-blocked semantic near-duplication
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_ASG_CTE = """
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cluster_id, v AS c FROM base ORDER BY vec_id LIMIT 8),
+dd AS (
+  SELECT b.vec_id, b.v, c.cluster_id,
+         ROUND(list_distance(b.v, c.c), 6) AS dist
+  FROM base b CROSS JOIN cent c
+),
+asg AS (
+  SELECT vec_id, v, cluster_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster_id) AS rn
+    FROM dd
+  ) WHERE rn = 1
+),
+sem_pairs AS (
+  SELECT a.cluster_id, a.vec_id AS a_id, b.vec_id AS b_id,
+         ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+  FROM asg a JOIN asg b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+)
+"""
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_SEMDEDUP_ASG_CTE.strip()}
+SELECT cluster_id, a_id, b_id, sim FROM sem_pairs
+"""
+
+
+@register("semantic_dedup_pairs", _SEMDEDUP_ORACLE)
+def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): near-duplicate pairs found by
+    k-means CLUSTER blocking — assign to 8 deterministic centroids,
+    compare only within a cluster (equi-join on cluster_id, so the
+    pair space is Σ|cluster|² not n²; clusters are data-adaptive
+    regions, unlike the fixed sign-bucket grid)."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return simsearch.semantic_dedup_pairs(emb, threshold=0.4, k=8)
+
+
+_SEMDEDUP_RECALL_ORACLE = f"""
+WITH {_SEMDEDUP_ASG_CTE.strip()},
+exact AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM base a JOIN base b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+)
+SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM sem_pairs) AS BIGINT) AS n_blocked,
+       ROUND((SELECT COUNT(*) FROM sem_pairs)
+             / GREATEST((SELECT COUNT(*) FROM exact), 1) * 1e0, 6) AS recall
+"""
+
+
+@register("semantic_dedup_recall", _SEMDEDUP_RECALL_ORACLE)
+def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of SemDeDup cluster blocking against the exact
+    all-pairs ground truth at the same threshold — the honest
+    measurement of what cluster-boundary-straddling pairs cost
+    (every blocked pair is also an exact pair, so recall =
+    |blocked| / |exact|)."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    blocked = simsearch.semantic_dedup_pairs(emb, threshold=0.4, k=8)
+    exact = simsearch.embedding_near_duplicates(emb, threshold=0.4)
+    nb = blocked.agg(F.count(F.lit(1)).alias("n_blocked"))
+    nx = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        nx.crossJoin(F.broadcast(nb))
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_blocked").cast("long").alias("n_blocked"),
+            F.round(
+                F.col("n_blocked")
+                / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
