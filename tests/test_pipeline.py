@@ -422,3 +422,24 @@ def test_python_udtf_chunking_matches_native(spark):
         )
     )
     assert got == native and len(got) == 3 + 2 + 1
+
+
+def test_semantic_dedup_pairs_subset_of_exact(spark, embeddings):
+    """Cluster blocking can only MISS pairs (both endpoints must land
+    in one cluster), never invent them: blocked ⊆ exact at the same
+    threshold, with identical similarity values."""
+    exact = {
+        (r.a_id, r.b_id): r.sim
+        for r in simsearch.embedding_near_duplicates(
+            embeddings, threshold=0.6
+        ).collect()
+    }
+    blocked = {
+        (r.a_id, r.b_id): r.sim
+        for r in simsearch.semantic_dedup_pairs(
+            embeddings, threshold=0.6, k=4
+        ).collect()
+    }
+    assert set(blocked) <= set(exact)
+    for pair, sim in blocked.items():
+        assert sim == exact[pair]
