@@ -443,3 +443,11 @@ def test_semantic_dedup_pairs_subset_of_exact(spark, embeddings):
     assert set(blocked) <= set(exact)
     for pair, sim in blocked.items():
         assert sim == exact[pair]
+
+
+def test_semantic_dedup_plan_has_no_cross_join(spark, embeddings):
+    plan = simsearch.semantic_dedup_pairs(
+        embeddings, threshold=0.6, k=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
