@@ -48,7 +48,19 @@ def cosine_topk(
     ``(query_id, vec_id, rank, sim)``; ``sim`` rounded to 6 decimals
     and ranking is on (rounded sim desc, vec_id) so results are
     deterministic and oracle-comparable.  Self-matches excluded.
+
+    **Brute-force baseline**: scores every (query, vector) pair with
+    the query side broadcast — exact ground truth for bounded query
+    sets (refuses more than :data:`MAX_BRUTE_QUERY_ROWS` queries);
+    the scale path for large query sets is :func:`ivf_topk`.
     """
+    nq = queries.count()
+    if nq > MAX_BRUTE_QUERY_ROWS:
+        raise ValueError(
+            f"cosine_topk is a brute-force baseline ({nq} queries > "
+            f"{MAX_BRUTE_QUERY_ROWS} ⇒ a broadcast that size and "
+            f"n·q scoring); use ivf_topk for large query sets"
+        )
     base = with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
@@ -71,6 +83,13 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "sim")
     )
+
+
+#: :func:`cosine_topk` broadcasts its query set and scores n·q pairs
+#: — exact ground truth for bounded query sets only; past this many
+#: queries, refuse and point at :func:`ivf_topk` (same contract
+#: discipline as the all-pairs guard below).
+MAX_BRUTE_QUERY_ROWS = 100_000
 
 
 #: :func:`embedding_near_duplicates` is O(n²) by construction — past

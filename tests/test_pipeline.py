@@ -451,3 +451,11 @@ def test_semantic_dedup_plan_has_no_cross_join(spark, embeddings):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_guard_refuses_large_query_set(spark, embeddings, monkeypatch):
+    import pytest
+
+    monkeypatch.setattr(simsearch, "MAX_BRUTE_QUERY_ROWS", 3)
+    with pytest.raises(ValueError, match="ivf_topk"):
+        simsearch.cosine_topk(embeddings, embeddings, k=5)
