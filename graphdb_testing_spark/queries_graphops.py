@@ -1154,3 +1154,49 @@ def q_vtype_mixing_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wgt").cast("long").alias("total_wgt"),
         )
     )
+
+
+_VTYPE_BFS_ORACLE = oracles.with_typed_vertices(
+    """
+SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM bfsr GROUP BY id
+""",
+    extra_ctes="""
+active AS (SELECT id FROM vertices WHERE vtype = 0),
+aedges AS (
+  SELECT DISTINCT e.src, e.dst FROM user_edges e
+  JOIN active a ON e.src = a.id JOIN active b ON e.dst = b.id
+),
+bfsr(id, dist) AS (
+  SELECT (SELECT MIN(src) FROM aedges), 0
+  UNION
+  SELECT e.dst, r.dist + 1 FROM aedges e JOIN bfsr r ON e.src = r.id
+  WHERE r.dist < 32
+)
+""",
+).replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+@register("typed_bfs_distances", _VTYPE_BFS_ORACLE)
+def q_typed_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances over the ACTIVE-vtype induced subgraph from
+    its minimum vertex id — the reference's typed traversal guard
+    (``stinger_vtype_get`` checks inside edge loops,
+    ``static_components.c:106-264``) applied to the F2/§2.4 BFS
+    kernel: restrict once via two semi-joins (one edge scan), then
+    run the untyped level-synchronous frontier on the subgraph."""
+    from .operators.bfs import bfs
+
+    verts = datasets.typed_vertices(spark, sf_dir)
+    active = verts.filter(F.col("vtype") == 0).select("id").localCheckpoint()
+    g = datasets.user_graph(spark, sf_dir)
+    nbrs = g.edges.select("src", "dst").distinct()
+    sub = (
+        nbrs.join(active.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(active.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    source = int(sub.agg(F.min("src").alias("s")).collect()[0]["s"])
+    return bfs(sub, source, max_depth=32).select(
+        "id", F.col("dist").cast("long").alias("dist")
+    )
