@@ -24,6 +24,18 @@ def _dot(a: str, b: str) -> "F.Column":
     )
 
 
+def _pair_sim(a_vec: str, b_vec: str, a_norm: str, b_norm: str) -> "F.Column":
+    """Rounded cosine between paired vectors with a zero-norm guard —
+    the ONE statement of pair-similarity semantics shared by the
+    top-k scorer and every near-duplicate variant (exact, bucketed,
+    SemDeDup), so a rounding or degenerate-vector change lands in all
+    of them at once."""
+    den = F.col(a_norm) * F.col(b_norm)
+    return F.round(
+        F.when(den > 0, _dot(a_vec, b_vec) / den).otherwise(F.lit(0.0)), 6
+    )
+
+
 def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return embeddings.withColumn(
         "_norm",
@@ -54,12 +66,14 @@ def cosine_topk(
     sets (refuses more than :data:`MAX_BRUTE_QUERY_ROWS` queries);
     the scale path for large query sets is :func:`ivf_topk`.
     """
-    nq = queries.count()
+    # bounded guard scan: limit(cap+1) stops at the cap regardless of
+    # the input's true size, so the check itself never pays O(n)
+    nq = queries.limit(MAX_BRUTE_QUERY_ROWS + 1).count()
     if nq > MAX_BRUTE_QUERY_ROWS:
         raise ValueError(
-            f"cosine_topk is a brute-force baseline ({nq} queries > "
-            f"{MAX_BRUTE_QUERY_ROWS} ⇒ a broadcast that size and "
-            f"n·q scoring); use ivf_topk for large query sets"
+            f"cosine_topk is a brute-force baseline (> "
+            f"{MAX_BRUTE_QUERY_ROWS} queries ⇒ a broadcast that size "
+            f"and n·q scoring); use ivf_topk for large query sets"
         )
     base = with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("vec_id"),
@@ -71,8 +85,7 @@ def cosine_topk(
         F.col(vec_col).alias("q"),
         F.col("_norm").alias("nq"),
     )
-    _den = F.col("nq") * F.col("nv")
-    sim = F.round(F.when(_den > 0, _dot("q", "v") / _den).otherwise(F.lit(0.0)), 6)
+    sim = _pair_sim("q", "v", "nq", "nv")
     scored = (
         base.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", sim.alias("sim"))
@@ -131,8 +144,7 @@ def embedding_near_duplicates(
     b = base.select(
         F.col("id").alias("b_id"), F.col("v").alias("vb"), F.col("n").alias("nb")
     )
-    _den = F.col("na") * F.col("nb")
-    sim = F.round(F.when(_den > 0, _dot("va", "vb") / _den).otherwise(F.lit(0.0)), 6)
+    sim = _pair_sim("va", "vb", "na", "nb")
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", sim.alias("sim"))
@@ -195,8 +207,7 @@ def ivf_topk(
             ],
         )
         qs = qs.withColumn("bucket", F.explode(probes))
-    _den = F.col("nq") * F.col("nv")
-    sim = F.round(F.when(_den > 0, _dot("q", "v") / _den).otherwise(F.lit(0.0)), 6)
+    sim = _pair_sim("q", "v", "nq", "nv")
     scored = (
         base.join(F.broadcast(qs), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -270,8 +281,7 @@ def embedding_near_duplicates_bucketed(
         F.col("n").alias("nb"),
         "bucket",
     )
-    _den = F.col("na") * F.col("nb")
-    sim = F.round(F.when(_den > 0, _dot("va", "vb") / _den).otherwise(F.lit(0.0)), 6)
+    sim = _pair_sim("va", "vb", "na", "nb")
     return (
         a.join(b, "bucket")
         .filter(F.col("a_id") < F.col("b_id"))
@@ -350,10 +360,7 @@ def semantic_dedup_pairs(
         F.col("v").alias("vb"),
         F.col("n").alias("nb"),
     )
-    _den = F.col("na") * F.col("nb")
-    sim = F.round(
-        F.when(_den > 0, _dot("va", "vb") / _den).otherwise(F.lit(0.0)), 6
-    )
+    sim = _pair_sim("va", "vb", "na", "nb")
     return (
         a.join(b, "cluster_id")
         .filter(F.col("a_id") < F.col("b_id"))

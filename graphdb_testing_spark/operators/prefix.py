@@ -77,16 +77,19 @@ def _ranged_with_pid(df: DataFrame, order_exprs, num_partitions: int | None):
     expressions, to descending value ranges) — so ``_pid`` order IS
     global order, the invariant every helper below builds on.
 
-    The result is ``persist``-ed: every helper consumes it in TWO
-    branches (local ranks + per-partition bases), and joining them on
-    ``_pid`` is only sound if both branches see the SAME sampled range
-    boundaries.  A cached Dataset pins one materialization (both
-    subtrees resolve to the same InMemoryRelation, whose range
+    The result is LAZILY localCheckpoint-ed: every helper consumes it
+    in TWO branches (local ranks + per-partition bases), and joining
+    them on ``_pid`` is only sound if both branches see the SAME
+    sampled range boundaries.  The checkpoint pins one materialization
+    (both subtrees read the one checkpointed RDD, whose range
     boundaries are fixed at first computation) without relying on
     exchange-reuse deduplicating two identical shuffles — which
-    ``spark.sql.exchange.reuse=false`` would silently break — and,
-    unlike ``localCheckpoint``, stays LAZY: no extra eager job per
-    helper call."""
+    ``spark.sql.exchange.reuse=false`` would silently break.
+    ``eager=False`` keeps it job-free until the consumer runs, and —
+    unlike a bare ``persist()``, which pins a CacheManager entry until
+    an explicit unpersist — checkpointed RDD blocks are freed by the
+    ContextCleaner once the Dataset is garbage-collected, so repeated
+    helper calls in a long session do not accumulate storage."""
     spark = df.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -94,7 +97,7 @@ def _ranged_with_pid(df: DataFrame, order_exprs, num_partitions: int | None):
     return (
         df.repartitionByRange(n, *order_exprs)
         .withColumn("_pid", F.spark_partition_id())
-        .persist(),
+        .localCheckpoint(eager=False),
         n,
     )
 

@@ -1167,7 +1167,8 @@ aedges AS (
   JOIN active a ON e.src = a.id JOIN active b ON e.dst = b.id
 ),
 bfsr(id, dist) AS (
-  SELECT (SELECT MIN(src) FROM aedges), 0
+  SELECT src, 0 FROM (SELECT MIN(src) AS src FROM aedges)
+  WHERE src IS NOT NULL
   UNION
   SELECT e.dst, r.dist + 1 FROM aedges e JOIN bfsr r ON e.src = r.id
   WHERE r.dist < 32
@@ -1196,7 +1197,11 @@ def q_typed_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .localCheckpoint()
     )
-    source = int(sub.agg(F.min("src").alias("s")).collect()[0]["s"])
-    return bfs(sub, source, max_depth=32).select(
+    src_row = sub.agg(F.min("src").alias("s")).collect()[0]["s"]
+    if src_row is None:
+        # no active-active edge anywhere: both engines return empty
+        # (the oracle's seed row is NULL-guarded the same way)
+        return spark.createDataFrame([], "id long, dist long")
+    return bfs(sub, int(src_row), max_depth=32).select(
         "id", F.col("dist").cast("long").alias("dist")
     )

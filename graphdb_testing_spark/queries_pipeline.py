@@ -676,19 +676,31 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k-means assignment round (deterministic centroids, broadcast)
 # ---------------------------------------------------------------------------
 
-_KMEANS_ORACLE = """
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+#: Shared k-means assignment CTE (k=8, deterministic min-id centroid
+#: seeds, round-6 Euclidean, smallest-cluster-id tie-break) — the ONE
+#: statement of the assignment semantics, composed into both the
+#: kmeans_assign oracle and the SemDeDup oracles so they can never
+#: silently diverge.
+_KMEANS_ASG_CTE = """
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cluster_id, v AS c FROM base ORDER BY vec_id LIMIT 8),
-d AS (
-  SELECT b.vec_id, c.cluster_id,
+kmd AS (
+  SELECT b.vec_id, b.v, c.cluster_id,
          ROUND(list_distance(b.v, c.c), 6) AS dist
   FROM base b CROSS JOIN cent c
+),
+asg AS (
+  SELECT vec_id, v, cluster_id, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster_id) AS rn
+    FROM kmd
+  ) WHERE rn = 1
 )
-SELECT vec_id, cluster_id, dist FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                               ORDER BY dist, cluster_id) AS rn
-  FROM d
-) WHERE rn = 1
+"""
+
+_KMEANS_ORACLE = f"""
+WITH {_KMEANS_ASG_CTE.strip()}
+SELECT vec_id, cluster_id, dist FROM asg
 """
 
 
@@ -2781,21 +2793,8 @@ def q_ivf_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup: k-means-cluster-blocked semantic near-duplication
 # ---------------------------------------------------------------------------
 
-_SEMDEDUP_ASG_CTE = """
-base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (SELECT vec_id AS cluster_id, v AS c FROM base ORDER BY vec_id LIMIT 8),
-dd AS (
-  SELECT b.vec_id, b.v, c.cluster_id,
-         ROUND(list_distance(b.v, c.c), 6) AS dist
-  FROM base b CROSS JOIN cent c
-),
-asg AS (
-  SELECT vec_id, v, cluster_id FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY dist, cluster_id) AS rn
-    FROM dd
-  ) WHERE rn = 1
-),
+_SEMDEDUP_ASG_CTE = f"""
+{_KMEANS_ASG_CTE.strip()},
 sem_pairs AS (
   SELECT a.cluster_id, a.vec_id AS a_id, b.vec_id AS b_id,
          ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
