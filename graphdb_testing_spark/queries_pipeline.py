@@ -2859,3 +2859,55 @@ def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source leakage matrix: near-dup pairs straddling corpus sources
+# ---------------------------------------------------------------------------
+
+_LEAKAGE_ORACLE = f"""
+WITH mh_pairs AS ({_minhash_oracle().strip()}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(sa.source, sb.source) AS source_a,
+       GREATEST(sa.source, sb.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN p.jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_strong
+FROM mh_pairs p
+JOIN src sa ON sa.doc_id = p.a_id
+JOIN src sb ON sb.doc_id = p.b_id
+GROUP BY 1, 2
+"""
+
+
+@register("cross_source_leakage", _LEAKAGE_ORACLE)
+def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate LEAKAGE matrix across corpus sources: MinHash+LSH
+    candidate pairs rolled up by unordered (source, source) pair, with
+    the strong-pair count (exact Jaccard ≥ 0.5).  Off-diagonal rows
+    (source_a ≠ source_b) are cross-source duplication — the
+    train/eval contamination signal a split-by-source pipeline must
+    audit before trusting held-out metrics.  Composes the registered
+    LSH pipeline (banded equi-join, never all-pairs) with one
+    broadcastable source-dim join and a tiny grouped rollup."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(docs)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(dedup.minhash_signatures(sh)))
+    pairs = dedup.jaccard_for_pairs(sh, cand)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum((F.col("jaccard") >= 0.5).cast("long"))
+            .cast("long")
+            .alias("n_strong"),
+        )
+    )
