@@ -2911,3 +2911,86 @@ def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_strong"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid drift: pairwise cosine between embedding-slice means
+# ---------------------------------------------------------------------------
+
+_CENTROID_DRIFT_ORACLE = """
+WITH sums AS (
+  SELECT label, i.i AS dim,
+         SUM(CAST(FLOOR(1024 * embedding[i.i]) AS BIGINT)) AS s
+  FROM embeddings, (SELECT UNNEST(generate_series(1, 64)) AS i) i
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT label, SQRT(SUM(CAST(s AS DOUBLE) * s)) AS nrm
+  FROM sums GROUP BY label
+),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         SUM(CAST(a.s AS DOUBLE) * b.s) AS dp
+  FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT CAST(d.label_a AS BIGINT) AS label_a,
+       CAST(d.label_b AS BIGINT) AS label_b,
+       ROUND(d.dp / (na.nrm * nb.nrm), 6) AS centroid_cosine
+FROM dots d
+JOIN norms na ON na.label = d.label_a
+JOIN norms nb ON nb.label = d.label_b
+"""
+
+
+@register("label_centroid_drift", _CENTROID_DRIFT_ORACLE)
+def q_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between the CENTROIDS of each label's embedding
+    slice — the distribution-shift audit between corpus partitions
+    (slices whose centroids drift apart need separate mixing weights;
+    scale invariance means cosine of the integerized per-dim SUMS
+    equals cosine of the means, so no float division by counts and
+    every quantity is an exact ≤2^53 integer sum — order-independent
+    and hash-identical across engines).
+
+    Scale shape: one posexplode + (label, dim) partial-agg (the only
+    big shuffle, keyed on a tiny domain), then a dim-keyed self-join
+    of the k×64-row sum table — everything after the first aggregate
+    is constant-size."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    sums = (
+        emb.select("label", F.posexplode("embedding").alias("d0", "x"))
+        .groupBy(F.col("label"), (F.col("d0") + 1).alias("dim"))
+        .agg(
+            F.sum(F.floor(F.lit(1024) * F.col("x")).cast("long")).alias("s")
+        )
+        .localCheckpoint()
+    )
+    norms = sums.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("s").cast("double") * F.col("s"))).alias("nrm")
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), "dim", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), "dim", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa").cast("double") * F.col("sb")).alias("dp"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            F.col("label_a").cast("long").alias("label_a"),
+            F.col("label_b").cast("long").alias("label_b"),
+            F.round(F.col("dp") / (F.col("na") * F.col("nb")), 6).alias(
+                "centroid_cosine"
+            ),
+        )
+    )
