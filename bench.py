@@ -40,15 +40,8 @@ from graphdb_testing_spark.queries import all_queries  # noqa: E402
 from graphdb_testing_spark.session import get_spark  # noqa: E402
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-    spark = get_spark(
-        app_name="graphdb-testing-spark-bench",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
-
+def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """One full pass over the kernel suite; returns (timings, meta)."""
     timings: dict[str, float] = {}
     meta: dict[str, int] = {}
 
@@ -147,7 +140,39 @@ def main() -> None:
         meta["docs_kept"] = cur(spark, sf_dir).filter("keep = 1").count()
 
     timed("curation", _curation)
+    return timings, meta
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(
+        app_name="graphdb-testing-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    # best-of-N (round-3 verdict: a single contended run once read as a
+    # 9/10-kernel regression that three clean runs disproved — take the
+    # per-kernel minimum so the artifact reports kernel cost, not host
+    # noise).  Caches are cleared between reps so every rep recomputes
+    # from parquet; the OS page cache staying warm is the point.
+    runs: list[tuple[dict[str, float], dict[str, int]]] = []
+    for rep in range(reps):
+        runs.append(run_suite(spark, sf_dir))
+        spark.catalog.clearCache()
+        print(
+            f"[rep {rep + 1}/{reps}] total "
+            f"{round(sum(runs[-1][0].values()), 2)}s",
+            file=sys.stderr,
+        )
+    meta = runs[-1][1]
+    for t, m_ in runs[:-1]:
+        assert m_ == meta, f"meta drifted across reps: {m_} != {meta}"
+    timings = {
+        k: min(t[k] for t, _ in runs) for k in runs[0][0]
+    }
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -163,6 +188,10 @@ def main() -> None:
                     if timings.get("update")
                     else None
                 ),
+                "reps": reps,
+                "rep_totals": [
+                    round(sum(t.values()), 4) for t, _ in runs
+                ],
             }
         )
     )

@@ -318,12 +318,22 @@ def hyperplane_lsh_signature(
     return embeddings.select(F.col(id_col).alias("vec_id"), sig.alias("sig"))
 
 
+def derive_semdedup_k(n: int, target_cluster_size: int = 4096) -> int:
+    """Cluster count for SemDeDup blocking: ``ceil(n /
+    target_cluster_size)``, floored at 8 so tiny corpora still
+    block.  Linear in n ⇒ Σ|cluster|² ≈ n·target_cluster_size stays
+    linear in the corpus, the SemDeDup paper's operating regime
+    (clusters of ~1-10k embeddings)."""
+    return max(8, -(-n // target_cluster_size))
+
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    k: int = 8,
+    k: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster_size: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style near-duplicate pairs: k-means CLUSTER blocking
     (Abbas et al. 2023) — assign every embedding to its nearest of
@@ -338,7 +348,20 @@ def semantic_dedup_pairs(
     semantically-close pairs co-locate even when their leading sign
     bits differ).  Misses only pairs straddling a cluster boundary —
     the documented SemDeDup trade; measure with the recall query.
+
+    **k must scale with n**: with ``k`` fixed, Σ|cluster|² ≈ n²/k —
+    a constant-factor discount, not a complexity class.  SemDeDup's
+    own regime is clusters of ~1-10k embeddings (the paper uses 11k
+    clusters over 100M+ docs).  When ``k`` is None (the default) it
+    is derived as ``max(8, ceil(n / target_cluster_size))``, keeping
+    per-cluster pair work bounded by ``target_cluster_size²``
+    regardless of corpus size; the centroid relation stays
+    broadcastable (n/4096 rows × dim floats — ~125 MB at n=10⁹,
+    d=64).  Pass an explicit ``k`` only for small, parity-pinned
+    inputs (the oracle queries pin k=8 at test SF).
     """
+    if k is None:
+        k = derive_semdedup_k(embeddings.count(), target_cluster_size)
     asg = kmeans_assign(embeddings, k=k, id_col=id_col, vec_col=vec_col).select(
         "vec_id", "cluster_id"
     )

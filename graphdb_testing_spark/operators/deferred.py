@@ -30,19 +30,76 @@ from pyspark.sql import functions as F
 from ..hashutil import hash_prefix
 
 
+#: preference build contract: the acceptor relation is broadcast into
+#: a nested-loop scoring pass, so it must fit in an executor
+#: broadcast — refuse beyond this many acceptors rather than silently
+#: launch an unbroadcastable O(|P|·|A|) job.
+MAX_ACCEPTORS = 10_000_000
+
+#: expected per-proposer survivors of the threshold pre-filter, as a
+#: multiple of k.  At 8k the per-proposer shortfall probability is
+#: Poisson(8k ≥ k) ≈ 1 - 3e-9 for k=4 — the exact-fallback pass
+#: touches a vanishing fraction of proposers.
+_OVERSAMPLE = 8
+
+
 def _prefs(proposers: DataFrame, acceptors: DataFrame, k: int) -> DataFrame:
     """``(c, rank, s, score)`` — each proposer's top-``k`` acceptors
-    by the pair hash."""
-    pairs = proposers.crossJoin(acceptors)
+    by the pair hash.
+
+    Scale shape (round-3 verdict item 4): the pair score is a uniform
+    32-bit hash, so each proposer's k smallest scores lie w.h.p.
+    under the threshold ``T = 2³²·(OVERSAMPLE·k)/|A|``.  The
+    acceptors are **broadcast** (guarded at :data:`MAX_ACCEPTORS`)
+    into a nested-loop join whose pipelined ``score < T`` filter
+    drops pairs *inside the join stage* — only ~OVERSAMPLE·k rows per
+    proposer ever reach the shuffle/window, never the |P|·|A| cross
+    product.  Proposers unlucky enough to have < k survivors (the
+    Poisson tail) are re-scored against the full acceptor list in an
+    exact second pass, so the result is bit-identical to the
+    unfiltered top-k — the oracle SQL needs no change."""
     score = hash_prefix(
         F.concat_ws("|", F.lit("gs"), F.col("c").cast("string"), F.col("s").cast("string")),
         8,
     )
+    na = acceptors.limit(MAX_ACCEPTORS + 1).count()
+    if na > MAX_ACCEPTORS:
+        raise ValueError(
+            f"deferred_acceptance scores proposers against a broadcast "
+            f"acceptor relation; > {MAX_ACCEPTORS} acceptors would not "
+            f"broadcast — pre-filter or shard the acceptor side first"
+        )
     w = Window.partitionBy("c").orderBy("score", "s")
-    return (
-        pairs.select("c", "s", score.alias("score"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    if na > 4 * _OVERSAMPLE * k:
+        thresh = int((1 << 32) * min(1.0, _OVERSAMPLE * k / na))
+        cand = (
+            proposers.join(
+                F.broadcast(acceptors), score < F.lit(thresh), "inner"
+            )
+            .select("c", "s", score.alias("score"))
+            .localCheckpoint()
+        )
+        # exact fallback: proposers with < k surviving candidates are
+        # re-scored unfiltered (w.h.p. an empty or near-empty set)
+        short = (
+            cand.groupBy("c")
+            .agg(F.count(F.lit(1)).alias("nc"))
+            .filter(F.col("nc") < k)
+            .select("c")
+        )
+        short = proposers.join(short, "c", "semi").unionByName(
+            proposers.join(cand.select("c"), "c", "anti")
+        )
+        full = short.crossJoin(F.broadcast(acceptors)).select(
+            "c", "s", score.alias("score")
+        )
+        cand = cand.join(short, "c", "anti").unionByName(full)
+    else:
+        cand = proposers.crossJoin(F.broadcast(acceptors)).select(
+            "c", "s", score.alias("score")
+        )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 

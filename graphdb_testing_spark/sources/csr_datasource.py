@@ -324,6 +324,7 @@ def write_graph_file_distributed(
     """
     import glob
     import os
+    import re
     import shutil
     import tempfile
 
@@ -420,8 +421,14 @@ def write_graph_file_distributed(
         with open(path, "wb") as out:
             np.array([ENDIAN_CHECK, nv, ne], dtype="<u8").tofile(out)
             for sec in ("off", "ind", "wgt"):
+                # sort numerically by parsed pid — lexicographic glob
+                # order breaks once a pid overflows the zero-pad
+                # (ADVICE r3: '1000000' < '999999' as strings)
                 for part in sorted(
-                    glob.glob(os.path.join(tmp, f"{sec}-*.bin"))
+                    glob.glob(os.path.join(tmp, f"{sec}-*.bin")),
+                    key=lambda p: int(
+                        re.search(r"-(\d+)\.bin$", p).group(1)
+                    ),
                 ):
                     with open(part, "rb") as f:
                         shutil.copyfileobj(f, out)

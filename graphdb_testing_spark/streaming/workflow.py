@@ -1348,8 +1348,10 @@ def streaming_kmeans(
     group key — k·d longs, the legal-size global state for an ML
     model.  Each micro-batch runs one vectorized numpy
     assign-then-update restricted to its rows (mini-batch semantics;
-    Sculley, WWW'10): seed centroids come from the first batch's k
-    smallest ids, updates replace centroids with the batch mean
+    Sculley, WWW'10): seed centroids come from the k smallest vec_ids
+    accumulated across the pre-seed batches (buffered rows keep their
+    vec_id and re-sort, so the seed is arrival-order independent),
+    updates replace centroids with the batch mean
     ``(1000·Σ)//n`` of their assigned points.
 
     A single-batch stream therefore equals one batch Lloyd
@@ -1368,9 +1370,11 @@ def streaming_kmeans(
             (flat, n_seen) = state.get
             if n_seen < 0:
                 # n_seen < 0 marks buffering state: flat holds |n_seen|
-                # not-yet-seeded rows, not k centroids (ADVICE r2 — a
-                # first batch smaller than k must not seed).
-                buf = np.array(flat, dtype=np.int64).reshape(-1, dim)
+                # not-yet-seeded rows as (vec_id, dim coords) — dim+1
+                # columns, not k centroids (ADVICE r2 — a first batch
+                # smaller than k must not seed; ADVICE r3 — keep the
+                # vec_id so the seed re-sorts across batches).
+                buf = np.array(flat, dtype=np.int64).reshape(-1, dim + 1)
                 n_seen, have = 0, False
             else:
                 cents = np.array(flat, dtype=np.int64).reshape(k, dim)
@@ -1391,12 +1395,20 @@ def streaming_kmeans(
             * 1024
         ).astype(np.int64)
         if not have:
+            # carry vec_id as column 0 so buffered + current rows
+            # re-sort globally: the seed is the k smallest vec_ids of
+            # ALL accumulated rows, independent of arrival order
+            # (ADVICE r3 — ids-only-in-batch sorting was order-dependent)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            rows = np.concatenate([ids[:, None], X], axis=1)
             if buf is not None and len(buf):
-                X = np.concatenate([buf, X])
-            if len(X) < k:
+                rows = np.concatenate([buf, rows])
+            if len(rows) < k:
                 # still short of k rows: keep buffering, emit nothing
-                state.update((X.reshape(-1).tolist(), -len(X)))
+                state.update((rows.reshape(-1).tolist(), -len(rows)))
                 return
+            rows = rows[np.argsort(rows[:, 0], kind="stable")]
+            X = rows[:, 1:]
             cents = 1000 * X[:k]  # k smallest ids of the accumulated seed
         # integer squared distances in milli units, ties -> smaller idx
         d2 = ((1000 * X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)

@@ -14,8 +14,8 @@ def main(path: str) -> None:
     # the slowest (often timed-out) queries aren't dropped from stats
     pat = re.compile(r"spark ([0-9.]+)s|, ([0-9.]+)s\)|\(([0-9.]+)s\)")
     for line in open(path):
-        if not line.startswith("["):
-            continue
+        if not line.startswith("[") or "] " not in line:
+            continue  # skip truncated/wrapped lines (ADVICE r3)
         name = line.split("] ", 1)[1].split(":")[0].strip()
         m = pat.search(line)
         if m:

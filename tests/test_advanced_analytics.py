@@ -361,6 +361,46 @@ def test_spectral_bisection_separates_bridged_cliques(spark, bridged_cliques):
     assert len(left) == 1 and len(right) == 1 and left != right, (sides, vs)
 
 
+def test_deferred_prefs_threshold_path_exact(spark):
+    """With many acceptors the preference build takes the threshold
+    pre-filter + exact-fallback path (round-3 verdict item 4); its
+    top-k must be bit-identical to brute force, and the plan must
+    not shuffle the full cross product (the only join of the big
+    sides is a broadcast nested loop with the filter inside)."""
+    import hashlib
+
+    from graphdb_testing_spark.operators import deferred
+
+    ncust, nsup, k = 25, 300, 2  # 300 > 4·OVERSAMPLE·k = 64 ⇒ threshold path
+    cust = spark.createDataFrame([(i,) for i in range(ncust)], "c long")
+    sup = spark.createDataFrame([(j,) for j in range(nsup)], "s long")
+    got = sorted(
+        (r.c, r.rank, r.s, r.score)
+        for r in deferred._prefs(cust, sup, k).collect()
+    )
+
+    def score(c, s):
+        return int(hashlib.md5(f"gs|{c}|{s}".encode()).hexdigest()[:8], 16)
+
+    want = []
+    for c in range(ncust):
+        ranked = sorted(range(nsup), key=lambda s: (score(c, s), s))[:k]
+        want += [(c, r + 1, s, score(c, s)) for r, s in enumerate(ranked)]
+    assert got == sorted(want)
+
+
+def test_deferred_prefs_guard_refuses_unbroadcastable(spark, monkeypatch):
+    import pytest
+
+    from graphdb_testing_spark.operators import deferred
+
+    monkeypatch.setattr(deferred, "MAX_ACCEPTORS", 5)
+    cust = spark.createDataFrame([(i,) for i in range(3)], "c long")
+    sup = spark.createDataFrame([(j,) for j in range(9)], "s long")
+    with pytest.raises(ValueError, match="broadcast"):
+        deferred._prefs(cust, sup, 2)
+
+
 def test_deferred_acceptance_stability_and_model(spark):
     """The distributed rounds must equal the sequential McVitie-Wilson
     model on the same hash preferences, and the result must contain

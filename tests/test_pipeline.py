@@ -445,6 +445,44 @@ def test_semantic_dedup_pairs_subset_of_exact(spark, embeddings):
         assert sim == exact[pair]
 
 
+def test_semdedup_k_scales_with_corpus():
+    """k must grow linearly with n (round-3 verdict item 3): fixed k
+    makes blocking a constant-factor discount, not a complexity
+    class."""
+    assert simsearch.derive_semdedup_k(100) == 8  # floor for tiny inputs
+    assert simsearch.derive_semdedup_k(4096 * 100) == 100
+    assert simsearch.derive_semdedup_k(4096 * 100 + 1) == 101
+    assert (
+        simsearch.derive_semdedup_k(10**9)
+        == -(-(10**9) // 4096)
+        > simsearch.derive_semdedup_k(10**8)
+    )
+    # tighter target ⇒ more clusters
+    assert simsearch.derive_semdedup_k(1000, target_cluster_size=10) == 100
+
+
+def test_semantic_dedup_default_k_derived(spark, embeddings):
+    """k=None derives k from the corpus (floor 8 at 60 rows) and the
+    result still equals the pinned-k run — derivation changes only
+    WHICH k is used, not the semantics."""
+    auto = simsearch.semantic_dedup_pairs(embeddings, threshold=0.6).collect()
+    pinned = simsearch.semantic_dedup_pairs(
+        embeddings, threshold=0.6, k=8
+    ).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
+    # a small target_cluster_size forces k past the floor: more
+    # clusters ⇒ the blocked pair set can only shrink or hold
+    tight = simsearch.semantic_dedup_pairs(
+        embeddings, threshold=0.6, target_cluster_size=5
+    ).collect()
+    assert {(r.a_id, r.b_id) for r in tight} <= {
+        (r.a_id, r.b_id)
+        for r in simsearch.embedding_near_duplicates(
+            embeddings, threshold=0.6
+        ).collect()
+    }
+
+
 def test_semantic_dedup_plan_has_no_cross_join(spark, embeddings):
     plan = simsearch.semantic_dedup_pairs(
         embeddings, threshold=0.6, k=4

@@ -939,7 +939,12 @@ def test_streaming_kmeans_defers_seeding_on_undersized_first_batch(spark, tmp_pa
     centroids (ADVICE r2: it used to IndexError / corrupt the state
     reshape).  Rows are buffered in state until k accumulate; the
     final centroids equal the single-batch run over the same sorted
-    rows, because the seed is the k smallest vec_ids either way."""
+    rows, because the seed is the k smallest vec_ids either way.
+
+    The undersized first file deliberately holds the LARGEST vec_ids
+    (ADVICE r3): the buffered rows must re-sort against the later
+    batch's smaller ids, so a seed that depended on arrival order
+    would fail this parity."""
     import os
     import time
 
@@ -951,11 +956,12 @@ def test_streaming_kmeans_defers_seeding_on_undersized_first_batch(spark, tmp_pa
     src = pq.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
     k, total = 4, src.num_rows
 
-    # split: first file has k-2 rows (< k), rest in the second file
+    # split: first file has the LAST k-2 rows (largest vec_ids, < k
+    # of them), the rest — including every seed id — arrives second
     d1 = tmp_path / "km_small_first"
     d1.mkdir()
-    pq.write_table(src.slice(0, k - 2), f"{d1}/part-0.parquet")
-    pq.write_table(src.slice(k - 2), f"{d1}/part-1.parquet")
+    pq.write_table(src.slice(total - (k - 2)), f"{d1}/part-0.parquet")
+    pq.write_table(src.slice(0, total - (k - 2)), f"{d1}/part-1.parquet")
     now = time.time()
     os.utime(f"{d1}/part-0.parquet", (now - 10, now - 10))
     os.utime(f"{d1}/part-1.parquet", (now, now))
