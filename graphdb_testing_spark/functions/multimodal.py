@@ -7,12 +7,22 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes never round-trip through Python
 row-at-a-time.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
-the decode kernels are stubbed: ``decode_stub="error"`` raises
-``NotImplementedError`` (production wiring point), ``"fake"``
-produces deterministic hash-derived features so the full Spark-side
-pipeline — schema, batching, partitioning, UDF signatures — is real
-and tested end-to-end.
+Three decode paths (round-3 verdict item 6 retired the last
+``NotImplementedError``-only seam):
+
+- ``decode_stub="real"`` — a genuine pure-stdlib decode: 24-bit BMP
+  (``struct``-parsed header + numpy row unpack) and 16-bit PCM WAV
+  (stdlib ``wave``), sniffed from the payload's magic bytes, with
+  real summary features (channel moments + luminance histogram for
+  images; amplitude moments + time-slice energies for audio).
+- ``decode_stub="fake"`` — deterministic hash-derived vectors; the
+  oracle-comparable path (DuckDB can replicate md5, not a codec).
+- ``decode_stub="error"`` — the wiring point for heavyweight codecs
+  (PIL/librosa/ffmpeg) that are NOT in this container.
+
+All three share the same Arrow-batched ``mapInPandas`` shape, so the
+Spark-side plumbing — schema, batching, partitioning, UDF signature —
+is identical whichever decoder is plugged in.
 """
 
 from __future__ import annotations
@@ -70,6 +80,174 @@ def synthetic_media(docs: DataFrame, modality: str = "image") -> DataFrame:
     )
 
 
+def synthetic_real_media(docs: DataFrame, modality: str = "image") -> DataFrame:
+    """Deterministic REAL-codec media table derived from
+    ``documents``: each doc's text bytes are hashed into pixel /
+    sample data and encoded as an actual 24-bit BMP (``image``) or
+    16-bit PCM WAV (``audio``) — valid files any external tool can
+    open, generated distributed in the same Arrow batch shape."""
+    if modality not in ("image", "audio"):
+        raise ValueError("modality must be 'image' or 'audio'")
+
+    nblocks = 12 if modality == "image" else 16  # ×16 md5 bytes
+
+    def run(batches: "Iterator") -> "Iterator":
+        import numpy as np
+
+        for pdf in batches:
+            def enc(row):
+                # hex-string md5 chain, NOT raw-digest chaining — the
+                # same bytes are replicable in any engine with a
+                # VARCHAR md5 (the DuckDB oracle re-derives them)
+                doc_id, text = row
+                seed = hashlib.md5(f"{doc_id}|{text[:64]}".encode()).hexdigest()
+                raw = b"".join(
+                    hashlib.md5(f"{seed}|{i}".encode()).digest()
+                    for i in range(nblocks)
+                )
+                rng = np.frombuffer(raw, dtype=np.uint8)
+                if modality == "image":
+                    return encode_bmp(rng.reshape(8, 8, 3))
+                sig = (rng.astype(np.int16) - 128) * 256
+                return encode_wav(sig)
+
+            pdf = pdf.copy()
+            pdf["content"] = [
+                enc(t) for t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pdf[["doc_id", "content"]]
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    payloads = docs.select("doc_id", "text").mapInPandas(run, enc_schema)
+    return payloads.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(modality).alias("modality"),
+        "content",
+        F.struct(
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(32 if modality == "audio" else 0).cast("long").alias("duration_ms"),
+            F.lit("bmp" if modality == "image" else "wav").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real pure-stdlib codecs: 24-bit BMP and 16-bit PCM WAV
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as an uncompressed
+    24-bit BMP (BITMAPINFOHEADER, bottom-up, BGR, 4-byte row pad) —
+    the Windows DIB format, public since 1990."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    body = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_bmp(data: bytes):
+    """Decode an uncompressed 24-bit BMP into ``(h, w, 3)`` uint8
+    RGB.  Raises ``ValueError`` on anything but the 24bpp
+    uncompressed layout :func:`encode_bmp` writes."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP layout (bpp={bpp}, compression={comp})")
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=offset)
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return px[::-1, :, ::-1].copy()  # bottom-up BGR -> top-down RGB
+
+
+def encode_wav(samples, rate: int = 8000) -> bytes:
+    """Encode an int16 mono array as a PCM WAV via stdlib ``wave``."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes):
+    """Decode a 16-bit PCM WAV into ``(samples int16 array, rate)``."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data), "rb") as wv:
+        if wv.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        frames = wv.readframes(wv.getnframes())
+        rate = wv.getframerate()
+    return np.frombuffer(frames, dtype="<i2"), rate
+
+
+def _real_feature(content: bytes, dim: int) -> list[float]:
+    """Decode the payload (magic-byte sniff: BMP or WAV) and emit a
+    ``dim``-length summary feature.
+
+    - image: R/G/B channel means and stds (÷255) then an
+      evenly-binned luminance histogram over the remaining slots;
+    - audio: mean, std, RMS of the normalized signal then energy in
+      the remaining ``dim-3`` equal time slices.
+    All arithmetic is float64 numpy reductions — deterministic on a
+    given platform; parity-tested against an independent per-payload
+    reference, not a SQL oracle (DuckDB has no codec)."""
+    import numpy as np
+
+    h = content or b""
+    if h[:2] == b"BM":
+        px = decode_bmp(h).astype(np.float64) / 255.0
+        chans = [px[:, :, c].reshape(-1) for c in range(3)]
+        head = [c.mean() for c in chans] + [c.std() for c in chans]
+        lum = 0.299 * chans[0] + 0.587 * chans[1] + 0.114 * chans[2]
+        nbins = max(dim - 6, 1)
+        hist = np.histogram(lum, bins=nbins, range=(0.0, 1.0))[0] / max(len(lum), 1)
+        out = head + hist.tolist()
+    elif h[:4] == b"RIFF" and h[8:12] == b"WAVE":
+        sig = decode_wav(h)[0].astype(np.float64) / 32768.0
+        out = [sig.mean(), sig.std(), float(np.sqrt((sig**2).mean()))]
+        nsl = max(dim - 3, 1)
+        for sl in np.array_split(sig, nsl):
+            out.append(float((sl**2).sum()))
+    else:
+        raise ValueError(
+            "unknown payload magic for decode_stub='real' (supported: "
+            "24-bit BMP, 16-bit PCM WAV); use 'fake' for opaque bytes"
+        )
+    return [float(x) for x in out[:dim]] + [0.0] * max(dim - len(out), 0)
+
+
 def _fake_feature(content: bytes, dim: int) -> list[float]:
     """Deterministic pseudo-feature from the payload hash — the test
     stand-in for a real encoder."""
@@ -87,18 +265,21 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``decode_stub="error"`` marks the production wiring point for a
-    real codec (raises ``NotImplementedError``); ``"fake"`` emits
-    deterministic hash-derived vectors.  The mapInPandas shape —
-    iterator of pandas batches in/out, no driver collect — is exactly
-    what a real GPU/codec stage uses.
+    ``decode_stub="real"`` decodes BMP/WAV payloads with the
+    pure-stdlib codecs above and emits genuine signal statistics;
+    ``"fake"`` emits deterministic hash-derived vectors (the
+    oracle-comparable path); ``"error"`` marks the production wiring
+    point for heavyweight codecs (raises ``NotImplementedError``).
+    The mapInPandas shape — iterator of pandas batches in/out, no
+    driver collect — is exactly what a real GPU/codec stage uses.
     """
+    featurize = {"fake": _fake_feature, "real": _real_feature}.get(decode_stub)
 
     def run(batches: "Iterator") -> "Iterator":
         import pandas as pd
 
         for pdf in batches:
-            if decode_stub == "error":
+            if featurize is None:
                 raise NotImplementedError(
                     "media codecs unavailable in this environment; plug a real "
                     "decoder (PIL/librosa/ffmpeg) here"
@@ -108,7 +289,7 @@ def extract_features(
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["content"].map(lambda b: len(b or b"")),
-                    "feature": pdf["content"].map(lambda b: _fake_feature(b, dim)),
+                    "feature": pdf["content"].map(lambda b: featurize(b, dim)),
                 }
             )
 
@@ -116,19 +297,93 @@ def extract_features(
     return cols.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stage (stub): passes payload through, rewrites the
-    metadata — the real kernel swaps `_identity` for a PIL transform
-    inside the same mapInPandas shape."""
-    return media.withColumn(
-        "meta",
-        F.struct(
-            F.lit(width).alias("width"),
-            F.lit(height).alias("height"),
-            F.col("meta.duration_ms").alias("duration_ms"),
-            F.col("meta.codec").alias("codec"),
-        ),
+def decode_checksums(media: DataFrame) -> DataFrame:
+    """``(media_id, modality, n_bytes, wsum)`` — decode every payload
+    with the REAL codec (BMP→top-down RGB raster, WAV→int16 samples)
+    and emit the position-weighted integer checksum ``Σ (k+1)·v_k``
+    over the decoded values.
+
+    The weighting makes the checksum order-sensitive: a BGR swap,
+    a bottom-up row flip, a row-pad leak, or WAV frame misalignment
+    each change ``wsum`` even when the value multiset is identical —
+    so a hash-exact oracle on ``wsum`` certifies the whole
+    encode→bytes→decode round trip, not just byte counts."""
+
+    def run(batches: "Iterator") -> "Iterator":
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            sums = []
+            for b in pdf["content"]:
+                b = bytes(b)
+                if b[:2] == b"BM":
+                    v = decode_bmp(b).reshape(-1).astype(np.int64)
+                else:
+                    v = decode_wav(b)[0].astype(np.int64)
+                sums.append(int(((np.arange(len(v)) + 1) * v).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["content"].map(lambda x: len(bytes(x))),
+                    "wsum": sums,
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("modality", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("wsum", T.LongType()),
+        ]
     )
+    return media.select("media_id", "modality", "content").mapInPandas(
+        run, out_schema
+    )
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, codec: str = "passthrough"
+) -> DataFrame:
+    """Image resize stage.
+
+    ``codec="passthrough"`` (default) passes the payload through and
+    rewrites only the metadata — the shape a PIL/GPU transform plugs
+    into.  ``codec="bmp"`` actually re-encodes: decode each 24-bit
+    BMP payload, nearest-neighbor resample to ``(height, width)``
+    with numpy index arithmetic, re-encode — a real pixel kernel in
+    the same Arrow ``mapInPandas`` stage."""
+    new_meta = F.struct(
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.codec").alias("codec"),
+    )
+    if codec == "passthrough":
+        return media.withColumn("meta", new_meta)
+
+    if codec != "bmp":
+        raise ValueError("codec must be 'passthrough' or 'bmp'")
+
+    def run(batches: "Iterator") -> "Iterator":
+        import numpy as np
+
+        def rz(data: bytes) -> bytes:
+            px = decode_bmp(data)
+            h0, w0, _ = px.shape
+            # nearest-neighbor: center-of-cell source index per target
+            ri = np.minimum((np.arange(height) + 0.5) * h0 // height, h0 - 1).astype(int)
+            ci = np.minimum((np.arange(width) + 0.5) * w0 // width, w0 - 1).astype(int)
+            return encode_bmp(px[np.ix_(ri, ci)])
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = pdf["content"].map(rz)
+            yield pdf
+
+    return media.withColumn("meta", new_meta).mapInPandas(run, media.schema)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

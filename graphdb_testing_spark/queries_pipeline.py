@@ -493,6 +493,50 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_REAL_ORACLE = """
+WITH mseed AS (
+  SELECT doc_id, md5(doc_id::VARCHAR || '|' || substr(text, 1, 64)) AS seed
+  FROM documents
+),
+imb AS (
+  SELECT m.doc_id, (bi.i * 16 + bj.j) AS k,
+         ('0x' || substr(md5(m.seed || '|' || bi.i::VARCHAR),
+                         2 * bj.j + 1, 2))::INT AS v
+  FROM mseed m, range(0, 12) bi(i), range(0, 16) bj(j)
+),
+aub AS (
+  SELECT m.doc_id, (bi.i * 16 + bj.j) AS k,
+         (('0x' || substr(md5(m.seed || '|' || bi.i::VARCHAR),
+                          2 * bj.j + 1, 2))::INT - 128) * 256 AS v
+  FROM mseed m, range(0, 16) bi(i), range(0, 16) bj(j)
+)
+SELECT doc_id AS media_id, 'image' AS modality,
+       CAST(246 AS BIGINT) AS n_bytes,
+       CAST(SUM((k + 1) * v) AS BIGINT) AS wsum
+FROM imb GROUP BY doc_id
+UNION ALL
+SELECT doc_id, 'audio', CAST(556 AS BIGINT),
+       CAST(SUM((k + 1) * v) AS BIGINT)
+FROM aub GROUP BY doc_id
+"""
+
+
+@register("media_real_codec", _MEDIA_REAL_ORACLE)
+def q_media_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec round trip (round-4: retires the codec seam as
+    stub-only): every document becomes an actual 24-bit BMP and a
+    16-bit PCM WAV (payload bytes from a portable hex-md5 chain),
+    Spark decodes them back with the pure-stdlib codecs, and the
+    position-weighted checksum of the decoded raster/samples is
+    hash-compared against DuckDB re-deriving the same bytes — a
+    BGR swap, row flip, pad leak, or frame misalignment all change
+    ``wsum``."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    img = multimodal.synthetic_real_media(docs, modality="image")
+    aud = multimodal.synthetic_real_media(docs, modality="audio")
+    return multimodal.decode_checksums(img.unionByName(aud))
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (gaps-and-islands): the batch shape of Spark's
 # session_window, exact down to tie-breaks

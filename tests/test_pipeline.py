@@ -214,6 +214,83 @@ def test_multimodal_decode_stub_raises(spark, docs):
     )
 
 
+def test_bmp_wav_roundtrip_exact():
+    """The pure-stdlib codecs are real: encode→decode is the
+    identity, including the BMP bottom-up/BGR/row-pad dance at a
+    non-multiple-of-4 width."""
+    import numpy as np
+
+    px = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(5, 3, 3)  # w=3 ⇒ padded rows
+    data = multimodal.encode_bmp(px)
+    assert data[:2] == b"BM"
+    assert np.array_equal(multimodal.decode_bmp(data), px)
+
+    sig = (np.arange(-50, 50, dtype=np.int16)) * 300
+    wav = multimodal.encode_wav(sig, rate=8000)
+    out, rate = multimodal.decode_wav(wav)
+    assert rate == 8000 and np.array_equal(out, sig)
+
+
+def test_multimodal_real_codec_features(spark, docs):
+    """decode_stub='real' actually decodes the payload: features
+    match an independent per-payload reference computed driver-side
+    from the same bytes, for both BMP and WAV payloads."""
+    import numpy as np
+
+    for modality in ("image", "audio"):
+        media = multimodal.synthetic_real_media(docs, modality=modality)
+        rows = media.collect()
+        # the payloads are REAL files: stdlib decoders open them
+        for r in rows:
+            if modality == "image":
+                assert multimodal.decode_bmp(bytes(r.content)).shape == (8, 8, 3)
+            else:
+                assert len(multimodal.decode_wav(bytes(r.content))[0]) == 256
+        feats = {
+            r.media_id: r
+            for r in multimodal.extract_features(
+                media, dim=16, decode_stub="real"
+            ).collect()
+        }
+        for r in rows:
+            want = multimodal._real_feature(bytes(r.content), 16)
+            got = feats[r.media_id]
+            assert got.n_bytes == len(bytes(r.content))
+            assert np.allclose(got.feature, want, atol=1e-6), (
+                modality,
+                r.media_id,
+            )
+
+
+def test_multimodal_real_codec_rejects_opaque_bytes(spark, docs):
+    media = multimodal.synthetic_media(docs)  # text bytes, no magic
+    with pytest.raises(Exception) as exc:
+        multimodal.extract_features(media, decode_stub="real").collect()
+    assert "unknown payload magic" in str(exc.value)
+
+
+def test_resize_bmp_real_kernel(spark, docs):
+    """codec='bmp' re-encodes: output payloads decode to the target
+    dims and equal the numpy nearest-neighbor reference."""
+    import numpy as np
+
+    media = multimodal.synthetic_real_media(docs, modality="image")
+    out = {
+        r.media_id: r
+        for r in multimodal.resize_images(media, 4, 6, codec="bmp").collect()
+    }
+    for r in media.collect():
+        px = multimodal.decode_bmp(bytes(r.content))
+        ri = np.minimum((np.arange(6) + 0.5) * 8 // 6, 7).astype(int)
+        ci = np.minimum((np.arange(4) + 0.5) * 8 // 4, 7).astype(int)
+        want = px[np.ix_(ri, ci)]
+        got = multimodal.decode_bmp(bytes(out[r.media_id].content))
+        assert got.shape == (6, 4, 3)
+        assert np.array_equal(got, want)
+        assert out[r.media_id].meta.width == 4
+        assert out[r.media_id].meta.height == 6
+
+
 def test_frame_sampling(spark, docs):
     media = multimodal.synthetic_media(docs, modality="video")
     frames = multimodal.sample_frames(media, every_ms=100)
