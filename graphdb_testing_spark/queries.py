@@ -93,16 +93,13 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # connected components (kernel 2)
 # ---------------------------------------------------------------------------
 
+# bounded-round label propagation with pointer jumping + convergence
+# poison guard (oracles.cc_bounded_ctes) — the old transitive-closure
+# ``reach`` CTE was exact but O(|V|·|E|), timing out past sf0.01
 _CC_ORACLE = oracles.with_edges(
-    body="SELECT id, MIN(label) AS label FROM reach GROUP BY id",
-    extra_ctes="""
-reach(id, label) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id
+    body="SELECT id, label FROM lab",
+    extra_ctes=oracles.cc_bounded_ctes("edges"),
 )
-""",
-).replace("WITH ", "WITH RECURSIVE ", 1)
 
 
 @register("connected_components", _CC_ORACLE)
@@ -119,9 +116,8 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "component_count",
     _CC_ORACLE.replace(
-        "SELECT id, MIN(label) AS label FROM reach GROUP BY id",
-        "SELECT COUNT(DISTINCT label) AS n_components FROM "
-        "(SELECT id, MIN(label) AS label FROM reach GROUP BY id)",
+        "SELECT id, label FROM lab",
+        "SELECT COUNT(DISTINCT label) AS n_components FROM lab",
     ),
 )
 def q_component_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,11 +325,18 @@ def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:
-    ctes = ["s0 AS (SELECT DISTINCT src AS id FROM user_edges)"]
+    # ue AS MATERIALIZED: without it DuckDB re-inlines the user_edges
+    # events-self-join into every peel round's two joins (16 rebuilds
+    # at rounds=8) — the whole reason this oracle used to blow the
+    # sf0.1 watchdog despite being round-bounded
+    ctes = [
+        "ue AS MATERIALIZED (SELECT src, dst FROM user_edges)",
+        "s0 AS (SELECT DISTINCT src AS id FROM ue)",
+    ]
     for i in range(1, rounds + 1):
         ctes.append(
-            f"""s{i} AS (
-  SELECT e.src AS id FROM user_edges e
+            f"""s{i} AS MATERIALIZED (
+  SELECT e.src AS id FROM ue e
   JOIN s{i - 1} a ON e.src = a.id
   JOIN s{i - 1} b ON e.dst = b.id
   GROUP BY e.src HAVING COUNT(*) >= {k})"""

@@ -27,36 +27,42 @@ def _brandes_oracle(n_roots: int = _N_ROOTS, levels: int = _LEVELS) -> str:
     root level.  Valid while the true BFS depth from every root is
     < ``levels`` (asserted by the engine side using the same bound).
     """
+    # every level CTE is MATERIALIZED: l{i}/v{i}/d{i} chain and are
+    # referenced 2-3× each, so DuckDB's default inlining re-expands
+    # the whole prefix per reference (the old sf0.1 watchdog
+    # timeout), and ``ue`` stops the events self-join from being
+    # rebuilt at every level
     ctes = [
-        f"roots AS (SELECT src AS root FROM user_edges GROUP BY src"
+        "ue AS MATERIALIZED (SELECT src, dst FROM user_edges)",
+        f"roots AS (SELECT src AS root FROM ue GROUP BY src"
         f" ORDER BY src LIMIT {n_roots})",
         "l0 AS (SELECT root, root AS id, 1e0 AS sigma FROM roots)",
         "v0 AS (SELECT root, id FROM l0)",
     ]
     for i in range(1, levels):
         ctes.append(
-            f"""l{i} AS (
+            f"""l{i} AS MATERIALIZED (
   SELECT f.root, f.id, f.sigma FROM (
     SELECT l.root, e.dst AS id, SUM(l.sigma) AS sigma
-    FROM user_edges e JOIN l{i - 1} l ON e.src = l.id
+    FROM ue e JOIN l{i - 1} l ON e.src = l.id
     GROUP BY l.root, e.dst
   ) f LEFT JOIN v{i - 1} v ON v.root = f.root AND v.id = f.id
   WHERE v.id IS NULL)"""
         )
         ctes.append(
-            f"v{i} AS (SELECT root, id FROM v{i - 1}"
+            f"v{i} AS MATERIALIZED (SELECT root, id FROM v{i - 1}"
             f" UNION ALL SELECT root, id FROM l{i})"
         )
     last = levels - 1
     ctes.append(f"d{last} AS (SELECT root, id, sigma, 0e0 AS delta FROM l{last})")
     for i in range(last - 1, -1, -1):
         ctes.append(
-            f"""d{i} AS (
+            f"""d{i} AS MATERIALIZED (
   SELECT p.root, p.id, p.sigma, COALESCE(s.dep, 0e0) AS delta
   FROM l{i} p LEFT JOIN (
     SELECT p2.root, p2.id, SUM(p2.sigma / c.sigma * (1e0 + c.delta)) AS dep
     FROM l{i} p2
-    JOIN user_edges e ON p2.id = e.src
+    JOIN ue e ON p2.id = e.src
     JOIN d{i + 1} c ON c.root = p2.root AND c.id = e.dst
     GROUP BY p2.root, p2.id
   ) s ON s.root = p.root AND s.id = p.id)"""
@@ -2050,16 +2056,11 @@ def _robust_level_sql(denom: int) -> str:
 kept{denom} AS MATERIALIZED (
   SELECT u, v FROM upairs_d WHERE {h} % {denom} = 0
 ),
-ke{denom} AS (
+ke{denom} AS MATERIALIZED (
   SELECT u AS src, v AS dst FROM kept{denom}
   UNION ALL SELECT v, u FROM kept{denom}
 ),
-reach{denom}(id, label) AS (
-  SELECT src, src FROM ke{denom}
-  UNION
-  SELECT e.dst, r.label FROM ke{denom} e JOIN reach{denom} r ON e.src = r.id
-),
-lab{denom} AS (SELECT id, MIN(label) AS label FROM reach{denom} GROUP BY id),
+{oracles.cc_bounded_ctes(f"ke{denom}", suffix=str(denom))},
 sizes{denom} AS (SELECT label, COUNT(*) AS c FROM lab{denom} GROUP BY label),
 row{denom} AS (
   SELECT CAST({denom} AS BIGINT) AS inv_p,
@@ -2480,14 +2481,9 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
     extra_ctes="""
 ued AS MATERIALIZED (SELECT DISTINCT src, dst FROM user_edges),
 deg AS (SELECT src AS id, COUNT(*) AS d FROM ued GROUP BY src),
-reach(id, label) AS (
-  SELECT src, src FROM ued
-  UNION
-  SELECT e.dst, r.label FROM ued e JOIN reach r ON e.src = r.id
-),
-lab AS (SELECT id, MIN(label) AS label FROM reach GROUP BY id)
-""",
-).replace("WITH ", "WITH RECURSIVE ", 1)
+"""
+    + oracles.cc_bounded_ctes("ued"),
+)
 
 
 @register("eulerian_check", _EULER_ORACLE)
@@ -3230,36 +3226,42 @@ def _edge_brandes_oracle(n_roots: int = _N_ROOTS, levels: int = _LEVELS) -> str:
     """Per-edge Brandes dependency sums: the same forward/backward
     unroll as :func:`_brandes_oracle`, but the backward terms are
     collected per DAG edge before the vertex aggregation."""
+    # every level CTE is MATERIALIZED: l{i}/v{i}/d{i} chain and are
+    # referenced 2-3× each, so DuckDB's default inlining re-expands
+    # the whole prefix per reference (the old sf0.1 watchdog
+    # timeout), and ``ue`` stops the events self-join from being
+    # rebuilt at every level
     ctes = [
-        f"roots AS (SELECT src AS root FROM user_edges GROUP BY src"
+        "ue AS MATERIALIZED (SELECT src, dst FROM user_edges)",
+        f"roots AS (SELECT src AS root FROM ue GROUP BY src"
         f" ORDER BY src LIMIT {n_roots})",
         "l0 AS (SELECT root, root AS id, 1e0 AS sigma FROM roots)",
         "v0 AS (SELECT root, id FROM l0)",
     ]
     for i in range(1, levels):
         ctes.append(
-            f"""l{i} AS (
+            f"""l{i} AS MATERIALIZED (
   SELECT f.root, f.id, f.sigma FROM (
     SELECT l.root, e.dst AS id, SUM(l.sigma) AS sigma
-    FROM user_edges e JOIN l{i - 1} l ON e.src = l.id
+    FROM ue e JOIN l{i - 1} l ON e.src = l.id
     GROUP BY l.root, e.dst
   ) f LEFT JOIN v{i - 1} v ON v.root = f.root AND v.id = f.id
   WHERE v.id IS NULL)"""
         )
         ctes.append(
-            f"v{i} AS (SELECT root, id FROM v{i - 1}"
+            f"v{i} AS MATERIALIZED (SELECT root, id FROM v{i - 1}"
             f" UNION ALL SELECT root, id FROM l{i})"
         )
     last = levels - 1
     ctes.append(f"d{last} AS (SELECT root, id, sigma, 0e0 AS delta FROM l{last})")
     for i in range(last - 1, -1, -1):
         ctes.append(
-            f"""d{i} AS (
+            f"""d{i} AS MATERIALIZED (
   SELECT p.root, p.id, p.sigma, COALESCE(s.dep, 0e0) AS delta
   FROM l{i} p LEFT JOIN (
     SELECT p2.root, p2.id, SUM(p2.sigma / c.sigma * (1e0 + c.delta)) AS dep
     FROM l{i} p2
-    JOIN user_edges e ON p2.id = e.src
+    JOIN ue e ON p2.id = e.src
     JOIN d{i + 1} c ON c.root = p2.root AND c.id = e.dst
     GROUP BY p2.root, p2.id
   ) s ON s.root = p.root AND s.id = p.id)"""

@@ -1,14 +1,16 @@
 """Kernel benchmark on the reference's own graph scales.
 
-Generates the R-MAT graph the reference benchmarks (SCALE 10/15/20 =
-tiny/small/medium, edge factor 8), runs the four kernels with the
-reference's parameters, and prints one RSLT-shaped JSON line directly
-comparable with ``BASELINE.md`` rows (update count: 100K actions for
-tiny/small, 1M for medium, like ``run_tests.sh``).
+Generates the R-MAT graph the reference benchmarks (SCALE 10/15/20/24
+= tiny/small/medium/large, edge factor 8; ``large22`` is the halfway
+SCALE-22 step), runs the four kernels with the reference's
+parameters, and prints one RSLT-shaped JSON line directly comparable
+with ``BASELINE.md`` rows (update count: 100K actions for tiny/small,
+1M for medium/large, like ``run_tests.sh``; the reference's large
+results live in ``results/*.{stinger,giraph,pegasus}.large``).
 
 Usage::
 
-    python scripts/bench_rmat.py [tiny|small|medium]
+    python scripts/bench_rmat.py [tiny|small|medium|large22|large]
 """
 
 from __future__ import annotations
@@ -33,7 +35,13 @@ from graphdb_testing_spark.sources.rmat import (  # noqa: E402
     rmat_graph,
 )
 
-SCALES = {"tiny": (10, 100_000), "small": (15, 100_000), "medium": (20, 1_000_000)}
+SCALES = {
+    "tiny": (10, 100_000),
+    "small": (15, 100_000),
+    "medium": (20, 1_000_000),
+    "large22": (22, 1_000_000),
+    "large": (24, 1_000_000),  # the reference's large graph: 2^24 v, 134M dir. edges
+}
 
 #: Expected kernel invariants per size (seeded R-MAT → fully
 #: deterministic).  The bench doubles as a scale regression gate: a
@@ -57,6 +65,8 @@ EXPECTED: dict[str, dict[str, int]] = {
         "edges_after_update": 663426,
     },
     "medium": {},
+    "large22": {},
+    "large": {},
 }
 
 

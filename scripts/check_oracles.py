@@ -45,6 +45,13 @@ def main() -> int:
         },
     )
     con = duckdb.connect()
+    import os as _os
+
+    nthreads = _os.environ.get("ORACLE_DUCK_THREADS")
+    if nthreads:
+        # cap DuckDB's core usage so a long high-watchdog sweep can
+        # share the host with a timed bench run
+        con.execute(f"SET threads = {int(nthreads)}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
