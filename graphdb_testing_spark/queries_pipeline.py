@@ -1434,6 +1434,32 @@ def _mh_recall_oracle() -> str:
     return _MH_RECALL_ORACLE.replace("{MINHASH}", _minhash_oracle().strip())
 
 
+_REPEATED_SPANS_ORACLE = """
+WITH spans AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(substr(text, i, 32)), 1, 15))::BIGINT AS span_hash
+  FROM (SELECT doc_id, text,
+               UNNEST(range(1, GREATEST(length(text) - 31, 0) + 1, 4)) AS i
+        FROM documents WHERE length(text) >= 32)
+)
+SELECT span_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM spans GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@register("repeated_spans_l32", _REPEATED_SPANS_ORACLE)
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (Lee et al. 2022's
+    exact-substring dedup primitive, span granularity): every 32-char
+    window sampled at stride 4 that appears verbatim in ≥ 2 distinct
+    documents, with document and occurrence counts — the verbatim-
+    boilerplate detector that MinHash (whole-doc similarity) cannot
+    see.  Entirely JVM-side rolling-window explode + hash groupBy."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return dedup.repeated_spans(docs, span_len=32, stride=4, min_docs=2)
+
+
 @register("minhash_recall", _mh_recall_oracle())
 def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the banded MinHash-LSH pipeline against the EXACT

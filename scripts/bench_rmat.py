@@ -16,6 +16,7 @@ Usage::
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -65,7 +66,13 @@ EXPECTED: dict[str, dict[str, int]] = {
         "edges_after_update": 663426,
     },
     "medium": {},
-    "large22": {},
+    "large22": {
+        "nv": 3_738_117,
+        "ne": 65_742_380,
+        "n_components": 20_174,
+        "bfs_reached": 3_695_726,
+        "edges_after_update": 67_617_182,
+    },
     "large": {},
 }
 
@@ -85,8 +92,17 @@ def check_invariants(size: str, meta: dict, pr_sum: float) -> list[str]:
 def main() -> None:
     size = sys.argv[1] if len(sys.argv) > 1 else "small"
     scale, na = SCALES[size]
+    # shuffle partitions sized like the iterative kernels (~250k edge
+    # rows per task): at SCALE 24 the symmetrize groupBy shuffles 268M
+    # rows, and 32 partitions of 8M+ rows each exhaust the execution
+    # pool (measured: UNABLE_TO_ACQUIRE_MEMORY in the build stage).
+    # Same formula a 1000-executor cluster would use — this is the
+    # scale path, not a local workaround.
+    ne_raw = 2 * (2**scale) * 8
+    sp = max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), ne_raw // 250_000)
     spark = get_spark(
         app_name=f"bench-rmat-{size}",
+        shuffle_partitions=min(sp, 2048),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 

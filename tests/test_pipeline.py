@@ -310,6 +310,46 @@ def test_resize_rewrites_metadata_keeps_payload(spark, docs):
     assert bytes(row.content) == bytes(orig.content)
 
 
+def test_repeated_spans_exact_vs_bruteforce(spark):
+    """Spans must match a brute-force window scan: same sampled
+    positions, same hashes, same per-span doc/occurrence counts —
+    including a doc that repeats the shared span twice."""
+    import hashlib
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog pack"),
+        (2, "XX the quick brown fox jumps over the lazy dog YY"),
+        (3, "completely unrelated text with no overlap at all!"),
+        # second copy starts at offset 50 — stride-aligned (even), so
+        # both copies sample the same window phase and collide
+        (4, "the quick brown fox jumps over the lazy dog pack  "
+            "the quick brown fox jumps over the lazy dog pack"),
+        (5, "short"),  # < span_len: contributes nothing
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    L, S = 16, 2
+    got = {
+        r.span_hash: (r.n_docs, r.n_occ)
+        for r in dedup.repeated_spans(
+            docs, span_len=L, stride=S, min_docs=2
+        ).collect()
+    }
+
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for doc_id, text in rows:
+        for i in range(0, len(text) - L + 1, S):  # positions 1,1+S,... (0-based)
+            h = int(hashlib.md5(text[i : i + L].encode()).hexdigest()[:15], 16)
+            occ[h].append(doc_id)
+    want = {
+        h: (len(set(ds)), len(ds)) for h, ds in occ.items() if len(set(ds)) >= 2
+    }
+    assert got == want and len(got) > 0
+    # doc 4 repeats the shared prefix: some span must have n_occ > n_docs
+    assert any(n_occ > n_docs for n_docs, n_occ in got.values())
+
+
 def test_jaccard_prefix_join_exact_vs_bruteforce(spark, docs):
     """Prefix filtering must find EVERY qualifying pair (completeness
     theorem) — compare against the in-test brute force."""
