@@ -100,6 +100,14 @@ def main() -> None:
     # scale path, not a local workaround.
     ne_raw = 2 * (2**scale) * 8
     sp = max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), ne_raw // 250_000)
+    # heap sized to the tier: the checkpointed edge table lives in the
+    # block manager for the whole suite, and 32 concurrent hash
+    # aggregates share the execution pool — SCALE 24 OOM'd the 48g
+    # default mid-BFS (measured), so give the large tiers the host's
+    # headroom.  On a real cluster this is per-executor memory, set by
+    # the same |E|-proportional formula.
+    heap_g = max(48, min(100, ne_raw // 2_800_000))
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{heap_g}g")
     spark = get_spark(
         app_name=f"bench-rmat-{size}",
         shuffle_partitions=min(sp, 2048),
