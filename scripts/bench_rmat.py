@@ -8,15 +8,23 @@ with ``BASELINE.md`` rows (update count: 100K actions for tiny/small,
 1M for medium/large, like ``run_tests.sh``; the reference's large
 results live in ``results/*.{stinger,giraph,pegasus}.large``).
 
+Resumable: the built graph is persisted to parquet once per tier
+(under ``$SPARK_GRAFT_BENCH_CACHE``, default ``.bench_cache/``), and
+each kernel's timing+invariants are checkpointed to a per-tier
+``state.json`` as soon as it finishes — a crashed multi-hour large
+run resumes from the cached graph and skips completed kernels.
+``--fresh`` discards both and reruns everything.
+
 Usage::
 
-    python scripts/bench_rmat.py [tiny|small|medium|large22|large]
+    python scripts/bench_rmat.py [tiny|small|medium|large22|large] [--fresh]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -90,8 +98,30 @@ def check_invariants(size: str, meta: dict, pr_sum: float) -> list[str]:
 
 
 def main() -> None:
-    size = sys.argv[1] if len(sys.argv) > 1 else "small"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    fresh = "--fresh" in sys.argv[1:]
+    size = args[0] if args else "small"
     scale, na = SCALES[size]
+
+    cache_root = os.environ.get("SPARK_GRAFT_BENCH_CACHE", ".bench_cache")
+    tier_dir = os.path.join(cache_root, f"rmat_s{scale}_ef8_seed1")
+    graph_path = os.path.join(tier_dir, "edges.parquet")
+    state_path = os.path.join(tier_dir, "state.json")
+    if fresh and os.path.isdir(tier_dir):
+        shutil.rmtree(tier_dir)
+    os.makedirs(tier_dir, exist_ok=True)
+
+    state: dict = {}
+    if os.path.isfile(state_path):
+        with open(state_path) as fh:
+            state = json.load(fh)
+
+    def save_state() -> None:
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, state_path)
+
     # shuffle partitions sized like the iterative kernels (~250k edge
     # rows per task): at SCALE 24 the symmetrize groupBy shuffles 268M
     # rows, and 32 partitions of 8M+ rows each exhaust the execution
@@ -107,6 +137,22 @@ def main() -> None:
     # headroom.  On a real cluster this is per-executor memory, set by
     # the same |E|-proportional formula.
     heap_g = max(48, min(100, ne_raw // 2_800_000))
+    env_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env_mem is not None:
+        # a pre-exported value silently overrides the computed heap;
+        # warn when it's smaller so a stale 48g doesn't reintroduce
+        # the measured SCALE-24 OOM (ADVICE r4)
+        try:
+            env_g = int(env_mem.lower().rstrip("g"))
+        except ValueError:
+            env_g = None
+        if env_g is not None and env_g < heap_g:
+            print(
+                f"WARNING: SPARK_GRAFT_DRIVER_MEM={env_mem} overrides the "
+                f"computed {heap_g}g for tier '{size}' — risk of OOM; unset "
+                "it to use the tier formula",
+                file=sys.stderr,
+            )
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{heap_g}g")
     spark = get_spark(
         app_name=f"bench-rmat-{size}",
@@ -114,40 +160,69 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
-    t: dict[str, float] = {}
-    meta: dict[str, int] = {}
+    t: dict[str, float] = state.get("t", {})
+    meta: dict = state.get("meta", {})
+    state["t"], state["meta"] = t, meta
 
-    t0 = time.time()
-    edges = rmat_graph(spark, scale, 8).localCheckpoint()
-    meta["ne"] = edges.count()  # directed (symmetrized) edge count
-    meta["nv"] = edges.select("src").distinct().count()
-    t["build"] = round(time.time() - t0, 3)
+    graph_ready = os.path.isfile(os.path.join(graph_path, "_SUCCESS"))
+    if "build" not in t or not graph_ready:
+        t0 = time.time()
+        edges = rmat_graph(spark, scale, 8)
+        # persist once: the parquet copy is both the resume point for
+        # a crashed run and the timed artifact (writing it IS part of
+        # a bulk build at cluster scale)
+        edges.write.mode("overwrite").parquet(graph_path)
+        edges = spark.read.parquet(graph_path).localCheckpoint()
+        meta["ne"] = edges.count()  # directed (symmetrized) edge count
+        meta["nv"] = edges.select("src").distinct().count()
+        t["build"] = round(time.time() - t0, 3)
+        save_state()
+    else:
+        t0 = time.time()
+        edges = spark.read.parquet(graph_path).localCheckpoint()
+        n = edges.count()
+        assert n == meta.get("ne", n), "cached graph/state mismatch — rerun --fresh"
+        meta["ne"] = n
+        print(
+            f"resume: reused cached graph ({n} edges, "
+            f"load {time.time() - t0:.1f}s); kernels done: "
+            f"{sorted(set(t) - {'build'})}",
+            file=sys.stderr,
+        )
 
-    t0 = time.time()
-    labels = connected_components(edges)
-    meta["n_components"] = labels.select("label").distinct().count()
-    labels.unpersist()
-    t["sv"] = round(time.time() - t0, 3)
+    if "sv" not in t:
+        t0 = time.time()
+        labels = connected_components(edges)
+        meta["n_components"] = labels.select("label").distinct().count()
+        labels.unpersist()
+        t["sv"] = round(time.time() - t0, 3)
+        save_state()
 
-    t0 = time.time()
-    dist = bfs(edges, 0)
-    meta["bfs_reached"] = dist.count()
-    dist.unpersist()
-    t["sssp"] = round(time.time() - t0, 3)
+    if "sssp" not in t:
+        t0 = time.time()
+        dist = bfs(edges, 0)
+        meta["bfs_reached"] = dist.count()
+        dist.unpersist()
+        t["sssp"] = round(time.time() - t0, 3)
+        save_state()
 
-    t0 = time.time()
-    pr = pagerank(edges)
-    pr_sum = pr.agg(F.sum("pr").alias("s")).collect()[0]["s"]
-    pr.unpersist()
-    t["pr"] = round(time.time() - t0, 3)
+    if "pr" not in t:
+        t0 = time.time()
+        pr = pagerank(edges)
+        meta["pr_sum"] = pr.agg(F.sum("pr").alias("s")).collect()[0]["s"]
+        pr.unpersist()
+        t["pr"] = round(time.time() - t0, 3)
+        save_state()
 
-    t0 = time.time()
-    acts = rmat_actions(spark, scale, na)
-    merged = apply_actions(edges, acts)
-    meta["edges_after_update"] = merged.count()
-    t["update"] = round(time.time() - t0, 3)
+    if "update" not in t:
+        t0 = time.time()
+        acts = rmat_actions(spark, scale, na)
+        merged = apply_actions(edges, acts)
+        meta["edges_after_update"] = merged.count()
+        t["update"] = round(time.time() - t0, 3)
+        save_state()
 
-    meta["pr_sum"] = pr_sum
+    pr_sum = meta["pr_sum"]
     errs = check_invariants(size, meta, pr_sum)
     print(
         json.dumps(
