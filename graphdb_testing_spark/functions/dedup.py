@@ -581,3 +581,88 @@ def repeated_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    span_len: int = 32,
+    stride: int = 1,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut every repeated span out of the corpus — the *removal* half
+    of exact-substring dedup (Lee et al., ACL 2022, remove verbatim
+    repeats rather than whole documents).  Returns ``(id_col,
+    clean_text, removed_chars)`` for every input document.
+
+    ``spans`` is the output of :func:`repeated_spans` (computed here
+    with the same parameters when omitted).  Every sampled window
+    whose hash is in that set is excised from its document;
+    overlapping hits are handled by a running cursor inside a single
+    JVM higher-order ``aggregate`` over the doc's sorted hit
+    positions — for each hit at 1-based position ``i`` the kept text
+    extends ``[cursor, i)`` and the cursor jumps to ``max(cursor,
+    i + span_len)``, which merges overlaps without a separate
+    interval-merge pass.  Shape per doc is one sorted array of ints
+    (≤ |text|/stride entries), so state is bounded and the whole
+    transform is explode → equi-join → groupBy → one expression —
+    no Python in the row path.
+    """
+    if spans is None:
+        spans = repeated_spans(
+            docs, span_len, stride, min_docs, id_col=id_col, text_col=text_col
+        )
+    hits = (
+        docs.filter(F.length(text_col) >= span_len)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {span_len} + 1,"
+                    f" {stride}), i -> named_struct('pos', i,"
+                    f" 'span', substring({text_col}, i, {span_len})))"
+                )
+            ).alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.col("w.pos").alias("pos"),
+            _hash_prefix_shared(F.col("w.span"), 15).alias("span_hash"),
+        )
+        .join(spans.select("span_hash"), "span_hash")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+        .withColumnRenamed("doc_id", "_rs_id")
+    )
+    splice = F.expr(
+        f"""aggregate(
+            starts,
+            named_struct('pos', 1, 'out', cast('' as string)),
+            (acc, i) -> named_struct(
+                'pos', greatest(acc.pos, i + {span_len}),
+                'out', concat(acc.out,
+                              substring({text_col}, acc.pos,
+                                        greatest(i - acc.pos, 0)))),
+            acc -> concat(acc.out, substring({text_col}, acc.pos,
+                                             length({text_col})))
+        )"""
+    )
+    return (
+        docs.join(hits, docs[id_col] == hits["_rs_id"], "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("starts").isNull(), F.col(text_col))
+            .otherwise(splice)
+            .alias("clean_text"),
+            F.col(text_col).alias("_orig"),
+        )
+        .select(
+            id_col,
+            "clean_text",
+            (F.length("_orig") - F.length("clean_text"))
+            .cast("long")
+            .alias("removed_chars"),
+        )
+    )

@@ -1460,6 +1460,55 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repeated_spans(docs, span_len=32, stride=4, min_docs=2)
 
 
+_REMOVE_SPANS_ORACLE = """
+WITH wins AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(substr(text, i, 32)), 1, 15))::BIGINT AS span_hash
+  FROM (SELECT doc_id, text,
+               UNNEST(range(1, GREATEST(length(text) - 31, 0) + 1, 4)) AS i
+        FROM documents WHERE length(text) >= 32)
+),
+rep AS (
+  SELECT span_hash FROM wins GROUP BY span_hash
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT doc_id, i FROM wins SEMI JOIN rep USING (span_hash)),
+covered AS (
+  SELECT DISTINCT h.doc_id, h.i + o AS p
+  FROM hits h, UNNEST(range(0, 32)) t(o)
+),
+chars AS (
+  SELECT doc_id, p, substr(text, p, 1) AS ch
+  FROM (SELECT doc_id, text, UNNEST(range(1, length(text) + 1)) AS p
+        FROM documents)
+),
+cleaned AS (
+  SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.p) AS clean_text
+  FROM chars c ANTI JOIN covered v USING (doc_id, p)
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(cl.clean_text, '') AS clean_text,
+       CAST(length(d.text) - length(COALESCE(cl.clean_text, '')) AS BIGINT)
+         AS removed_chars
+FROM documents d LEFT JOIN cleaned cl USING (doc_id)
+"""
+
+
+@register("remove_repeated_spans_l32", _REMOVE_SPANS_ORACLE)
+def q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup (Lee et al. 2022):
+    splice every repeated 32-char window (stride 4, ≥2 docs — same
+    parameters as ``repeated_spans_l32``) out of its document,
+    merging overlapping hits with a running cursor inside one JVM
+    higher-order ``aggregate``, and report the cleaned text plus
+    characters removed per document.  The oracle rebuilds the cleaned
+    text character-by-character (anti-join against covered positions)
+    — a completely different construction that must agree exactly."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return dedup.remove_repeated_spans(docs, span_len=32, stride=4, min_docs=2)
+
+
 @register("minhash_recall", _mh_recall_oracle())
 def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the banded MinHash-LSH pipeline against the EXACT

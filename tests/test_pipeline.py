@@ -350,6 +350,55 @@ def test_repeated_spans_exact_vs_bruteforce(spark):
     assert any(n_occ > n_docs for n_docs, n_occ in got.values())
 
 
+def test_remove_repeated_spans_vs_bruteforce(spark):
+    """Cleaned text must match a brute-force splice: same sampled
+    windows, same repeated set, overlapping hits merged — including a
+    doc that is entirely boilerplate (→ empty), a doc repeating the
+    span twice, and a doc below span_len (→ untouched)."""
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER TODAY FRIENDS"
+    rows = [
+        (1, "alpha " + boiler + " omega unique one"),
+        # separator length chosen so both copies sample on the same
+        # stride-3 phase as docs 1 and 4 (6 ≡ 6+41+7 ≡ 0 mod 3)
+        (2, "start " + boiler + " middl " + boiler + " end"),
+        (3, "totally unrelated document with no repeats at all"),
+        (4, boiler),
+        (5, "short"),
+    ]
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    L, S = 8, 3  # stride > 1: hit positions are sample-aligned
+
+    win: dict[str, set[int]] = {}
+    for d, t in rows:
+        for i in range(0, len(t) - L + 1, S):
+            win.setdefault(t[i : i + L], set()).add(d)
+    rep = {w for w, ds in win.items() if len(ds) >= 2}
+
+    def clean(t: str) -> str:
+        if len(t) < L:
+            return t
+        pos, out = 0, []
+        for i in range(0, len(t) - L + 1, S):
+            if t[i : i + L] in rep:
+                if i > pos:
+                    out.append(t[pos:i])
+                pos = max(pos, i + L)
+        out.append(t[pos:])
+        return "".join(out)
+
+    got = {
+        r.doc_id: (r.clean_text, r.removed_chars)
+        for r in dedup.remove_repeated_spans(docs_df, span_len=L, stride=S).collect()
+    }
+    assert set(got) == {d for d, _ in rows}  # every doc present
+    for d, t in rows:
+        want = clean(t)
+        assert got[d] == (want, len(t) - len(want)), (d, got[d], want)
+    assert got[3][0] == rows[2][1]  # untouched doc unchanged
+    assert got[4][0] == ""  # all-boilerplate doc emptied
+    assert got[2][1] > len(boiler)  # both copies excised
+
+
 def test_jaccard_prefix_join_exact_vs_bruteforce(spark, docs):
     """Prefix filtering must find EVERY qualifying pair (completeness
     theorem) — compare against the in-test brute force."""
