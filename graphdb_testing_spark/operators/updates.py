@@ -265,3 +265,159 @@ def merge_rollup(
             F.sum("sum_value").cast("decimal(18,6)").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# partition-pruned stored merge: rewrite only touched partitions
+# ---------------------------------------------------------------------------
+#
+# apply_actions() produces the merged table as a DataFrame — the right
+# semantics, but persisting it rewrites the WHOLE edge table per
+# batch.  At SCALE 24 that is 265M rows rewritten for a 1M-action
+# batch (measured: the update kernel is rewrite-bound, 9.3e3 e/s).
+# On a 100 TB table it is a non-starter.  The scale path is the
+# lakehouse merge pattern: store the edge table hash-partitioned into
+# a fixed number of directory partitions, compute which partitions the
+# batch's keys land in, read ONLY those (partition pruning), merge,
+# and overwrite ONLY those (dynamic partition overwrite).  A batch
+# touching k of B partitions costs O(k/B · |E|) instead of O(|E|) —
+# the same contract as STINGER's in-place edge-block update
+# (``include/core/stinger-internal.h``: only the touched vertex's
+# block chain is written), re-expressed as immutable-file storage.
+
+
+def _store_pt(n_parts: int) -> "F.Column":
+    """The store's partition key: stable hash of the directed edge key.
+
+    Must be identical at init and merge time — both sides derive it
+    from the same expression, so delta rows land in (and prune to)
+    exactly the partitions their base rows live in.
+    """
+    return F.pmod(F.xxhash64("src", "dst"), F.lit(n_parts)).alias("pt")
+
+
+def init_edge_store(edges: DataFrame, path: str, n_parts: int = 64) -> None:
+    """Materialize an edge table as a hash-partitioned parquet store.
+
+    ``n_parts`` fixes the pruning granularity: more partitions ⇒
+    finer-grained rewrites for small batches, more files.  Size so a
+    partition is a few hundred MB at the target scale (100 TB / 256k
+    parts ≈ 400 MB).
+    """
+    (
+        edges.select("src", "dst", "wgt", _store_pt(n_parts))
+        .write.mode("overwrite")
+        .partitionBy("pt")
+        .parquet(path)
+    )
+
+
+#: store schema is fixed, so reads never infer — an emptied store
+#: (every partition annihilated) still reads as a valid empty table
+_STORE_SCHEMA = "src bigint, dst bigint, wgt bigint, pt bigint"
+
+
+def read_edge_store(spark, path: str) -> DataFrame:
+    """Read the full logical edge table back from a partitioned store."""
+    return spark.read.schema(_STORE_SCHEMA).parquet(path).select("src", "dst", "wgt")
+
+
+def apply_actions_pruned(
+    spark,
+    path: str,
+    actions: DataFrame,
+    n_parts: int = 64,
+) -> dict:
+    """Merge an action batch into a stored edge table in place,
+    rewriting only the partitions the batch touches.
+
+    Semantics are exactly :func:`apply_actions` (sequential-replay
+    upsert/delete fixpoint, M13); only the storage strategy differs.
+    Returns ``{"touched": k, "n_parts": B}`` for observability — the
+    pruning ratio k/B is the cost model.
+
+    Scale shape: the delta is tiny relative to the table, so the
+    touched-partition list is a bounded ``collect`` (≤ ``n_parts``
+    ints); the base read prunes to touched partitions at the parquet
+    source (directory partition pruning — verify with
+    ``PartitionFilters`` in the scan node); the write uses dynamic
+    partition overwrite so untouched partition directories are never
+    opened.  A touched partition whose merge result is empty (every
+    key annihilated) is NOT rewritten by dynamic overwrite — its stale
+    directory is dropped explicitly through the Hadoop FileSystem API
+    (works on any cluster FS, not just local disk).
+    """
+    delta = batch_delta(both_directions(decode_actions(actions))).withColumn(
+        "pt", _store_pt(n_parts)
+    )
+    delta = delta.localCheckpoint(eager=True)  # reuse: touched scan + merge
+    touched = sorted(r["pt"] for r in delta.select("pt").distinct().collect())
+    if not touched:
+        delta.unpersist()
+        return {"touched": 0, "n_parts": n_parts}
+
+    # localCheckpoint the pruned base subset: (a) Spark refuses to
+    # overwrite a path its write plan still reads from, so the lineage
+    # must be cut; (b) the subset is exactly the data being rewritten,
+    # k/B of the table, so the materialization is proportional to the
+    # batch's footprint, not to |E|.
+    base = (
+        spark.read.schema(_STORE_SCHEMA)
+        .parquet(path)
+        .filter(F.col("pt").isin(touched))
+        .localCheckpoint(eager=True)
+    )
+    merged = base.select("src", "dst", "wgt").join(
+        delta.drop("pt"), ["src", "dst"], "full_outer"
+    )
+    out = (
+        merged.select(
+            "src",
+            "dst",
+            F.when(
+                F.col("had_delete").isNull() | ~F.col("had_delete"),
+                F.coalesce("wgt", F.lit(0)) + F.coalesce("ins_w", F.lit(0)),
+            )
+            .otherwise(F.col("ins_w"))
+            .alias("wgt"),
+        )
+        .filter(F.col("wgt").isNotNull() & (F.col("wgt") > 0))
+        .select("src", "dst", "wgt", _store_pt(n_parts))
+    )
+
+    # pre-write file-listing snapshot of the touched partition dirs:
+    # dynamic overwrite replaces the files of every partition the
+    # output CONTAINS, but a touched partition whose merge result is
+    # empty (every key annihilated) is absent from the output, so its
+    # stale directory survives the write untouched.  Comparing the
+    # (job-UUID-named, hence write-unique) file sets before/after
+    # identifies those without a second data pass — the manifest-diff
+    # trick, metadata-only on any cluster FS.
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _ls(pt: int) -> frozenset:
+        hp = jvm.org.apache.hadoop.fs.Path(f"{path}/pt={pt}")
+        fs = hp.getFileSystem(conf)
+        if not fs.exists(hp):
+            return frozenset()
+        return frozenset(
+            st.getPath().getName() for st in fs.listStatus(hp)
+        )
+
+    before = {p: _ls(p) for p in touched}
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("pt").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    for p in touched:
+        if before[p] and _ls(p) == before[p]:  # untouched by the write ⇒ annihilated
+            hp = jvm.org.apache.hadoop.fs.Path(f"{path}/pt={p}")
+            hp.getFileSystem(conf).delete(hp, True)
+    delta.unpersist()
+    base.unpersist()
+    return {"touched": len(touched), "n_parts": n_parts}

@@ -410,6 +410,33 @@ def q_apply_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upd.apply_actions(g.edges, acts)
 
 
+@register("apply_actions_pruned_store", _APPLY_ACTIONS_ORACLE)
+def q_apply_actions_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same merge as ``apply_actions`` but through the
+    partition-pruned edge STORE: the table lives as hash-partitioned
+    parquet, the batch rewrites only touched partitions (dynamic
+    partition overwrite + manifest diff), and the read-back must be
+    bit-identical to the full-table merge — the storage path that
+    replaces O(|E|) rewrites with O(touched/B · |E|) at 100 TB
+    (STINGER's in-place edge-block update,
+    ``include/core/stinger-internal.h``, as immutable files)."""
+    import shutil
+    import tempfile
+
+    g = datasets.user_graph(spark, sf_dir)
+    acts = datasets.actions_stream(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="edge_store_")
+    try:
+        store = f"{tmp}/edges"
+        upd.init_edge_store(g.edges, store, n_parts=32)
+        upd.apply_actions_pruned(spark, store, acts, n_parts=32)
+        # materialize off the tempdir so the files can be removed
+        # before the caller collects
+        return upd.read_edge_store(spark, store).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # relational layer: TPC-H-style aggregation (SURVEY.md §2.6 first-class aggs)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,146 @@
+"""Partition-pruned stored merge: apply_actions semantics against a
+hash-partitioned parquet edge store, rewriting only touched
+partitions (the lakehouse-merge answer to the reference's in-place
+edge-block update, ``include/core/stinger-internal.h``)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from graphdb_testing_spark.operators.updates import (
+    apply_actions,
+    apply_actions_pruned,
+    init_edge_store,
+    read_edge_store,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, wgt long")
+
+
+def _actions(spark, rows):
+    return spark.createDataFrame(rows, "seq long, src long, dst long, weight long")
+
+
+def as_map(df):
+    return {(r.src, r.dst): r.wgt for r in df.collect()}
+
+
+def _part_snapshot(path):
+    """{pt-dir: sorted file names} for every partition directory."""
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("pt="):
+            out[d] = sorted(
+                f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_pruned_merge_matches_full_merge(spark, tmp_path):
+    """Parity: the stored pruned merge and the full-table merge agree
+    bit-for-bit on a mixed insert/upsert/delete/reinsert batch."""
+    base_rows = [
+        (i, j, (i + j) % 7 + 1)
+        for i in range(40)
+        for j in range(40)
+        if i != j and (i * 31 + j) % 11 == 0
+    ]
+    base = _edges(spark, base_rows)
+    acts = _actions(
+        spark,
+        [
+            (0, 1, 2, 3),  # insert/upsert
+            (1, -2, -3, 1),  # delete (1, 2)
+            (2, 1, 2, 5),  # re-insert after delete
+            (3, 5, 9, 2),
+            (4, -6, -10, 1),  # delete (5, 9) (kills the seq-3 insert)
+            (5, 7, 7, 9),  # self-loop: skipped
+            (6, 100, 200, 4),  # brand-new vertices
+        ],
+    )
+    want = as_map(apply_actions(base, acts))
+
+    path = str(tmp_path / "store")
+    init_edge_store(base, path, n_parts=16)
+    stats = apply_actions_pruned(spark, path, acts, n_parts=16)
+    got = as_map(read_edge_store(spark, path))
+
+    assert got == want
+    assert 0 < stats["touched"] <= 16
+
+
+def test_pruned_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """A single-key batch must leave every untouched partition's files
+    byte-identical (same file names — the write never opened them)."""
+    base = _edges(spark, [(i, i + 1, 1) for i in range(0, 400, 2)])
+    path = str(tmp_path / "store")
+    n_parts = 32
+    init_edge_store(base, path, n_parts=n_parts)
+    before = _part_snapshot(path)
+
+    acts = _actions(spark, [(0, 2, 3, 7)])  # one upsert ⇒ 2 directed keys
+    stats = apply_actions_pruned(spark, path, acts, n_parts=n_parts)
+    after = _part_snapshot(path)
+
+    assert stats["touched"] <= 2
+    # the touched dirs are exactly the hash partitions of the 2 keys
+    touched_dirs = {
+        f"pt={r['pt']}"
+        for r in spark.createDataFrame(
+            [(2, 3), (3, 2)], "src long, dst long"
+        )
+        .select(F.pmod(F.xxhash64("src", "dst"), F.lit(n_parts)).alias("pt"))
+        .collect()
+    }
+    for d, files in before.items():
+        if d not in touched_dirs:
+            assert after[d] == files, f"untouched partition {d} was rewritten"
+    # and the merge itself landed
+    got = as_map(read_edge_store(spark, path))
+    assert got[(2, 3)] == 8  # base 1 + upsert 7
+    assert got[(3, 2)] == 7  # created by the reverse direction
+
+
+def test_pruned_merge_drops_annihilated_partition(spark, tmp_path):
+    """If a batch deletes every key in a partition, dynamic overwrite
+    leaves the stale directory; the manifest diff must drop it."""
+    # one lonely edge pair; fine partitioning so its partitions likely
+    # hold nothing else — then delete it
+    base = _edges(spark, [(1, 2, 5), (2, 1, 5)])
+    path = str(tmp_path / "store")
+    init_edge_store(base, path, n_parts=8)
+    acts = _actions(spark, [(0, -2, -3, 1)])  # delete (1, 2)
+    apply_actions_pruned(spark, path, acts, n_parts=8)
+    got = read_edge_store(spark, path)
+    assert got.count() == 0
+
+
+def test_pruned_merge_empty_batch_is_noop(spark, tmp_path):
+    base = _edges(spark, [(1, 2, 5), (2, 1, 5)])
+    path = str(tmp_path / "store")
+    init_edge_store(base, path, n_parts=8)
+    before = _part_snapshot(path)
+    acts = spark.createDataFrame([], "seq long, src long, dst long, weight long")
+    stats = apply_actions_pruned(spark, path, acts, n_parts=8)
+    assert stats["touched"] == 0
+    assert _part_snapshot(path) == before
+
+
+def test_pruned_scan_has_partition_filters(spark, tmp_path):
+    """The base read must prune at the source: the scan node carries a
+    partition filter on pt, so untouched directories are never read."""
+    base = _edges(spark, [(i, i + 1, 1) for i in range(100)])
+    path = str(tmp_path / "store")
+    init_edge_store(base, path, n_parts=16)
+    plan = (
+        spark.read.parquet(path)
+        .filter(F.col("pt").isin([1, 2]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "pt" in plan
