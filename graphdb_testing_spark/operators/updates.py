@@ -82,28 +82,67 @@ def batch_delta(decoded_bidir: DataFrame) -> DataFrame:
     )
 
 
-def apply_actions(edges: DataFrame, actions: DataFrame) -> DataFrame:
+def _merged_wgt() -> "F.Column":
+    """Post-merge weight of one (base ⟕/⟗ delta) row — the shared
+    upsert/delete fixpoint expression of both merge strategies."""
+    return (
+        F.when(
+            F.col("had_delete").isNull() | ~F.col("had_delete"),
+            F.coalesce("wgt", F.lit(0)) + F.coalesce("ins_w", F.lit(0)),
+        )
+        .otherwise(F.col("ins_w"))  # NULL ⇒ deleted, filtered by caller
+        .alias("wgt")
+    )
+
+
+def apply_actions(
+    edges: DataFrame, actions: DataFrame, broadcast_delta: bool = False
+) -> DataFrame:
     """Merge a batch of complement-encoded actions into the edge table.
 
     Equivalent to replaying the actions in ``seq`` order with the
     reference's ``incr_edge_pair`` / ``remove_edge_pair`` semantics
     (M13 update benchmark, ``tests/stinger/main.c:165-204``).
+
+    Two physical strategies, identical results:
+
+    * default — one ``full_outer`` join: both sides shuffle+sort on
+      the edge key.  Right when the delta is comparable to the table.
+    * ``broadcast_delta=True`` — the big side is NEVER shuffled: the
+      delta (one row per touched key, tiny next to a 100 TB table)
+      broadcasts into (1) ``edges ⟕ delta`` for existing keys and a
+      semi-join keylist, then (2) ``delta ▷ matched`` (broadcast anti)
+      yields brand-new keys.  Two broadcast scans of the edge table
+      replace its shuffle+sort — the same reason the delta side of
+      every lakehouse MERGE is broadcast.  Requires the folded delta
+      to fit in a broadcast (fine for any sane batch; the reference's
+      1M-action batch folds to ~2M keys ≈ tens of MB).
     """
     delta = batch_delta(both_directions(decode_actions(actions)))
-    merged = edges.select("src", "dst", "wgt").join(delta, ["src", "dst"], "full_outer")
-    return (
-        merged.select(
-            "src",
-            "dst",
-            F.when(
-                F.col("had_delete").isNull() | ~F.col("had_delete"),
-                F.coalesce("wgt", F.lit(0)) + F.coalesce("ins_w", F.lit(0)),
-            )
-            .otherwise(F.col("ins_w"))  # NULL ⇒ deleted, filtered below
-            .alias("wgt"),
+    base = edges.select("src", "dst", "wgt")
+    if not broadcast_delta:
+        merged = base.join(delta, ["src", "dst"], "full_outer")
+        return merged.select("src", "dst", _merged_wgt()).filter(
+            F.col("wgt").isNotNull() & (F.col("wgt") > 0)
         )
+
+    delta = delta.localCheckpoint(eager=True)  # broadcast 3×, fold once
+    existing = (
+        base.join(F.broadcast(delta), ["src", "dst"], "left")
+        .select("src", "dst", _merged_wgt())
         .filter(F.col("wgt").isNotNull() & (F.col("wgt") > 0))
     )
+    matched = base.join(
+        F.broadcast(delta.select("src", "dst")), ["src", "dst"], "left_semi"
+    ).select("src", "dst")
+    # a key absent from the table nets to ins_w whether or not a
+    # delete hit it (there was nothing to delete)
+    created = (
+        delta.join(F.broadcast(matched), ["src", "dst"], "left_anti")
+        .select("src", "dst", F.col("ins_w").alias("wgt"))
+        .filter(F.col("wgt").isNotNull() & (F.col("wgt") > 0))
+    )
+    return existing.unionAll(created)
 
 
 def apply_actions_timed(edges: DataFrame | None, actions: DataFrame) -> DataFrame:

@@ -130,6 +130,47 @@ def test_pruned_merge_empty_batch_is_noop(spark, tmp_path):
     assert _part_snapshot(path) == before
 
 
+def test_broadcast_merge_matches_shuffle_merge(spark):
+    """The broadcast-delta strategy is bit-identical to the full_outer
+    strategy on a batch hitting every case: upsert existing, delete
+    existing, delete-then-reinsert, new key, delete-nonexistent,
+    self-loop."""
+    base_rows = [
+        (i, j, (i * 7 + j) % 5 + 1)
+        for i in range(30)
+        for j in range(30)
+        if i != j and (i + j) % 4 == 0
+    ]
+    base = _edges(spark, base_rows)
+    acts = _actions(
+        spark,
+        [
+            (0, 1, 3, 2),
+            (1, -2, -4, 1),
+            (2, 1, 3, 9),
+            (3, 500, 501, 6),
+            (4, -501, -601, 1),  # delete a key that never existed
+            (5, 6, 6, 1),  # self-loop skipped
+            (6, 2, 6, 4),
+        ],
+    )
+    want = as_map(apply_actions(base, acts))
+    got = as_map(apply_actions(base, acts, broadcast_delta=True))
+    assert got == want and len(got) > 0
+
+
+def test_broadcast_merge_never_shuffles_the_table(spark):
+    """Plan assertion: with broadcast_delta the edge table reaches the
+    join through broadcast hash joins only — no Exchange (shuffle) or
+    Sort feeds from the base scan side."""
+    base = _edges(spark, [(i, i + 1, 1) for i in range(50)])
+    acts = _actions(spark, [(0, 1, 2, 3), (1, 900, 901, 2)])
+    out = apply_actions(base, acts, broadcast_delta=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_pruned_scan_has_partition_filters(spark, tmp_path):
     """The base read must prune at the source: the scan node carries a
     partition filter on pt, so untouched directories are never read."""
