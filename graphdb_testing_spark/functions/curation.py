@@ -466,3 +466,97 @@ def boilerplate_stats(
             F.expr("(1000 * boiler_grams) div total_grams").cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-ngram log-ratio vs a target corpus)
+# ---------------------------------------------------------------------------
+
+
+def dsir_logratios(
+    train: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 8192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, n_feats, dsir_micro)`` — Data Selection via
+    Importance Resampling weights (Xie et al., NeurIPS 2023): score
+    every *train* document by how much its hashed-n-gram profile looks
+    like the *target* corpus.
+
+    Features are word unigrams + bigrams hashed into ``n_buckets``
+    (collisions are part of the method — the hash IS the feature
+    map).  Both corpora fit an add-one-smoothed multinomial over the
+    buckets; a document's weight is the sum over its feature
+    occurrences of ``ln(p_target(b) / p_raw(b))``.  Documents with
+    high ``dsir_micro`` resemble the target distribution; resampling
+    is then a threshold or :func:`stratified_sample` away.
+
+    Cross-engine float discipline: each bucket's log-ratio is ONE
+    ``ln`` of ONE exact-integer-ratio division, quantized to integer
+    micros and summed exactly (the bigram-LM pattern) — so the Spark
+    and DuckDB sides agree bit-for-bit.
+
+    Scale shape: feature fan-out is array-side (no self-join); the
+    model is two map-side-combined bucket aggregates; the per-bucket
+    weight table is ≤ ``n_buckets`` rows and broadcast back onto the
+    feature stream — nothing proportional to corpus size crosses a
+    driver boundary (the two stream totals are scalar ``count()``s).
+    At 100 TB the raw feature stream is the only big thing, and it is
+    touched exactly twice, both times as streaming aggregates.
+    """
+
+    def feats(df: DataFrame) -> DataFrame:
+        a = df.select(
+            F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("a")
+        )
+        uni = a.select("doc_id", F.explode("a").alias("gram"))
+        bi = a.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(a, 1, size(a) - 1),"
+                    " (w, i) -> concat(w, ' ', a[i + 1]))"
+                )
+            ).alias("gram"),
+        )
+        return uni.unionByName(bi).select(
+            "doc_id",
+            F.pmod(
+                _hash32(F.concat_ws("|", F.lit("dsir"), F.col("gram"))),
+                F.lit(n_buckets),
+            ).alias("b"),
+        )
+
+    raw = feats(train)
+    tgt = feats(target)
+    n_raw = raw.count()  # scalar: raw feature-stream size
+    n_tgt = tgt.count()  # scalar: target feature-stream size
+    cr = raw.groupBy("b").agg(F.count("*").alias("cr"))
+    ct = tgt.groupBy("b").agg(F.count("*").alias("ct"))
+    # one ln of one exact-long ratio per bucket, micro-quantized: the
+    # numerator/denominator products stay far inside 2^53 so the
+    # long->double conversion and the single division are exact and
+    # engine-identical
+    lp = cr.join(ct, "b", "left").select(
+        "b",
+        F.round(
+            F.lit(1_000_000.0)
+            * F.log(
+                ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * F.lit(n_raw + n_buckets))
+                * F.lit(1.0)
+                / ((F.col("cr") + 1) * F.lit(n_tgt + n_buckets))
+            )
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+    return (
+        raw.join(F.broadcast(lp), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("lp").cast("long").alias("dsir_micro"),
+        )
+    )

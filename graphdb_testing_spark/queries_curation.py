@@ -1205,3 +1205,57 @@ def q_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         qgr.select(F.col("g").alias("g_target"), F.col("q_micro").alias("q_norm_micro")),
         "g_target",
     ).select("doc_id", "source", "q_micro", F.col("q_norm_micro").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights toward an English target (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_ORACLE = """
+WITH warr AS MATERIALIZED (
+  SELECT doc_id, lang, string_split(text, ' ') AS a FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, a[i] AS gram
+  FROM warr, UNNEST(generate_series(1, len(a))) AS t(i)
+  UNION ALL
+  SELECT doc_id, lang, a[i] || ' ' || a[i + 1] AS gram
+  FROM warr, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('dsir|' || gram), 1, 8))::BIGINT % 8192 AS b
+  FROM grams
+),
+tot AS (
+  SELECT COUNT(*) AS r, COUNT(*) FILTER (WHERE lang = 'en') AS t FROM feats
+),
+cr AS MATERIALIZED (SELECT b, COUNT(*) AS cr FROM feats GROUP BY 1),
+ct AS MATERIALIZED (
+  SELECT b, COUNT(*) AS ct FROM feats WHERE lang = 'en' GROUP BY 1
+),
+w AS (
+  SELECT cr.b, CAST(ROUND(1e6 * LN(
+    ((COALESCE(ct.ct, 0) + 1) * (tot.r + 8192)) * 1e0
+    / ((cr.cr + 1) * (tot.t + 8192))
+  )) AS BIGINT) AS lp
+  FROM cr LEFT JOIN ct ON cr.b = ct.b, tot
+)
+SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(w.lp) AS BIGINT) AS dsir_micro
+FROM feats f JOIN w ON f.b = w.b
+GROUP BY 1
+"""
+
+
+@register("dsir_en_logratios", _DSIR_ORACLE)
+def q_dsir_en_logratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023) of every
+    document toward the English-language subset as the target
+    distribution: hashed unigram+bigram multinomials, add-one
+    smoothing, per-doc summed log-ratio in exact integer micros.  The
+    pretraining-data-selection primitive — rank by ``dsir_micro`` and
+    resample the top of the raw corpus.  See
+    :func:`~graphdb_testing_spark.functions.curation.dsir_logratios`."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return curation.dsir_logratios(docs, docs.filter(F.col("lang") == "en"))

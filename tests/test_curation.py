@@ -146,3 +146,57 @@ def test_boilerplate_stats_flags_repeated_spans(spark):
     # "here uniqueN" / "uniqueN tail" are per-doc singletons
     assert out[0] == (4, 2, 500)
     assert out[99] == (3, 0, 0)
+
+
+def test_dsir_logratios_matches_bruteforce(spark, corpus):
+    """dsir_micro must equal an independent pure-Python reference."""
+    import hashlib
+    import math
+
+    rows = {r.doc_id: (r.text, r.lang) for r in corpus.collect()}
+    B = 64  # small bucket count to force collisions on purpose
+
+    def feats(text):
+        w = text.split(" ")
+        grams = list(w) + [f"{a} {b}" for a, b in zip(w, w[1:])]
+        return [
+            int(hashlib.md5(f"dsir|{g}".encode()).hexdigest()[:8], 16) % B
+            for g in grams
+        ]
+
+    raw_stream = {d: feats(t) for d, (t, _) in rows.items()}
+    tgt_stream = {d: f for d, f in raw_stream.items() if rows[d][1] == "en"}
+    n_raw = sum(len(f) for f in raw_stream.values())
+    n_tgt = sum(len(f) for f in tgt_stream.values())
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    for f in raw_stream.values():
+        for b in f:
+            cr[b] = cr.get(b, 0) + 1
+    for f in tgt_stream.values():
+        for b in f:
+            ct[b] = ct.get(b, 0) + 1
+    lp = {
+        b: round(
+            1e6
+            * math.log(
+                (ct.get(b, 0) + 1) * (n_raw + B) / ((cr[b] + 1) * (n_tgt + B))
+            )
+        )
+        for b in cr
+    }
+    want = {
+        d: (len(f), sum(lp[b] for b in f)) for d, f in raw_stream.items()
+    }
+
+    target = corpus.filter(corpus.lang == "en")
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_micro)
+        for r in curation.dsir_logratios(corpus, target, n_buckets=B).collect()
+    }
+    assert got == want
+    # directional sanity: an English doc scores itself above the
+    # non-English docs on average (the target IS the en subset)
+    en = [got[d][1] / got[d][0] for d, (_, l) in rows.items() if l == "en"]
+    other = [got[d][1] / got[d][0] for d, (_, l) in rows.items() if l != "en"]
+    assert min(en) > max(other)
