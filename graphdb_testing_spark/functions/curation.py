@@ -24,7 +24,7 @@ Scale design (100 TB corpus, 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -559,4 +559,85 @@ def dsir_logratios(
             F.count("*").cast("long").alias("n_feats"),
             F.sum("lp").cast("long").alias("dsir_micro"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# UniMax language-budget allocation (epoch-capped waterfill)
+# ---------------------------------------------------------------------------
+
+
+def unimax_budgets(
+    docs: DataFrame,
+    total_budget: int,
+    max_epochs: int = 4,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(lang, n_tokens, cap, budget_tokens, epochs_milli)`` — UniMax
+    mixture allocation (Chung et al., ICLR 2023): distribute a total
+    token budget uniformly across languages, capping each language at
+    ``max_epochs`` passes over its data and re-distributing the
+    unused share to the rest — the waterfill that avoids both
+    proportional sampling's head-language dominance and uniform
+    sampling's tail-language over-epoching.
+
+    Closed form instead of the paper's loop: with languages sorted by
+    capacity ascending, the capped set is exactly the prefix where
+    ``cap_i * (n - i + 1) <= T - prefix_cap_sum_i`` (ascending caps
+    make the condition monotone), and every uncapped language gets the
+    equal integer share of what the capped prefix left behind, with
+    the division remainder assigned to the first ``rem % u`` uncapped
+    languages in sort order.  Everything is exact BIGINT arithmetic —
+    no floats to disagree across engines.
+
+    Scale shape: one map-side-combined token-count aggregate over the
+    corpus; everything after is on the ≤ |languages| row table (the
+    unpartitioned windows are bounded by construction).
+    """
+    caps = docs.groupBy(F.col(strata_col).alias("lang")).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias("n_tokens")
+    ).withColumn("cap", F.col("n_tokens") * max_epochs)
+    w = Window.orderBy("cap", "lang")
+    ranked = (
+        caps.withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "prevsum",
+            F.coalesce(
+                F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+        .withColumn(
+            "capped",
+            (
+                F.col("cap") * (F.col("n") - F.col("i") + 1)
+                <= F.lit(total_budget) - F.col("prevsum")
+            ).cast("long"),
+        )
+    )
+    scal = ranked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped") == 1, F.col("cap"))), F.lit(0)
+        ).alias("c"),
+        F.sum(F.when(F.col("capped") == 0, F.lit(1)).otherwise(F.lit(0))).alias("u"),
+    )
+    out = ranked.crossJoin(F.broadcast(scal)).withColumn(
+        "budget_tokens",
+        F.when(F.col("capped") == 1, F.col("cap")).otherwise(
+            F.expr(f"({total_budget} - c) div u")
+            + F.when(
+                (F.col("i") - (F.col("n") - F.col("u")))
+                <= F.expr(f"({total_budget} - c) % u"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ),
+    )
+    return out.select(
+        "lang",
+        "n_tokens",
+        "cap",
+        F.col("budget_tokens").cast("long").alias("budget_tokens"),
+        F.expr("(1000 * budget_tokens) div n_tokens").cast("long").alias("epochs_milli"),
     )

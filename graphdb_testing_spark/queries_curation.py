@@ -1259,3 +1259,62 @@ def q_dsir_en_logratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~graphdb_testing_spark.functions.curation.dsir_logratios`."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return curation.dsir_logratios(docs, docs.filter(F.col("lang") == "en"))
+
+
+# ---------------------------------------------------------------------------
+# UniMax language budgets (epoch-capped waterfill, Chung et al. 2023)
+# ---------------------------------------------------------------------------
+
+# budget = 2x the corpus token count with a 4-epoch cap: small
+# languages hit the cap, big ones split the remainder — both branches
+# of the waterfill are exercised at every sf.
+_UNIMAX_ORACLE = """
+WITH tok AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tt AS (SELECT 2 * SUM(n_tokens) AS t FROM tok),
+caps AS (
+  SELECT lang, n_tokens, n_tokens * 4 AS cap,
+         ROW_NUMBER() OVER (ORDER BY n_tokens * 4, lang) AS i,
+         COALESCE(SUM(n_tokens * 4) OVER (ORDER BY n_tokens * 4, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prevsum,
+         COUNT(*) OVER () AS n
+  FROM tok
+),
+flag AS (
+  SELECT caps.*, tt.t,
+         CASE WHEN cap * (n - i + 1) <= t - prevsum THEN 1 ELSE 0 END AS capped
+  FROM caps, tt
+),
+scal AS (
+  SELECT COALESCE(SUM(cap) FILTER (WHERE capped = 1), 0) AS c,
+         COUNT(*) FILTER (WHERE capped = 0) AS u
+  FROM flag
+),
+alloc AS (
+  SELECT lang, n_tokens, cap,
+         CASE WHEN capped = 1 THEN cap
+              ELSE (t - c) // u
+                   + CASE WHEN (i - (n - u)) <= (t - c) % u THEN 1 ELSE 0 END
+         END AS budget_tokens
+  FROM flag, scal
+)
+SELECT lang, n_tokens, cap,
+       CAST(budget_tokens AS BIGINT) AS budget_tokens,
+       CAST((1000 * budget_tokens) // n_tokens AS BIGINT) AS epochs_milli
+FROM alloc
+"""
+
+
+@register("unimax_lang_budgets", _UNIMAX_ORACLE)
+def q_unimax_lang_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture allocation (Chung et al., ICLR 2023) over the
+    corpus languages: total budget = 2x corpus tokens, 4-epoch cap per
+    language, integer-exact waterfill.  See
+    :func:`~graphdb_testing_spark.functions.curation.unimax_budgets`."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    total = docs.agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long")
+    ).collect()[0][0]
+    return curation.unimax_budgets(docs, total_budget=2 * int(total), max_epochs=4)

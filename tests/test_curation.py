@@ -200,3 +200,38 @@ def test_dsir_logratios_matches_bruteforce(spark, corpus):
     en = [got[d][1] / got[d][0] for d, (_, l) in rows.items() if l == "en"]
     other = [got[d][1] / got[d][0] for d, (_, l) in rows.items() if l != "en"]
     assert min(en) > max(other)
+
+
+def test_unimax_budgets_waterfill(spark):
+    """Hand-checked waterfill: caps ascending [12, 40, 400], several
+    budget regimes, exact integer remainder distribution."""
+    rows = [
+        (1, "a b c", "zh", "s"),          # 3 tokens -> cap 12
+        (2, "a b c d e f g h i j", "de", "s"),  # 10 tokens -> cap 40
+        (3, " ".join(["w"] * 100), "en", "s"),   # 100 tokens -> cap 400
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+    def alloc(total):
+        return {
+            r.lang: (r.n_tokens, r.cap, r.budget_tokens, r.epochs_milli)
+            for r in curation.unimax_budgets(docs, total, max_epochs=4).collect()
+        }
+
+    # regime 1: budget 100 — zh caps (12*3=36<=100), de caps
+    # (40*2=80 <= 88), en takes the rest (48)
+    a = alloc(100)
+    assert a["zh"] == (3, 12, 12, 4000)
+    assert a["de"] == (10, 40, 40, 4000)
+    assert a["en"] == (100, 400, 48, 480)
+    assert sum(v[2] for v in a.values()) == 100
+    # regime 2: budget 31 — nobody caps (12*3=36>31); 31 = 3*10+1,
+    # remainder goes to the first language in (cap, lang) order
+    a = alloc(31)
+    assert [a["zh"][2], a["de"][2], a["en"][2]] == [11, 10, 10]
+    # regime 3: budget beyond all caps — every language fully epoched
+    a = alloc(10_000)
+    assert [a[k][2] for k in ("zh", "de", "en")] == [12, 40, 400]
+    assert all(v[3] == 4000 for v in a.values())
