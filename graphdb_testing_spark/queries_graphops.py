@@ -896,8 +896,14 @@ def q_typed_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # canonical entity ids (block/verify/cluster, end to end)
 # ---------------------------------------------------------------------------
 
+#: closure via the bounded min-label + pointer-jump CTE chain
+#: (``oracles.cc_bounded_ctes``) rather than the exact-but-quadratic
+#: ``WITH RECURSIVE`` transitive closure: the all-pairs ``eclo`` row
+#: space is O(Σ|component|²), which blows past 1800s at sf0.1
+#: (262k match edges) while the bounded chain is O(rounds·|E|) —
+#: same fixpoint, convergence asserted by the poison row.
 _ENTITY_ORACLE = f"""
-WITH RECURSIVE blocked AS (
+WITH blocked AS (
   SELECT c_custkey AS k, c_name AS name FROM customer
 ),
 ekeys AS MATERIALIZED (
@@ -910,23 +916,16 @@ epairs AS MATERIALIZED (
   WHERE levenshtein(a_name, b_name) <= 1
 ),
 esym AS MATERIALIZED (
-  SELECT a_key AS s, b_key AS d FROM epairs
+  SELECT a_key AS src, b_key AS dst FROM epairs
   UNION ALL
   SELECT b_key, a_key FROM epairs
 ),
-eclo AS (
-  SELECT s AS a, d AS b FROM esym
-  UNION
-  SELECT c.a, s.d FROM eclo c JOIN esym s ON c.b = s.s
-),
-elbl AS (
-  SELECT a AS k, LEAST(a, MIN(b)) AS lbl FROM eclo GROUP BY a
-)
-SELECT CAST(l.k AS BIGINT) AS c_custkey,
-       CAST(l.lbl AS BIGINT) AS canonical,
+{oracles.cc_bounded_ctes("esym", rounds=8, out="elbl")}
+SELECT CAST(l.id AS BIGINT) AS c_custkey,
+       CAST(l.label AS BIGINT) AS canonical,
        CAST(g.n AS BIGINT) AS group_size
 FROM elbl l
-JOIN (SELECT lbl, COUNT(*) AS n FROM elbl GROUP BY lbl) g USING (lbl)
+JOIN (SELECT label, COUNT(*) AS n FROM elbl GROUP BY label) g USING (label)
 """
 
 
