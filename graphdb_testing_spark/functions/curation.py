@@ -641,3 +641,61 @@ def unimax_budgets(
         F.col("budget_tokens").cast("long").alias("budget_tokens"),
         F.expr("(1000 * budget_tokens) div n_tokens").cast("long").alias("epochs_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token-balanced shard planning (training ingestion layout)
+# ---------------------------------------------------------------------------
+
+
+def shard_plan_balanced(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """``(doc_id, n_tokens, shard, pos)`` — assign every document to
+    one of ``n_shards`` output shards so the per-shard token totals
+    are balanced, and give it a deterministic pseudorandom position
+    within its shard: the final "write the corpus as N shuffled,
+    size-balanced files" step of a training-data pipeline (readers
+    stream shards independently, so skewed shards become straggler
+    ingestion workers).
+
+    Balance is boustrophedon (snake) round-robin over the global
+    token-count ranking: rank documents by ``n_tokens`` descending
+    (ties by id), deal rank ``r`` to shard ``r % N`` on even passes
+    and ``N-1-r % N`` on odd ones — the max/min shard-total gap is
+    bounded by one document's tokens, no iterative bin-packing
+    needed.  Within a shard, ``pos`` orders documents by the portable
+    ``md5(salt|doc_id)`` hash — a deterministic shuffle that is
+    stable across retries and cluster sizes (same contract as
+    :func:`stratified_sample`).
+
+    Scale shape: the global ranking is one range-partitioned sort
+    (Spark's scalable path for total order); the within-shard
+    position window partitions by shard — N independent bounded
+    sorts.  Pair with ``df.write.partitionBy("shard")`` to lay the
+    files out.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    wr = Window.orderBy(F.col("n_tokens").desc(), "doc_id")
+    ranked = toks.withColumn("r", F.row_number().over(wr) - 1)
+    shard = F.when(
+        F.expr(f"(r div {n_shards}) % 2 = 0"), F.col("r") % n_shards
+    ).otherwise(F.lit(n_shards - 1) - F.col("r") % n_shards)
+    planned = ranked.withColumn("shard", shard.cast("long"))
+    wp = Window.partitionBy("shard").orderBy(
+        _hash32(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return planned.select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        (F.row_number().over(wp)).cast("long").alias("pos"),
+    )

@@ -1318,3 +1318,43 @@ def q_unimax_lang_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split(F.col("text"), " "))).cast("long")
     ).collect()[0][0]
     return curation.unimax_budgets(docs, total_budget=2 * int(total), max_epochs=4)
+
+
+# ---------------------------------------------------------------------------
+# token-balanced shard plan (training ingestion layout)
+# ---------------------------------------------------------------------------
+
+_SHARD_PLAN_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+  FROM toks
+),
+planned AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS shard
+  FROM ranked
+)
+SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY shard
+         ORDER BY ('0x' || substr(md5('shard-v1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                  doc_id
+       ) AS BIGINT) AS pos
+FROM planned
+"""
+
+
+@register("shard_plan_balanced", _SHARD_PLAN_ORACLE)
+def q_shard_plan_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced 8-shard training layout: boustrophedon deal over
+    the global token ranking (per-shard totals within one document of
+    each other), deterministic md5 shuffle order within each shard.
+    See
+    :func:`~graphdb_testing_spark.functions.curation.shard_plan_balanced`."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return curation.shard_plan_balanced(docs, n_shards=8)

@@ -235,3 +235,31 @@ def test_unimax_budgets_waterfill(spark):
     a = alloc(10_000)
     assert [a[k][2] for k in ("zh", "de", "en")] == [12, 40, 400]
     assert all(v[3] == 4000 for v in a.values())
+
+
+def test_shard_plan_balanced_properties(spark):
+    """Balance bound, coverage, and within-shard shuffle determinism."""
+    rows = [
+        (i, " ".join(["w"] * n), "en", "s")
+        for i, n in enumerate([100, 90, 80, 70, 33, 21, 13, 8, 5, 3, 2, 1])
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    plan = curation.shard_plan_balanced(docs, n_shards=4).collect()
+    assert len(plan) == len(rows)  # every doc placed exactly once
+    by_shard: dict[int, list] = {}
+    for r in plan:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    # snake deal: rank 0..3 -> shards 0,1,2,3; rank 4..7 -> 3,2,1,0
+    totals = {s: sum(r.n_tokens for r in rs) for s, rs in by_shard.items()}
+    assert totals == {0: 100 + 8 + 5, 1: 90 + 13 + 3, 2: 80 + 21 + 2, 3: 70 + 33 + 1}
+    # balance: max-min gap bounded by the largest document
+    assert max(totals.values()) - min(totals.values()) <= 100
+    # pos is a permutation 1..k within each shard
+    for rs in by_shard.values():
+        assert sorted(r.pos for r in rs) == list(range(1, len(rs) + 1))
+    # deterministic across re-runs
+    again = curation.shard_plan_balanced(docs, n_shards=4).collect()
+    assert sorted(map(tuple, plan)) == sorted(map(tuple, again))
