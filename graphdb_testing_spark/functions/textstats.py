@@ -337,3 +337,52 @@ def fingerprint_overlap_pairs(
         .agg(F.count("*").cast("long").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def token_freq_spectrum(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(freq, n_types, gt_adjusted_micro)`` — the corpus frequency
+    spectrum (count of counts): for each occurrence count ``r``, how
+    many distinct token types occur exactly ``r`` times, plus the
+    Good–Turing adjusted count ``r* = (r+1)·n_{r+1}/n_r`` in integer
+    micros (NULL where ``n_{r+1}`` is empty — the spectrum tail).
+    This is the input to Good–Turing / Simple Good–Turing smoothing
+    and the standard corpus-health diagnostic (a natural corpus shows
+    a smooth Zipfian spectrum; boilerplate floods single frequencies).
+
+    Cross-engine float discipline: ``(r+1)·n_{r+1}`` stays an exact
+    BIGINT product, and the only float op is one division quantized
+    to micros — the bigram-LM pattern.
+
+    Scale shape: two map-side-combined aggregations (token counts,
+    then count-of-counts) and a self-join of the ~hundreds-row
+    spectrum on ``freq+1`` — nothing after the first groupBy is
+    proportional to corpus size.
+    """
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("r"))
+    )
+    spec = counts.groupBy(F.col("r").alias("freq")).agg(
+        F.count("*").cast("long").alias("n_types")
+    )
+    nxt = spec.select(
+        (F.col("freq") - 1).alias("freq"), F.col("n_types").alias("n_next")
+    )
+    return (
+        spec.join(nxt, "freq", "left")
+        .select(
+            "freq",
+            "n_types",
+            F.round(
+                F.lit(1_000_000.0)
+                * ((F.col("freq") + 1) * F.col("n_next"))
+                * F.lit(1.0)
+                / F.col("n_types")
+            )
+            .cast("long")
+            .alias("gt_adjusted_micro"),
+        )
+    )

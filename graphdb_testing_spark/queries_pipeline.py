@@ -3113,3 +3113,33 @@ def q_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token frequency spectrum + Good-Turing adjusted counts
+# ---------------------------------------------------------------------------
+
+_FREQ_SPECTRUM_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+counts AS (SELECT w, COUNT(*) AS r FROM toks GROUP BY 1),
+spec AS (
+  SELECT r AS freq, CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM counts GROUP BY 1
+)
+SELECT s.freq, s.n_types,
+       CAST(ROUND(1e6 * ((s.freq + 1) * n2.n_types) * 1e0 / s.n_types)
+            AS BIGINT) AS gt_adjusted_micro
+FROM spec s LEFT JOIN spec n2 ON n2.freq = s.freq + 1
+"""
+
+
+@register("token_freq_spectrum", _FREQ_SPECTRUM_ORACLE)
+def q_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus count-of-counts spectrum with Good–Turing adjusted
+    counts in integer micros — the smoothing input and Zipfian
+    corpus-health diagnostic.  See
+    :func:`~graphdb_testing_spark.functions.textstats.token_freq_spectrum`."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return textstats.token_freq_spectrum(docs)

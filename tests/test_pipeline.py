@@ -663,3 +663,29 @@ def test_cosine_topk_guard_refuses_large_query_set(spark, embeddings, monkeypatc
     monkeypatch.setattr(simsearch, "MAX_BRUTE_QUERY_ROWS", 3)
     with pytest.raises(ValueError, match="ivf_topk"):
         simsearch.cosine_topk(embeddings, embeddings, k=5)
+
+
+def test_token_freq_spectrum_bruteforce(spark):
+    """Spectrum and Good-Turing adjusted counts vs a Python reference."""
+    from collections import Counter
+
+    from graphdb_testing_spark.functions import textstats
+
+    texts = ["a a a b b c", "a b d", "c c e", "f"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    counts = Counter(w for t in texts for w in t.split(" "))
+    spec = Counter(counts.values())  # r -> n_types
+    want = {}
+    for r, n in spec.items():
+        nxt = spec.get(r + 1)
+        gt = round(1e6 * (r + 1) * nxt / n) if nxt else None
+        want[r] = (n, gt)
+    got = {
+        r.freq: (r.n_types, r.gt_adjusted_micro)
+        for r in textstats.token_freq_spectrum(docs).collect()
+    }
+    assert got == want
+    # sanity: total tokens reconstructed from the spectrum
+    assert sum(r * n for r, (n, _) in got.items()) == sum(counts.values())
