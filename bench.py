@@ -40,6 +40,34 @@ from graphdb_testing_spark.queries import all_queries  # noqa: E402
 from graphdb_testing_spark.session import get_spark  # noqa: E402
 
 
+#: fixed calibration work: rows hashed PER PARTITION per calibration
+#: run (so the single-thread and n-thread controls each keep every
+#: participating core busy ~1.5s, past task-launch overhead).  Constant
+#: across rounds BY CONTRACT — changing it invalidates cross-round
+#: normalization (bump the calib "work" tag if it ever must change).
+_CALIB_ROWS_PER_PART = 1 << 27
+
+
+def calibrate(spark, n_parts: int) -> float:
+    """Fixed-work JVM-side busy kernel: ``sum(xxhash64(id))`` over
+    ``range(n_parts * 2^27)`` split into ``n_parts`` partitions,
+    wall-clock seconds.  Whole-stage-codegen CPU work with no shuffle
+    and no I/O, so its runtime tracks ONLY host compute speed — a 1.4x
+    ambient slowdown (round-5 verdict: 54s -> 77s with bit-identical
+    plans) shows up as a 1.4x calibration slowdown, letting the bench
+    artifact distinguish host drift from plan regressions on its own.
+    ``n_parts=1`` measures single-thread speed; ``n_parts=threads``
+    measures the parallel lane the kernels actually run in (per-task
+    work identical, so contention/frequency drift is the only mover).
+    """
+    t0 = time.time()
+    # pmod bounds the sum inside int64 (ANSI mode); the hash still runs
+    spark.range(0, n_parts * _CALIB_ROWS_PER_PART, 1, n_parts).select(
+        F.sum(F.pmod(F.xxhash64("id"), F.lit(1000003))).alias("s")
+    ).collect()
+    return round(time.time() - t0, 4)
+
+
 def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     """One full pass over the kernel suite; returns (timings, meta)."""
     timings: dict[str, float] = {}
@@ -158,13 +186,23 @@ def main() -> None:
     # per-kernel minimum so the artifact reports kernel cost, not host
     # noise).  Caches are cleared between reps so every rep recomputes
     # from parquet; the OS page cache staying warm is the point.
+    n_threads = spark.sparkContext.defaultParallelism
+    calibrate(spark, n_threads)  # JIT/codegen warmup, untimed
     runs: list[tuple[dict[str, float], dict[str, int]]] = []
+    calibs: list[dict[str, float]] = []
     for rep in range(reps):
         runs.append(run_suite(spark, sf_dir))
         spark.catalog.clearCache()
+        # fixed-work calibration AFTER each rep, same host state the
+        # rep's kernels just ran in — the drift control (round-5
+        # verdict task 2)
+        calibs.append(
+            {"t1": calibrate(spark, 1), "tn": calibrate(spark, n_threads)}
+        )
         print(
             f"[rep {rep + 1}/{reps}] total "
-            f"{round(sum(runs[-1][0].values()), 2)}s",
+            f"{round(sum(runs[-1][0].values()), 2)}s "
+            f"calib t1={calibs[-1]['t1']}s tn={calibs[-1]['tn']}s",
             file=sys.stderr,
         )
     meta = runs[-1][1]
@@ -199,6 +237,24 @@ def main() -> None:
                 ],
                 "best_rep_total": round(
                     min(sum(t.values()) for t, _ in runs), 4
+                ),
+                # drift control: fixed-work CPU calibration per rep
+                # (sum(xxhash64(id)) over 2^27 rows; t1 = 1 partition,
+                # tn = one per thread).  Round-over-round, divide
+                # kernel totals by the calib ratio before calling a
+                # swing a regression: a host-drift round moves value
+                # AND calib together; a plan regression moves only
+                # value.  `value_per_calib` is the dimensionless
+                # headline (suite cost in parallel-calibration units).
+                "calib": {
+                    "work": "sum(xxhash64(id)) 2^27 rows/partition",
+                    "threads": n_threads,
+                    "per_rep": calibs,
+                    "t1_min": round(min(c["t1"] for c in calibs), 4),
+                    "tn_min": round(min(c["tn"] for c in calibs), 4),
+                },
+                "value_per_calib": round(
+                    total / min(c["tn"] for c in calibs), 2
                 ),
             }
         )

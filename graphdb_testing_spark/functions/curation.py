@@ -493,18 +493,26 @@ def dsir_logratios(
     high ``dsir_micro`` resemble the target distribution; resampling
     is then a threshold or :func:`stratified_sample` away.
 
-    Cross-engine float discipline: each bucket's log-ratio is ONE
-    ``ln`` of ONE exact-integer-ratio division, quantized to integer
-    micros and summed exactly (the bigram-LM pattern) — so the Spark
-    and DuckDB sides agree bit-for-bit.
+    Cross-engine float + overflow discipline: each bucket's weight is
+    the sum of TWO ``ln``s of exact-integer ratios — the per-bucket
+    count ratio ``(ct+1)/(cr+1)`` and the constant total ratio
+    ``(n_raw+B)/(n_tgt+B)`` — quantized to integer micros and summed
+    exactly (the bigram-LM pattern), so the Spark and DuckDB sides
+    agree bit-for-bit.  No integer *products* anywhere: every ``ln``
+    operand is a single long→double conversion (exact while each
+    count < 2^53 ≈ 9e15 feature occurrences, comfortably past 100 TB)
+    followed by one correctly-rounded IEEE division, unlike the naive
+    ``(ct+1)*(n_raw+B)`` cross-product whose int64 silently wraps
+    once hot-bucket-count × stream-total exceeds 2^63.
 
     Scale shape: feature fan-out is array-side (no self-join); the
-    model is two map-side-combined bucket aggregates; the per-bucket
-    weight table is ≤ ``n_buckets`` rows and broadcast back onto the
-    feature stream — nothing proportional to corpus size crosses a
-    driver boundary (the two stream totals are scalar ``count()``s).
-    At 100 TB the raw feature stream is the only big thing, and it is
-    touched exactly twice, both times as streaming aggregates.
+    model is two map-side-combined bucket aggregates whose results are
+    ≤ ``n_buckets`` rows — small enough to collect once, which yields
+    the stream totals as ``sum(cr)``/``sum(ct)`` for free (no separate
+    ``count()`` pass) and lets the broadcast weight table be built
+    without re-scanning the corpus.  Each corpus is therefore touched
+    exactly twice: once for the model fit, once for the final
+    weight-join aggregate.
     """
 
     def feats(df: DataFrame) -> DataFrame:
@@ -529,24 +537,38 @@ def dsir_logratios(
             ).alias("b"),
         )
 
+    spark = train.sparkSession
     raw = feats(train)
     tgt = feats(target)
-    n_raw = raw.count()  # scalar: raw feature-stream size
-    n_tgt = tgt.count()  # scalar: target feature-stream size
-    cr = raw.groupBy("b").agg(F.count("*").alias("cr"))
-    ct = tgt.groupBy("b").agg(F.count("*").alias("ct"))
-    # one ln of one exact-long ratio per bucket, micro-quantized: the
-    # numerator/denominator products stay far inside 2^53 so the
-    # long->double conversion and the single division are exact and
-    # engine-identical
+    # model fit: ONE pass over each feature stream; the bucket table is
+    # <= n_buckets rows, so collecting it is bounded, the stream totals
+    # fall out as sum(cr)/sum(ct) (no separate count() pass), and the
+    # weight table below is built from local rows — the final join is
+    # the only other scan of the corpus
+    cr_agg = raw.groupBy("b").agg(F.count("*").alias("cr"))
+    ct_agg = tgt.groupBy("b").agg(F.count("*").alias("ct"))
+    cr_rows = cr_agg.collect()
+    ct_rows = ct_agg.collect()
+    n_raw = sum(r["cr"] for r in cr_rows)
+    n_tgt = sum(r["ct"] for r in ct_rows)
+    cr = spark.createDataFrame(cr_rows, cr_agg.schema)
+    ct = spark.createDataFrame(ct_rows, ct_agg.schema)
+    # two lns of exact-long ratios per bucket, micro-quantized: every
+    # operand is one long->double conversion (exact below 2^53) and one
+    # IEEE division — no int64 product that could wrap at scale
     lp = cr.join(ct, "b", "left").select(
         "b",
         F.round(
             F.lit(1_000_000.0)
-            * F.log(
-                ((F.coalesce(F.col("ct"), F.lit(0)) + 1) * F.lit(n_raw + n_buckets))
-                * F.lit(1.0)
-                / ((F.col("cr") + 1) * F.lit(n_tgt + n_buckets))
+            * (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    * F.lit(1.0)
+                    / (F.col("cr") + 1)
+                )
+                + F.log(
+                    F.lit(float(n_raw + n_buckets) / float(n_tgt + n_buckets))
+                )
             )
         )
         .cast("long")
@@ -673,18 +695,28 @@ def shard_plan_balanced(
     stable across retries and cluster sizes (same contract as
     :func:`stratified_sample`).
 
-    Scale shape: the global ranking is one range-partitioned sort
-    (Spark's scalable path for total order); the within-shard
-    position window partitions by shard — N independent bounded
-    sorts.  Pair with ``df.write.partitionBy("shard")`` to lay the
-    files out.
+    Scale shape: the global ranking is
+    :func:`~graphdb_testing_spark.operators.prefix.range_row_number`
+    — one range shuffle plus parallel per-partition local ranks with
+    broadcast rank bases, never a single-task ``Window.orderBy`` over
+    the corpus (plan-asserted in ``tests/test_prefix_scale.py``).
+    The within-shard position window partitions by shard — N
+    independent sorts of ~|corpus|/N rows each, so **size n_shards to
+    the data**: each shard must fit a single task's sort budget
+    (hundreds of MBs of ``(doc_id, hash)`` pairs per shard, i.e.
+    n_shards ≳ corpus_rows / 10M), which any real training layout
+    already satisfies (thousands of shards at 100 TB).  Pair with
+    ``df.write.partitionBy("shard")`` to lay the files out.
     """
+    from ..operators.prefix import range_row_number
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
     )
-    wr = Window.orderBy(F.col("n_tokens").desc(), "doc_id")
-    ranked = toks.withColumn("r", F.row_number().over(wr) - 1)
+    ranked = range_row_number(
+        toks, [F.desc("n_tokens"), F.col("doc_id")], "r"
+    ).withColumn("r", F.col("r") - 1)
     shard = F.when(
         F.expr(f"(r div {n_shards}) % 2 = 0"), F.col("r") % n_shards
     ).otherwise(F.lit(n_shards - 1) - F.col("r") % n_shards)

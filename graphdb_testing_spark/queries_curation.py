@@ -1235,9 +1235,11 @@ ct AS MATERIALIZED (
   SELECT b, COUNT(*) AS ct FROM feats WHERE lang = 'en' GROUP BY 1
 ),
 w AS (
-  SELECT cr.b, CAST(ROUND(1e6 * LN(
-    ((COALESCE(ct.ct, 0) + 1) * (tot.r + 8192)) * 1e0
-    / ((cr.cr + 1) * (tot.t + 8192))
+  -- two lns of exact-long ratios (overflow-safe: no int64 products),
+  -- mirroring functions/curation.py dsir_logratios bit-for-bit
+  SELECT cr.b, CAST(ROUND(1e6 * (
+    LN((COALESCE(ct.ct, 0) + 1) * 1e0 / (cr.cr + 1))
+    + LN((tot.r + 8192) * 1e0 / (tot.t + 8192))
   )) AS BIGINT) AS lp
   FROM cr LEFT JOIN ct ON cr.b = ct.b, tot
 )

@@ -126,6 +126,10 @@ _EXACT_RANK_QUERIES = [
     "revenue_gini",
     "abc_revenue_classes",
     "peak_concurrency",
+    # round-6: the shard planner's global token ranking (the one stage
+    # every byte of a 100 TB corpus passes through) must never plan an
+    # Exchange SinglePartition sort — verdict r5 finding 1
+    "shard_plan_balanced",
 ]
 
 # top-k queries: the O(n) ordering must be TakeOrderedAndProject (the
