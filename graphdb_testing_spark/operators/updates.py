@@ -460,3 +460,132 @@ def apply_actions_pruned(
     delta.unpersist()
     base.unpersist()
     return {"touched": len(touched), "n_parts": n_parts}
+
+
+# ---------------------------------------------------------------------------
+# merge-regime auto-picker (round-6: the measured cost model as code)
+# ---------------------------------------------------------------------------
+
+#: below this table size the fixed job costs dominate every strategy
+#: and one straight rewrite always won on the clock (measured round 5:
+#: the 590k-row sf0.1 store lost with pruning even at 10 actions,
+#: while the 65.7M-row SCALE-22 store won 3.4-6.3x — BENCHMARKS.md
+#: "partition-pruned stored merge")
+_PRUNE_MIN_TABLE_ROWS = 10_000_000
+
+#: pruning pays only while the batch touches a small fraction of the
+#: store's partitions.  Measured bracket on the 65.7M-row store:
+#: 7.8% touched -> pruned wins 3.4x; 39% touched -> rewrite wins 4x.
+#: 0.15 splits the bracket; the decision is insensitive inside it
+#: because both regimes' wins are multiples, not percents.
+_PRUNE_MAX_TOUCH_FRACTION = 0.15
+
+#: ceiling for broadcasting the folded delta: ~25 bytes/key puts 4M
+#: directed keys around 100 MB — comfortably inside executor memory,
+#: far past any trickle batch (the reference's 1M-action bulk batch
+#: folds to ~2M directed keys)
+_BROADCAST_MAX_KEYS = 4_000_000
+
+
+def merge_strategy(
+    batch_keys: int,
+    n_parts: int,
+    table_rows: int,
+    network_bound: bool = False,
+) -> str:
+    """Pick the measured-best physical strategy for merging an action
+    batch into an edge table: ``"pruned"`` | ``"broadcast_delta"`` |
+    ``"rewrite"``.
+
+    Encodes the round-5 A/B cost model (BENCHMARKS.md "partition-
+    pruned stored merge" crossover table) so callers get the measured
+    decision instead of re-deriving it:
+
+    * **trickle batch against a big stored table** → ``"pruned"``:
+      read + rewrite only the touched hash partitions
+      (:func:`apply_actions_pruned`), O(touched/B · |E|) instead of
+      O(|E|).  Chosen when the expected touched-partition fraction
+      (occupancy: ``B·(1-(1-1/B)^(2k))/B`` for ``k`` action keys,
+      each action hitting 2 directed keys) stays under 15% — measured
+      win 3.4-6.3x at 7.8% touched, measured loss 4x at 39%.
+    * **bulk batch** → ``"rewrite"``: one ``full_outer`` merge +
+      full write (:func:`apply_actions`), measured 11x faster than
+      per-partition writes once most partitions are touched anyway.
+    * **network-bound cluster, delta fits a broadcast** →
+      ``"broadcast_delta"`` (:func:`apply_actions` with
+      ``broadcast_delta=True``): the table is never shuffled — two
+      broadcast scans replace its shuffle+sort.  On local[32] the
+      shuffle is free so this was measured and *rejected* as the
+      default; it inverts exactly when shuffle bytes cross a real
+      network (the documented inversion, BENCHMARKS.md round 4).
+    * **small table** (< 10M rows) → ``"rewrite"`` always: fixed job
+      costs dominate and the toy-table A/B showed pruning losing at
+      every batch size.
+
+    ``batch_keys`` = number of (undirected) action keys in the batch
+    (``actions.count()`` is a fine upper bound); ``n_parts`` = the
+    store's hash-partition count B; ``table_rows`` = |E| of the stored
+    table.  Pure arithmetic — costs nothing, safe on the driver.
+    """
+    if table_rows < _PRUNE_MIN_TABLE_ROWS:
+        return "rewrite"
+    directed = 2 * batch_keys
+    # expected occupancy of B bins after 2k hashed throws
+    exp_touched = n_parts * (1.0 - (1.0 - 1.0 / n_parts) ** directed)
+    if exp_touched / n_parts <= _PRUNE_MAX_TOUCH_FRACTION:
+        return "pruned"
+    if network_bound and directed <= _BROADCAST_MAX_KEYS:
+        return "broadcast_delta"
+    return "rewrite"
+
+
+def apply_actions_auto(
+    spark,
+    actions: DataFrame,
+    edges: DataFrame | None = None,
+    store_path: str | None = None,
+    n_parts: int = 64,
+    table_rows: int | None = None,
+    network_bound: bool = False,
+    force: str | None = None,
+) -> tuple[DataFrame, str]:
+    """Merge ``actions`` via whichever physical path
+    :func:`merge_strategy` picks; returns ``(merged_edges, strategy)``.
+
+    Pass ``store_path`` for a table maintained as an
+    :func:`init_edge_store` layout (enables the pruned path; the store
+    is updated in place and the returned DataFrame reads it back), or
+    ``edges`` for an in-memory table (pruning unavailable — the picker
+    then chooses between rewrite and broadcast-delta).  All three
+    paths produce identical results (parity-tested in
+    ``tests/test_pruned_merge.py``); only the physical cost differs.
+    ``force`` overrides the picker with a specific strategy name —
+    an escape hatch for workloads whose costs the model does not see
+    (and the hook the parity tests drive all three paths through).
+    """
+    if (edges is None) == (store_path is None):
+        raise ValueError("pass exactly one of edges / store_path")
+    base = edges if edges is not None else read_edge_store(spark, store_path)
+    if table_rows is None:
+        table_rows = base.count()
+    batch_keys = actions.count()
+    strategy = force or merge_strategy(
+        batch_keys, n_parts, table_rows, network_bound
+    )
+    if strategy not in ("pruned", "broadcast_delta", "rewrite"):
+        raise ValueError(f"unknown merge strategy {strategy!r}")
+    if strategy == "pruned" and store_path is None:
+        strategy = "broadcast_delta" if network_bound else "rewrite"
+    if strategy == "pruned":
+        apply_actions_pruned(spark, store_path, actions, n_parts=n_parts)
+        return read_edge_store(spark, store_path), strategy
+    merged = apply_actions(
+        base, actions, broadcast_delta=(strategy == "broadcast_delta")
+    )
+    if store_path is not None:
+        # a non-pruned strategy against a stored table is a rewrite:
+        # land the merged result back as a fresh store
+        merged = merged.localCheckpoint(eager=True)
+        init_edge_store(merged, store_path, n_parts=n_parts)
+        return read_edge_store(spark, store_path), strategy
+    return merged, strategy

@@ -32,6 +32,8 @@ import time
 
 sys.path.insert(0, ".")
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from graphdb_testing_spark.operators.updates import (  # noqa: E402
     apply_actions,
     apply_actions_pruned,
@@ -44,8 +46,12 @@ from graphdb_testing_spark.sources.rmat import (  # noqa: E402
     rmat_graph,
 )
 
-SCALES = {"tiny": 10, "small": 15, "medium": 20, "large22": 22}
-BATCHES = [10, 1_000, 100_000]
+SCALES = {"tiny": 10, "small": 15, "medium": 20, "large22": 22, "large24": 24}
+# override e.g. SPARK_GRAFT_MERGE_BATCHES=10,1000 for a trickle-only run
+BATCHES = [
+    int(b)
+    for b in os.environ.get("SPARK_GRAFT_MERGE_BATCHES", "10,1000,100000").split(",")
+]
 
 
 def main() -> None:
@@ -99,8 +105,21 @@ def main() -> None:
         t_pruned = round(time.time() - t0, 2)
 
         # integrity: stored result must equal the full-rewrite result
-        n_store = read_edge_store(spark, store).count()
-        n_full = spark.read.parquet(full_out).count()
+        # BY CONTENT, not just cardinality — an order-insensitive
+        # (count, sum-of-row-hash) signature over (src,dst,wgt) catches
+        # a pruned-merge bug that corrupts weights or swaps edges while
+        # preserving row count (round-5 advice)
+        def _sig(df):
+            r = df.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.pmod(F.xxhash64("src", "dst", "wgt"), F.lit(1 << 40))
+                ).alias("h"),
+            ).collect()[0]
+            return (r["n"], r["h"])
+
+        sig_store = _sig(read_edge_store(spark, store))
+        sig_full = _sig(spark.read.parquet(full_out))
         rows.append(
             {
                 "batch": na,
@@ -108,8 +127,9 @@ def main() -> None:
                 "n_parts": n_parts,
                 "pruned_s": t_pruned,
                 "full_rewrite_s": t_full,
-                "rows_match": n_store == n_full,
-                "ne_after": n_store,
+                "rows_match": sig_store[0] == sig_full[0],
+                "content_match": sig_store == sig_full,
+                "ne_after": sig_store[0],
             }
         )
         print(json.dumps(rows[-1]), file=sys.stderr)

@@ -185,3 +185,110 @@ def test_pruned_scan_has_partition_filters(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "pt" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-6: merge-regime auto-picker (the measured cost model as code)
+# ---------------------------------------------------------------------------
+
+from graphdb_testing_spark.operators.updates import (  # noqa: E402
+    apply_actions_auto,
+    merge_strategy,
+)
+
+
+def test_merge_strategy_reproduces_measured_crossover():
+    """The picker must reproduce every row of the round-5 measured
+    crossover table (BENCHMARKS.md): SCALE-22 store = 65.7M rows."""
+    ne = 65_700_000
+    # B=256: 10 actions touched 7.8% -> pruned won 3.4x
+    assert merge_strategy(10, 256, ne) == "pruned"
+    # B=256: 1k actions touched 99.6% -> rewrite won 7.8x
+    assert merge_strategy(1_000, 256, ne) == "rewrite"
+    # B=256: 100k actions -> rewrite won 11x
+    assert merge_strategy(100_000, 256, ne) == "rewrite"
+    # B=4096: 10 actions touched 0.5% -> pruned won 6.3x
+    assert merge_strategy(10, 4096, ne) == "pruned"
+    # B=4096: 1k actions touched 39% -> rewrite won 4.0x
+    assert merge_strategy(1_000, 4096, ne) == "rewrite"
+    # small table: fixed costs dominate, rewrite always (sf0.1 A/B)
+    assert merge_strategy(10, 256, 590_000) == "rewrite"
+    # network-bound bulk batch that fits a broadcast: never shuffle
+    # the big table
+    assert merge_strategy(1_000, 256, ne, network_bound=True) == (
+        "broadcast_delta"
+    )
+    # network-bound but delta too big to broadcast: rewrite
+    assert merge_strategy(10_000_000, 256, ne, network_bound=True) == (
+        "rewrite"
+    )
+
+
+_MIXED_ACTIONS = [
+    (0, 1, 2, 3),  # upsert existing
+    (1, -2, -3, 1),  # delete (1, 2)
+    (2, 1, 2, 5),  # re-insert after delete
+    (3, 500, 501, 6),  # brand-new key
+    (4, -501, -601, 1),  # delete a key that never existed
+    (5, 6, 6, 1),  # self-loop skipped
+]
+
+
+def test_apply_actions_auto_parity_all_three_paths(spark, tmp_path):
+    """All three dispatched physical paths agree bit-for-bit with the
+    plain apply_actions reference on the same mixed batch."""
+    base_rows = [
+        (i, j, (i * 3 + j) % 5 + 1)
+        for i in range(30)
+        for j in range(30)
+        if i != j and (i + j) % 4 == 0
+    ]
+    base = _edges(spark, base_rows)
+    acts = _actions(spark, _MIXED_ACTIONS)
+    want = as_map(apply_actions(base, acts))
+
+    # rewrite via in-memory edges
+    got, s = apply_actions_auto(spark, acts, edges=base, force="rewrite")
+    assert s == "rewrite" and as_map(got) == want
+    # broadcast-delta via in-memory edges
+    got, s = apply_actions_auto(
+        spark, acts, edges=base, force="broadcast_delta"
+    )
+    assert s == "broadcast_delta" and as_map(got) == want
+    # pruned via a stored table
+    path = str(tmp_path / "store")
+    init_edge_store(base, path, n_parts=16)
+    got, s = apply_actions_auto(
+        spark, acts, store_path=path, n_parts=16, force="pruned"
+    )
+    assert s == "pruned" and as_map(got) == want
+
+
+def test_apply_actions_auto_picks_and_runs_unforced(spark, tmp_path):
+    """Unforced dispatch on a small table picks rewrite (measured:
+    fixed costs dominate below 10M rows) and lands the right result —
+    including rewriting a stored table back in place."""
+    base = _edges(spark, [(1, 2, 5), (2, 1, 5), (3, 4, 1), (4, 3, 1)])
+    acts = _actions(spark, [(0, 1, 2, 3)])
+    want = as_map(apply_actions(base, acts))
+
+    got, s = apply_actions_auto(spark, acts, edges=base)
+    assert s == "rewrite" and as_map(got) == want
+
+    path = str(tmp_path / "store")
+    init_edge_store(base, path, n_parts=8)
+    got, s = apply_actions_auto(spark, acts, store_path=path, n_parts=8)
+    assert s == "rewrite" and as_map(got) == want
+    # the store itself was rewritten in place
+    assert as_map(read_edge_store(spark, path)) == want
+
+
+def test_apply_actions_auto_arg_validation(spark):
+    import pytest as _pytest
+
+    acts = _actions(spark, [(0, 1, 2, 3)])
+    base = _edges(spark, [(1, 2, 5)])
+    with _pytest.raises(ValueError):
+        apply_actions_auto(spark, acts)
+    with _pytest.raises(ValueError):
+        apply_actions_auto(spark, acts, edges=base, force="nope")

@@ -44,3 +44,23 @@ def test_query_names_are_wellformed():
     qs, _ = _registry()
     for name in qs:
         assert name == name.lower() and " " not in name, name
+
+
+def test_doc_counts_track_the_registry():
+    """README / COVERAGE / QUERIES.md query counts must match the live
+    registry — round-5 verdict: counts must track the tree."""
+    import re
+
+    qs, oracles = _registry()
+    n = len(qs)
+    readme = open("README.md").read()
+    m = re.search(r"(\d+) driver-contract queries", readme)
+    assert m and int(m.group(1)) == n, f"README says {m and m.group(1)}, registry has {n}"
+    queries_md = open("QUERIES.md").read()
+    m = re.search(r"(\d+) queries; (\d+) with exact DuckDB oracles", queries_md)
+    assert m and int(m.group(1)) == n and int(m.group(2)) == len(oracles), (
+        "QUERIES.md stale — rerun scripts/gen_query_docs.py"
+    )
+    coverage = open("COVERAGE.md").read()
+    m = re.search(r"current total: (\d+)", coverage)
+    assert m and int(m.group(1)) == n, f"COVERAGE.md says {m.group(1)}, registry has {n}"
