@@ -584,6 +584,56 @@ def dsir_logratios(
     )
 
 
+def gumbel_topk_sample(
+    scored: DataFrame,
+    k: int,
+    weight_col: str = "w",
+    tau: float = 1.0,
+    salt: str = "gumbel-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id_col, weight_col, gkey_micro)`` — deterministic weighted
+    sampling WITHOUT replacement: the top ``k`` rows by
+    Gumbel-perturbed weight.  This is the *resampling* half of DSIR
+    (Xie et al., NeurIPS 2023 — :func:`dsir_logratios` computes the
+    log-ratio weights; this draws the sample): by the Gumbel-max
+    trick, ``argtop_k(w/τ + G_i)`` with i.i.d. standard Gumbel noise
+    ``G_i`` is an exact sample from ``softmax(w/τ)`` without
+    replacement (Vieira 2014; Kool et al., ICML 2019 stochastic
+    beams).  ``τ`` sharpens (``τ→0`` = plain top-k) or flattens
+    (``τ→∞`` = uniform) the draw.
+
+    The noise is *pseudorandom but portable*: ``u = (h + 0.5) / 2^32``
+    from the md5-prefix hash of ``salt|id`` (the
+    :func:`stratified_sample` contract — identical under task retry,
+    AQE re-execution, and cluster resizing, which ``rand()`` is NOT),
+    and ``G = -ln(-ln(u))``.  Same draw on any engine, so the DuckDB
+    oracle reproduces the exact sample.
+
+    Scale shape: one stateless projection (hash + two ``ln``s per
+    row), then a global top-k — ``TakeOrderedAndProject``, the
+    per-partition-heap + k-row-merge physical form, never a global
+    sort.  ``k`` rows cross the network; everything else stays put.
+    """
+    u = (
+        _hash32(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    gkey = F.col(weight_col) / F.lit(float(tau)) - F.log(-F.log(u))
+    return (
+        scored.withColumn("_gkey", gkey)
+        .orderBy(F.desc("_gkey"), id_col)
+        .limit(k)
+        .select(
+            id_col,
+            weight_col,
+            F.round(F.lit(1_000_000.0) * F.col("_gkey"))
+            .cast("long")
+            .alias("gkey_micro"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # UniMax language-budget allocation (epoch-capped waterfill)
 # ---------------------------------------------------------------------------

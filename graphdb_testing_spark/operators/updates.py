@@ -584,8 +584,20 @@ def apply_actions_auto(
     )
     if store_path is not None:
         # a non-pruned strategy against a stored table is a rewrite:
-        # land the merged result back as a fresh store
-        merged = merged.localCheckpoint(eager=True)
-        init_edge_store(merged, store_path, n_parts=n_parts)
+        # stream the merged result into a sibling directory, then swap
+        # it in with a FileSystem rename (metadata-only on any cluster
+        # FS).  Never localCheckpoint/cache the merged table — that
+        # would materialize O(|E|) on the executors just to break the
+        # read-your-own-write cycle the temp path already avoids.
+        tmp = store_path.rstrip("/") + ".rewrite-tmp"
+        init_edge_store(merged, tmp, n_parts=n_parts)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        dst = jvm.org.apache.hadoop.fs.Path(store_path)
+        src = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = dst.getFileSystem(conf)
+        fs.delete(dst, True)
+        if not fs.rename(src, dst):
+            raise IOError(f"rename {tmp} -> {store_path} failed")
         return read_edge_store(spark, store_path), strategy
     return merged, strategy

@@ -1264,6 +1264,44 @@ def q_dsir_en_logratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR resampling: Gumbel top-k draw from softmax(dsir/tau)
+# ---------------------------------------------------------------------------
+
+# the DSIR weight CTE is reused verbatim as a subquery; the Gumbel key
+# mirrors functions/curation.py gumbel_topk_sample op-for-op
+_DSIR_GUMBEL_ORACLE = f"""
+SELECT doc_id, CAST(ROUND(1e6 * gkey) AS BIGINT) AS gkey_micro
+FROM (
+  SELECT doc_id,
+         (dsir_micro * 1e-6) / 8.0
+         - LN(-LN((('0x' || substr(md5('gumbel-v1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                  / 4294967296.0)) AS gkey
+  FROM ({_DSIR_ORACLE}) d
+)
+ORDER BY gkey DESC, doc_id
+LIMIT 100
+"""
+
+
+@register("dsir_gumbel_resample", _DSIR_GUMBEL_ORACLE)
+def q_dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling half of DSIR (Xie et al., NeurIPS 2023): a
+    deterministic Gumbel top-k draw of 100 documents from
+    ``softmax(dsir/8)`` over the English-target importance weights —
+    weighted sampling without replacement via the Gumbel-max trick
+    (Kool et al., ICML 2019), with portable hash noise so the sample
+    is identical across engines, retries, and cluster sizes.  See
+    :func:`~graphdb_testing_spark.functions.curation.gumbel_topk_sample`."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    scored = curation.dsir_logratios(
+        docs, docs.filter(F.col("lang") == "en")
+    ).withColumn("w", F.col("dsir_micro") * F.lit(1e-6))
+    return curation.gumbel_topk_sample(scored, k=100, weight_col="w", tau=8.0).select(
+        "doc_id", "gkey_micro"
+    )
+
+
+# ---------------------------------------------------------------------------
 # UniMax language budgets (epoch-capped waterfill, Chung et al. 2023)
 # ---------------------------------------------------------------------------
 

@@ -263,3 +263,73 @@ def test_shard_plan_balanced_properties(spark):
     # deterministic across re-runs
     again = curation.shard_plan_balanced(docs, n_shards=4).collect()
     assert sorted(map(tuple, plan)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# round-6: Gumbel top-k weighted sampling (the resampling half of DSIR)
+# ---------------------------------------------------------------------------
+
+
+def _gumbel_bruteforce(weights, k, tau, salt="gumbel-v1"):
+    """Reference implementation: same portable hash noise, python math."""
+    import hashlib
+    import math
+
+    keyed = []
+    for doc_id, w in weights.items():
+        h = int(hashlib.md5(f"{salt}|{doc_id}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        keyed.append((w / tau - math.log(-math.log(u)), doc_id))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    return keyed[:k]
+
+
+def test_gumbel_topk_matches_bruteforce(spark):
+    rows = [(i, float((i * 37) % 11) - 5.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = curation.gumbel_topk_sample(df, k=25, tau=2.0).collect()
+    want = _gumbel_bruteforce(dict(rows), 25, 2.0)
+    assert [r.doc_id for r in got] != []
+    assert {r.doc_id for r in got} == {d for _, d in want}
+    # key values agree to the micro quantum
+    want_micro = {d: round(g * 1_000_000) for g, d in want}
+    for r in got:
+        assert abs(r.gkey_micro - want_micro[r.doc_id]) <= 1, r
+
+
+def test_gumbel_topk_deterministic_and_nested(spark):
+    rows = [(i, float(i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = {r.doc_id for r in curation.gumbel_topk_sample(df, k=10, tau=1.0).collect()}
+    b = {r.doc_id for r in curation.gumbel_topk_sample(df, k=10, tau=1.0).collect()}
+    assert a == b and len(a) == 10
+    # different salt -> (almost surely) different draw, same size
+    c = {
+        r.doc_id
+        for r in curation.gumbel_topk_sample(
+            df, k=10, tau=1.0, salt="other"
+        ).collect()
+    }
+    assert len(c) == 10
+
+
+def test_gumbel_topk_sharp_tau_is_plain_topk(spark):
+    """tau -> 0 drowns the noise: the draw degenerates to exact top-k
+    by weight."""
+    rows = [(i, float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {
+        r.doc_id
+        for r in curation.gumbel_topk_sample(df, k=5, tau=1e-9).collect()
+    }
+    assert got == {45, 46, 47, 48, 49}
+
+
+def test_gumbel_topk_plans_take_ordered(spark):
+    """Scale assertion: the global top-k must plan TakeOrderedAndProject
+    (per-partition heaps + k-row merge), never a global sort."""
+    rows = [(i, float(i % 13)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = curation.gumbel_topk_sample(df, k=10, tau=1.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
