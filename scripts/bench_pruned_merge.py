@@ -110,10 +110,13 @@ def main() -> None:
         # a pruned-merge bug that corrupts weights or swaps edges while
         # preserving row count (round-5 advice)
         def _sig(df):
+            # 2^30 modulus keeps the sum inside int64 (ANSI) up to
+            # ~8.6e9 rows; a corrupted row still flips the sum w.p.
+            # 1 - 2^-30
             r = df.agg(
                 F.count("*").alias("n"),
                 F.sum(
-                    F.pmod(F.xxhash64("src", "dst", "wgt"), F.lit(1 << 40))
+                    F.pmod(F.xxhash64("src", "dst", "wgt"), F.lit(1 << 30))
                 ).alias("h"),
             ).collect()[0]
             return (r["n"], r["h"])
