@@ -589,6 +589,10 @@ def apply_actions_auto(
         # FS).  Never localCheckpoint/cache the merged table — that
         # would materialize O(|E|) on the executors just to break the
         # read-your-own-write cycle the temp path already avoids.
+        # NOT transactional: a crash between delete and rename loses
+        # the table (a production lakehouse swaps via a commit-log
+        # pointer instead); acceptable for a store whose source of
+        # truth is the action log.
         tmp = store_path.rstrip("/") + ".rewrite-tmp"
         init_edge_store(merged, tmp, n_parts=n_parts)
         jvm = spark._jvm

@@ -176,11 +176,14 @@ def test_dsir_logratios_matches_bruteforce(spark, corpus):
     for f in tgt_stream.values():
         for b in f:
             ct[b] = ct.get(b, 0) + 1
+    # op-for-op twin of the overflow-safe form: two lns of exact
+    # ratios, never an integer product
     lp = {
         b: round(
             1e6
-            * math.log(
-                (ct.get(b, 0) + 1) * (n_raw + B) / ((cr[b] + 1) * (n_tgt + B))
+            * (
+                math.log((ct.get(b, 0) + 1) / (cr[b] + 1))
+                + math.log((n_raw + B) / (n_tgt + B))
             )
         )
         for b in cr
