@@ -239,8 +239,8 @@ def main() -> None:
                     min(sum(t.values()) for t, _ in runs), 4
                 ),
                 # drift control: fixed-work CPU calibration per rep
-                # (sum(xxhash64(id)) over 2^27 rows; t1 = 1 partition,
-                # tn = one per thread).  Round-over-round, divide
+                # (sum(xxhash64(id)), 2^27 rows PER PARTITION; t1 = 1
+                # partition, tn = one per thread).  Round-over-round, divide
                 # kernel totals by the calib ratio before calling a
                 # swing a regression: a host-drift round moves value
                 # AND calib together; a plan regression moves only

@@ -507,7 +507,11 @@ def merge_strategy(
       O(|E|).  Chosen when the expected touched-partition fraction
       (occupancy: ``B·(1-(1-1/B)^(2k))/B`` for ``k`` action keys,
       each action hitting 2 directed keys) stays under 15% — measured
-      win 3.4-6.3x at 7.8% touched, measured loss 4x at 39%.
+      win 3.4-6.3x at 7.8% touched, measured loss 4x at 39%; on the
+      4x-bigger SCALE-24 store the trickle win grows to 13.5x at 2%
+      touched while the bulk loss holds at 8.1x (86% touched, where
+      the occupancy formula predicted 879/1024 and 883 were measured
+      — `PRUNED_AB_L24_r06.json`).
     * **bulk batch** → ``"rewrite"``: one ``full_outer`` merge +
       full write (:func:`apply_actions`), measured 11x faster than
       per-partition writes once most partitions are touched anyway.
