@@ -339,6 +339,99 @@ def fingerprint_overlap_pairs(
     )
 
 
+#: the eight Gopher "stop words" — rule 7 requires at least two of
+#: these to be present (Rae et al. 2021, Appendix A1.1)
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher quality-rule filter (Rae et al. 2021, *Scaling Language
+    Models*, Appendix A1.1) — the standard pre-training heuristic
+    gate, computed faithfully per document:
+
+    1. 50 ≤ word count ≤ 100,000
+    2. 3 ≤ mean word length ≤ 10
+    3. symbol-to-word ratio (``#`` and ``...``) ≤ 0.1
+    4. < 90% of lines start with a bullet (``•`` or ``- ``)
+    5. < 30% of lines end with an ellipsis
+    6. ≥ 80% of words contain at least one alphabetic character
+    7. ≥ 2 distinct Gopher stop words present
+
+    All seven rules are JVM-side higher-order-function arithmetic on
+    the split word/line arrays — one narrow projection, no explode, no
+    shuffle, no Python.  At 100 TB this is a map-only stage that
+    pipelines into whatever scan feeds it.
+
+    Returns ``(doc_id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    n_stop_present, gopher_pass)``; ratios rounded to 6 decimals, the
+    pass flag is BIGINT 0/1 over the conjunction.
+    """
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    lines = F.split(F.col(text_col), "\n")
+    n_words = F.size(w).cast("long")
+    n_lines = F.size(lines).cast("long")
+    sum_word_len = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_word_len = F.round(sum_word_len / F.nullif(n_words, F.lit(0)), 6)
+    txt = F.col(text_col)
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.round(
+        (n_hash + n_ellipsis) / F.nullif(n_words, F.lit(0)), 6
+    )
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines, lambda x: x.startswith("•") | x.startswith("- ")
+            )
+        )
+        / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda x: x.endswith("..."))) / n_lines, 6
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+        / F.nullif(n_words, F.lit(0)),
+        6,
+    )
+    n_stop = sum(
+        F.array_contains(w, s).cast("long") for s in GOPHER_STOPWORDS
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.coalesce(mean_word_len, F.lit(0.0)).alias("mean_word_len"),
+        F.coalesce(symbol_ratio, F.lit(0.0)).alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        F.coalesce(alpha_frac, F.lit(0.0)).alias("alpha_word_frac"),
+        n_stop.alias("n_stop_present"),
+    )
+    rules = [
+        F.col("n_words").between(50, 100000),
+        F.col("mean_word_len").between(3.0, 10.0),
+        F.col("symbol_word_ratio") <= 0.1,
+        F.col("bullet_line_frac") < 0.9,
+        F.col("ellipsis_line_frac") < 0.3,
+        F.col("alpha_word_frac") >= 0.8,
+        F.col("n_stop_present") >= 2,
+    ]
+    n_passed = sum(r.cast("long") for r in rules)
+    return out.withColumn("n_rules_passed", n_passed).withColumn(
+        "gopher_pass", (n_passed == len(rules)).cast("long")
+    )
+
+
 def token_freq_spectrum(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1398,3 +1398,81 @@ def q_shard_plan_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~graphdb_testing_spark.functions.curation.shard_plan_balanced`."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return curation.shard_plan_balanced(docs, n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A1.1)
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS sum_wl,
+         len(text) - len(replace(text, '#', '')) AS n_hash,
+         (len(text) - len(replace(text, '...', ''))) / 3.0 AS n_ell,
+         len(list_filter(lines,
+             x -> starts_with(x, '•') OR starts_with(x, '- '))) AS n_bullet,
+         len(list_filter(lines, x -> ends_with(x, '...'))) AS n_ell_lines,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         (CAST(list_contains(w, 'the') AS BIGINT)
+          + CAST(list_contains(w, 'be') AS BIGINT)
+          + CAST(list_contains(w, 'to') AS BIGINT)
+          + CAST(list_contains(w, 'of') AS BIGINT)
+          + CAST(list_contains(w, 'and') AS BIGINT)
+          + CAST(list_contains(w, 'that') AS BIGINT)
+          + CAST(list_contains(w, 'have') AS BIGINT)
+          + CAST(list_contains(w, 'with') AS BIGINT)) AS n_stop
+  FROM base
+),
+r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE ROUND(sum_wl / CAST(n_words AS DOUBLE), 6) END AS mean_word_len,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE ROUND((n_hash + n_ell) / CAST(n_words AS DOUBLE), 6) END
+           AS symbol_word_ratio,
+         ROUND(n_bullet / CAST(n_lines AS DOUBLE), 6) AS bullet_line_frac,
+         ROUND(n_ell_lines / CAST(n_lines AS DOUBLE), 6) AS ellipsis_line_frac,
+         CASE WHEN n_words = 0 THEN 0.0
+              ELSE ROUND(n_alpha / CAST(n_words AS DOUBLE), 6) END AS alpha_word_frac,
+         n_stop AS n_stop_present
+  FROM m
+)
+SELECT *,
+       (CAST(n_words BETWEEN 50 AND 100000 AS BIGINT)
+        + CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS BIGINT)
+        + CAST(symbol_word_ratio <= 0.1 AS BIGINT)
+        + CAST(bullet_line_frac < 0.9 AS BIGINT)
+        + CAST(ellipsis_line_frac < 0.3 AS BIGINT)
+        + CAST(alpha_word_frac >= 0.8 AS BIGINT)
+        + CAST(n_stop_present >= 2 AS BIGINT)) AS n_rules_passed,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac < 0.9
+            AND ellipsis_line_frac < 0.3
+            AND alpha_word_frac >= 0.8
+            AND n_stop_present >= 2 AS BIGINT) AS gopher_pass
+FROM r
+"""
+
+
+@register("gopher_quality_flags", _GOPHER_ORACLE)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All seven Gopher quality rules per document (Rae et al. 2021) —
+    word-count band, mean-word-length band, symbol ratio, bullet/
+    ellipsis line fractions, alphabetic-word fraction, stop-word
+    presence — plus the conjunction gate.  Map-only, no shuffle.  See
+    :func:`~graphdb_testing_spark.functions.textstats.gopher_quality`."""
+    from .functions import textstats
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return textstats.gopher_quality(docs)

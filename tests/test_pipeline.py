@@ -689,3 +689,52 @@ def test_token_freq_spectrum_bruteforce(spark):
     assert got == want
     # sanity: total tokens reconstructed from the spectrum
     assert sum(r * n for r, (n, _) in got.items()) == sum(counts.values())
+
+
+def test_gopher_quality_rules_bruteforce(spark):
+    """Each Gopher rule exercised against hand-computed values,
+    including the line/symbol rules the synthetic corpus never
+    triggers (bullets, ellipses, newlines, hash symbols)."""
+    from graphdb_testing_spark.functions import textstats
+
+    good = " ".join(
+        ["the", "be", "to", "of"] + ["word"] * 60
+    )  # 64 words, all alpha, 4 stopwords
+    bullets = "\n".join(["• item one", "• item two", "- item three", "end"])
+    ellipses = "so it goes...\nand on...\nplainly\nmore..."
+    symbols = "# ".join(["tag"] * 30)  # '#' every other word
+    short = "tiny doc"
+    numeric = " ".join(["123"] * 80 + ["the", "be"])  # words lack alpha
+    docs = spark.createDataFrame(
+        [
+            (0, good),
+            (1, bullets),
+            (2, ellipses),
+            (3, symbols),
+            (4, short),
+            (5, numeric),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.gopher_quality(docs).collect()}
+
+    assert rows[0].n_words == 64
+    assert rows[0].n_stop_present == 4
+    assert rows[0].alpha_word_frac == 1.0
+    assert rows[0].gopher_pass == 1
+
+    assert rows[1].bullet_line_frac == 0.75  # 3 of 4 lines
+    assert rows[2].ellipsis_line_frac == 0.75  # 3 of 4 lines end ...
+    assert rows[2].gopher_pass == 0
+
+    # '# ' joined: 29 hashes over 59 words -> ratio > 0.1
+    assert rows[3].symbol_word_ratio > 0.1
+    assert rows[4].n_words == 2 and rows[4].gopher_pass == 0
+
+    r5 = rows[5]
+    assert r5.alpha_word_frac == round(2 / 82, 6)
+    assert r5.n_stop_present == 2
+    assert r5.gopher_pass == 0  # fails rule 6 despite stopwords
+
+    # mean word length exact: good doc = (3+2+2+2 + 4*60)/64
+    assert rows[0].mean_word_len == round((3 + 2 + 2 + 2 + 4 * 60) / 64, 6)
