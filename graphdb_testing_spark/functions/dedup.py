@@ -193,6 +193,63 @@ def minhash_near_duplicates(
     return out
 
 
+def dedup_retention(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup retention manifest — the decision table a dedup pass
+    writes for EVERY document before the filtered corpus is
+    materialized: ``(doc_id, cluster_id, cluster_size, keep)``.
+
+    Pipeline: MinHash+LSH candidates → exact-Jaccard ≥ ``threshold``
+    verification (:func:`minhash_near_duplicates`) → connected
+    components over the symmetrized duplicate graph (the same
+    pointer-jumping kernel as the graph workloads) → canonical =
+    component min id; ``keep = 1`` exactly for the canonical member.
+    Documents in no verified pair are singleton clusters of
+    themselves (``cluster_size = 1, keep = 1``).
+
+    Scale shape: candidate generation is the banded equi-join (never
+    all-pairs), the CC input is only the *verified duplicate* edge
+    set — typically orders of magnitude smaller than the corpus — and
+    the final manifest join is a plain equi-join on ``doc_id`` whose
+    build side AQE can broadcast when the duplicate set is small; no
+    stage touches O(corpus²) rows and no window spans the corpus.
+    """
+    from ..operators.components import connected_components
+
+    dup = minhash_near_duplicates(docs, threshold, k, num_hashes, bands).select(
+        "a_id", "b_id"
+    )
+    sym = dup.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionAll(dup.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    cc = connected_components(sym)
+    sizes = cc.groupBy("label").agg(F.count("*").alias("n"))
+    lab = cc.join(sizes, "label").select(
+        F.col("id").alias("doc_id"), "label", "n"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(lab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id"))
+            .cast("long")
+            .alias("cluster_id"),
+            F.coalesce(F.col("n"), F.lit(1)).cast("long").alias("cluster_size"),
+            (F.col("doc_id") == F.coalesce(F.col("label"), F.col("doc_id")))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import datasets
+from . import datasets, oracles
 from .functions import dedup, simsearch, textstats
 from .queries import register
 
@@ -40,7 +40,11 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_oracle(k: int = 8, num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_ctes(k: int = 8, num_hashes: int = 16, bands: int = 4) -> str:
+    """Shared CTE chain ``sh → hv → sig → bands → cand → sizes →
+    inter`` (distinct shingles through exact pair intersection) —
+    composed by both the candidate-pair oracle and the retention-
+    manifest oracle so the two stay in hashing lockstep."""
     rows = num_hashes // bands
     mh_cols = ",\n         ".join(
         f"MIN(CASE WHEN seed = {s} THEN hv END) AS mh_{s}" for s in range(num_hashes)
@@ -51,8 +55,7 @@ def _minhash_oracle(k: int = 8, num_hashes: int = 16, bands: int = 4) -> str:
         + ")) AS bkey FROM sig"
         for b in range(bands)
     )
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT DISTINCT doc_id, substr(text, i, {k}) AS sh
   FROM documents, UNNEST(generate_series(1, len(text) - {k - 1})) AS t(i)
   WHERE len(text) >= {k}
@@ -82,7 +85,12 @@ inter AS (
   JOIN sh sa ON sa.doc_id = c.a_id
   JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
   GROUP BY c.a_id, c.b_id
-)
+)"""
+
+
+def _minhash_oracle(k: int = 8, num_hashes: int = 16, bands: int = 4) -> str:
+    return f"""
+WITH {_minhash_ctes(k, num_hashes, bands)}
 SELECT c.a_id, c.b_id, COALESCE(i.inter, 0) AS inter,
        za.sz AS a_size, zb.sz AS b_size,
        ROUND(COALESCE(i.inter, 0) / (1e0 * (za.sz + zb.sz - COALESCE(i.inter, 0))), 6)
@@ -102,6 +110,62 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.char_shingles(docs)
     cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(dedup.minhash_signatures(sh)))
     return dedup.jaccard_for_pairs(sh, cand)
+
+
+# ---------------------------------------------------------------------------
+# near-dup retention manifest: LSH pairs -> Jaccard verify ->
+# connected components -> one canonical document per cluster
+# ---------------------------------------------------------------------------
+
+#: Duplicate clusters via the bounded min-label + pointer-jump CTE
+#: chain (``oracles.cc_bounded_ctes``) over the Jaccard>=0.8 verified
+#: pair graph; the trailing UNION ALL surfaces the convergence poison
+#: row (id < 0, impossible as a doc_id) so an under-provisioned round
+#: count fails the comparison loudly instead of silently dropping it
+#: in the LEFT JOIN.
+_DEDUP_RETENTION_ORACLE = f"""
+WITH {_minhash_ctes()},
+jac AS (
+  SELECT c.a_id, c.b_id,
+         ROUND(COALESCE(i.inter, 0)
+               / (1e0 * (za.sz + zb.sz - COALESCE(i.inter, 0))), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+  JOIN sizes za ON za.doc_id = c.a_id
+  JOIN sizes zb ON zb.doc_id = c.b_id
+),
+dsym AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM jac WHERE jaccard >= 0.8
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM jac WHERE jaccard >= 0.8
+),
+{oracles.cc_bounded_ctes("dsym", rounds=8, out="dlbl")},
+dsz AS (SELECT label, COUNT(*) AS n FROM dlbl GROUP BY label)
+SELECT d.doc_id,
+       CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(COALESCE(z.n, 1) AS BIGINT) AS cluster_size,
+       CAST(d.doc_id = COALESCE(l.label, d.doc_id) AS BIGINT) AS keep
+FROM documents d
+LEFT JOIN dlbl l ON l.id = d.doc_id
+LEFT JOIN dsz z ON z.label = l.label
+UNION ALL
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS cluster_id,
+       CAST(-1 AS BIGINT) AS cluster_size, CAST(-1 AS BIGINT) AS keep
+FROM dlbl WHERE id < 0
+"""
+
+
+@register("dedup_retention_clusters", _DEDUP_RETENTION_ORACLE)
+def q_dedup_retention_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup retention manifest for every document: MinHash(16)+
+    LSH(4 bands) candidates, exact-Jaccard ≥ 0.8 verification,
+    connected components over the duplicate graph, canonical = min id
+    per cluster — the per-document keep/drop decision table a dedup
+    pass writes before materializing the filtered corpus (the
+    standard fuzzy-dedup closure used by public corpus pipelines).
+    See :func:`~graphdb_testing_spark.functions.dedup.dedup_retention`."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return dedup.dedup_retention(docs, threshold=0.8)
 
 
 # ---------------------------------------------------------------------------

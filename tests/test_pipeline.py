@@ -738,3 +738,56 @@ def test_gopher_quality_rules_bruteforce(spark):
 
     # mean word length exact: good doc = (3+2+2+2 + 4*60)/64
     assert rows[0].mean_word_len == round((3 + 2 + 2 + 2 + 4 * 60) / 64, 6)
+
+
+def test_dedup_retention_manifest(spark):
+    """Retention semantics on a constructed corpus: exact duplicates
+    cluster together under one canonical id; distinct docs are
+    singletons; every document appears exactly once in the manifest."""
+    from graphdb_testing_spark.functions import dedup
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    variant = base.replace("tok7", "tok7x")  # near-dup, Jaccard >> 0.8
+    others = [
+        " ".join(f"w{j}_{i}" for i in range(30)) for j in range(4)
+    ]
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, variant), (10, others[0]),
+         (11, others[1]), (12, others[2]), (13, others[3])],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.dedup_retention(docs, 0.8).collect()}
+    assert len(rows) == 7  # one manifest row per document
+
+    # the duplicate trio clusters under the min id, only it is kept
+    assert rows[0].cluster_id == rows[1].cluster_id == rows[2].cluster_id == 0
+    assert rows[0].cluster_size == 3
+    assert (rows[0].keep, rows[1].keep, rows[2].keep) == (1, 0, 0)
+
+    # distinct docs: singleton clusters of themselves, all kept
+    for d in (10, 11, 12, 13):
+        assert rows[d].cluster_id == d
+        assert rows[d].cluster_size == 1
+        assert rows[d].keep == 1
+
+    # canonical invariant: cluster_id is the min doc_id of its cluster
+    by_cluster = {}
+    for r in rows.values():
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+
+
+def test_dedup_retention_no_duplicates(spark):
+    """Empty duplicate graph: every document is its own kept
+    singleton (the CC kernel must tolerate an empty edge set)."""
+    from graphdb_testing_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"u{i}_{j}" for j in range(25))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_retention(docs, 0.8).collect()
+    assert len(out) == 5
+    assert all(r.keep == 1 and r.cluster_size == 1 and r.cluster_id == r.doc_id
+               for r in out)
