@@ -250,6 +250,113 @@ def dedup_retention(
     )
 
 
+def minhash_signature_rows(
+    docs: DataFrame,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, sig array<long>)`` — the MinHash signature computed
+    PER ROW with JVM higher-order functions (``transform`` +
+    ``array_min`` over the shingle array): no explode, no groupBy, no
+    shuffle.  Equals :func:`minhash_signatures` exactly because the
+    min over the shingle *multiset* is the min over the distinct set.
+
+    Being aggregation-free makes it legal on a streaming DataFrame —
+    this is the signature stage of the streaming near-dup twin — and
+    at 100 TB it is a map-only stage that pipelines into the scan."""
+    sh = docs.filter(F.length(text_col) >= k).select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {k - 1}),"
+            f" i -> substring({text_col}, i, {k}))"
+        ).alias("_sh"),
+    )
+    def _seeded(i: int):
+        # NB: a factory, not a default-arg lambda — pyspark treats a
+        # two-parameter lambda in transform() as (element, index)
+        return lambda s: _hash32(F.concat(F.lit(f"{i}|"), s))
+
+    mins = [
+        F.array_min(F.transform(F.col("_sh"), _seeded(i)))
+        for i in range(num_hashes)
+    ]
+    return sh.select("doc_id", F.array(*mins).alias("sig"))
+
+
+def sig_band_keys(
+    sig_df: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """``(doc_id, sig, band, bkey)`` from a row-level signature table —
+    same band-key derivation as :func:`lsh_bands` (md5 over the
+    ``|``-joined band slice), one narrow explode per document."""
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at("sig", b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            ).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    return sig_df.select(
+        "doc_id", "sig", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
+def signature_agreement_pairs(
+    docs: DataFrame,
+    min_agree: int = 8,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """``(a_id, b_id, n_agree, est_jaccard)`` — LSH band-collision
+    candidates verified by SIGNATURE agreement (the Broder estimator:
+    the fraction of agreeing MinHash components is an unbiased
+    Jaccard estimate, σ ≈ 1/√num_hashes) instead of the exact shingle
+    re-join.  One corpus pass: verification reads only the two 16-long
+    signatures already carried by the band join — at 100 TB this is
+    the cheap dedup path when estimator precision suffices, and it is
+    the batch twin of the streaming near-dup operator."""
+    sig = minhash_signature_rows(docs, k, num_hashes).localCheckpoint()
+    bnd = sig_band_keys(sig, bands, num_hashes)
+    a = bnd.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bkey")
+    b = bnd.select(F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
+    )
+    n_agree = F.expr(
+        "aggregate(zip_with(a_sig, b_sig, (x, y) -> CAST(x = y AS INT)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    return (
+        cand.withColumn("n_agree", n_agree)
+        .filter(F.col("n_agree") >= min_agree)
+        .select(
+            "a_id",
+            "b_id",
+            "n_agree",
+            F.round(F.col("n_agree") / F.lit(float(num_hashes)), 6).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -169,6 +169,36 @@ def q_dedup_retention_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# signature-verified near-dup pairs (one-pass Broder estimator)
+# ---------------------------------------------------------------------------
+
+_SIG_AGREE_ORACLE = f"""
+WITH {_minhash_ctes()}
+SELECT a_id, b_id, n_agree, ROUND(n_agree / 16.0, 6) AS est_jaccard
+FROM (
+  SELECT c.a_id, c.b_id,
+         ({" + ".join(f"CAST(a.mh_{s} = b.mh_{s} AS BIGINT)" for s in range(16))})
+           AS n_agree
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.a_id
+  JOIN sig b ON b.doc_id = c.b_id
+)
+WHERE n_agree >= 8
+"""
+
+
+@register("minhash_signature_pairs", _SIG_AGREE_ORACLE)
+def q_minhash_signature_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs verified by MinHash signature agreement (≥ 8 of
+    16 components — the Broder estimator) instead of the exact shingle
+    re-join: the one-corpus-pass dedup path, and the batch twin of the
+    streaming near-dup operator.  See
+    :func:`~graphdb_testing_spark.functions.dedup.signature_agreement_pairs`."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return dedup.signature_agreement_pairs(docs, min_agree=8)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

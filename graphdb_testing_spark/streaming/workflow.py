@@ -846,6 +846,104 @@ def streaming_dedup(
     )
 
 
+def streaming_minhash_pairs(
+    spark: SparkSession,
+    docs_path: str,
+    min_agree: int = 8,
+    k: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    query_name: str = "minhash_pairs",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming near-dup detection: the LSH band index as KEYED
+    Structured Streaming state — the streaming twin of
+    :func:`~graphdb_testing_spark.functions.dedup.signature_agreement_pairs`.
+
+    Per micro-batch: row-level MinHash signatures
+    (:func:`minhash_signature_rows` — JVM higher-order functions, no
+    aggregation, hence legal on a stream), a narrow banding explode,
+    then ``applyInPandasWithState`` keyed by ``(band, bkey)``.  The
+    state per bucket is the ``(doc_id, signature)`` list of members
+    seen so far; each arriving document is compared (one vectorized
+    numpy equality per doc) against the bucket's accumulated members
+    plus earlier docs of its own batch, and a pair is emitted when
+    ≥ ``min_agree`` of ``num_hashes`` signature components agree (the
+    Broder estimator).  A pair colliding in several bands is emitted
+    once per band — at-least-once semantics; a downstream ``distinct``
+    recovers exactly the batch twin's pair set (parity-tested).
+
+    Scale shape: state is sharded across band buckets (never a global
+    index on one task), and each bucket's population tracks its
+    duplicate-cluster size, not the corpus — the banding premise.
+    Signatures are ``num_hashes`` longs per doc, so a bucket of B
+    members costs B·(num_hashes+1) longs of state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.dedup import minhash_signature_rows, sig_band_keys
+
+    def upd(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            sids, flat = state.get
+            ids = np.array(sids, dtype=np.int64)
+            sigs = np.array(flat, dtype=np.int64).reshape(-1, num_hashes)
+        else:
+            ids = np.zeros(0, dtype=np.int64)
+            sigs = np.zeros((0, num_hashes), dtype=np.int64)
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            if len(ids):
+                state.update((ids.tolist(), sigs.reshape(-1).tolist()))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+        new_ids = pdf["doc_id"].to_numpy(np.int64)
+        new_sigs = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sig"]])
+        all_ids = np.concatenate([ids, new_ids])
+        all_sigs = np.concatenate([sigs, new_sigs])
+        n_old = len(ids)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_n: list[int] = []
+        for i in range(len(new_ids)):
+            m = n_old + i  # pair against index + earlier-in-batch only
+            if m == 0:
+                continue
+            agree = (all_sigs[:m] == new_sigs[i]).sum(axis=1)
+            for j in np.nonzero(agree >= min_agree)[0]:
+                out_a.append(int(min(all_ids[j], new_ids[i])))
+                out_b.append(int(max(all_ids[j], new_ids[i])))
+                out_n.append(int(agree[j]))
+        state.update((all_ids.tolist(), all_sigs.reshape(-1).tolist()))
+        if out_a:
+            yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "n_agree": out_n})
+
+    reader = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_path)
+    sig = minhash_signature_rows(docs, k, num_hashes)
+    bnd = sig_band_keys(sig, bands, num_hashes).select("band", "bkey", "doc_id", "sig")
+    out = bnd.groupBy("band", "bkey").applyInPandasWithState(
+        upd,
+        outputStructType="a_id long, b_id long, n_agree long",
+        stateStructType="ids array<long>, flat array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_heavy_hitters(
     spark: SparkSession,
     events_path: str,

@@ -1029,3 +1029,59 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
         for r in all_queries()["ewma_user_values"](spark, sf).collect()
     }
     assert got == batch
+
+
+def test_streaming_minhash_pairs_matches_batch(spark, tmp_path):
+    """Replay the sf0.001 documents in three micro-batches: the
+    distinct streamed (a_id, b_id, n_agree) set must equal the batch
+    twin signature_agreement_pairs exactly — the keyed band-bucket
+    state is arrival-order complete (index + earlier-in-batch)."""
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.datasets import load_table
+    from graphdb_testing_spark.functions.dedup import signature_agreement_pairs
+    from graphdb_testing_spark.streaming.workflow import streaming_minhash_pairs
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "mh_stream"
+    d.mkdir()
+    t = pq.read_table(f"{sf}/documents.parquet")
+    n = t.num_rows
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        pq.write_table(t.slice(lo, hi - lo), f"{d}/part-{i}.parquet")
+
+    q = streaming_minhash_pairs(
+        spark, str(d), query_name="t_mh_pairs", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = {
+        (r.a_id, r.b_id, r.n_agree)
+        for r in spark.sql("select distinct * from t_mh_pairs").collect()
+    }
+    want = {
+        (r.a_id, r.b_id, r.n_agree)
+        for r in signature_agreement_pairs(
+            load_table(spark, sf, "documents"), min_agree=8
+        ).collect()
+    }
+    assert got == want
+    assert want  # the sf0.001 corpus does contain near-dups
+
+
+def test_minhash_signature_rows_equals_groupby(spark):
+    """The row-level higher-order-function signature must equal the
+    explode+groupBy signature component-for-component (min over the
+    shingle multiset == min over the distinct set)."""
+    from pyspark.sql import functions as F
+
+    from graphdb_testing_spark.datasets import load_table
+    from graphdb_testing_spark.functions import dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rowsig = dedup.minhash_signature_rows(docs)
+    agg = dedup.minhash_signatures(dedup.char_shingles(docs)).select(
+        "doc_id", F.array(*[F.col(f"mh_{s}") for s in range(16)]).alias("sig2")
+    )
+    j = rowsig.join(agg, "doc_id")
+    assert j.count() == docs.filter(F.length("text") >= 8).count()
+    assert j.filter(F.col("sig") != F.col("sig2")).count() == 0
