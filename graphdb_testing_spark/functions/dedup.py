@@ -214,38 +214,69 @@ def dedup_retention(
     Documents in no verified pair are singleton clusters of
     themselves (``cluster_size = 1, keep = 1``).
 
-    Scale shape: candidate generation is the banded equi-join (never
-    all-pairs), the CC input is only the *verified duplicate* edge
-    set — typically orders of magnitude smaller than the corpus — and
-    the final manifest join is a plain equi-join on ``doc_id`` whose
+    Scale shape: EXACT duplicates are collapsed first (one md5
+    groupBy; in web corpora they dominate duplication), so the
+    shingle/LSH/verify pipeline sees each distinct content exactly
+    once and pair listing is O(Σ cluster²) over *distinct-content*
+    clusters — exact multiplicity can never explode the pair set.
+    Candidate generation is the banded equi-join (never all-pairs),
+    the CC input is only the verified duplicate edge set, and the
+    final manifest join is a plain equi-join on the fingerprint whose
     build side AQE can broadcast when the duplicate set is small; no
     stage touches O(corpus²) rows and no window spans the corpus.
+
+    The collapse is exact-result-preserving: identical texts have
+    identical shingle sets, hence identical signatures, band keys and
+    Jaccard-1.0 pairs, so clustering representatives and expanding by
+    fingerprint yields the same manifest as the uncollapsed pipeline
+    (parity-tested).  Texts shorter than ``k`` get a per-document
+    fingerprint — they carry no shingles, so the uncollapsed pipeline
+    never pairs them, even when byte-identical.
     """
     from ..operators.components import connected_components
 
-    dup = minhash_near_duplicates(docs, threshold, k, num_hashes, bands).select(
+    fpd = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.when(
+            F.length(text_col) >= k, F.md5(F.col(text_col))
+        ).otherwise(F.concat(F.lit("short|"), F.col(id_col).cast("string"))).alias(
+            "fp"
+        ),
+    ).localCheckpoint()
+    groups = fpd.groupBy("fp").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count("*").cast("long").alias("n_exact"),
+    )
+    reps = (
+        fpd.join(groups.select("fp", "rep_id"), "fp")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select(F.col("rep_id").alias("doc_id"), "text")
+    )
+    dup = minhash_near_duplicates(reps, threshold, k, num_hashes, bands).select(
         "a_id", "b_id"
     )
     sym = dup.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     ).unionAll(dup.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
-    cc = connected_components(sym)
-    sizes = cc.groupBy("label").agg(F.count("*").alias("n"))
-    lab = cc.join(sizes, "label").select(
-        F.col("id").alias("doc_id"), "label", "n"
+    cc = connected_components(sym).withColumnRenamed("id", "rep_id")
+    repc = (
+        groups.join(cc, "rep_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("label"), F.col("rep_id")))
+        .select("fp", "cluster_id", "n_exact")
+    )
+    csize = repc.groupBy("cluster_id").agg(
+        F.sum("n_exact").cast("long").alias("cluster_size")
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(lab, "doc_id", "left")
+        fpd.select("doc_id", "fp")
+        .join(repc.select("fp", "cluster_id"), "fp")
+        .join(csize, "cluster_id")
         .select(
             "doc_id",
-            F.coalesce(F.col("label"), F.col("doc_id"))
-            .cast("long")
-            .alias("cluster_id"),
-            F.coalesce(F.col("n"), F.lit(1)).cast("long").alias("cluster_size"),
-            (F.col("doc_id") == F.coalesce(F.col("label"), F.col("doc_id")))
-            .cast("long")
-            .alias("keep"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).cast("long").alias("keep"),
         )
     )
 

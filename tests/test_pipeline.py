@@ -791,3 +791,38 @@ def test_dedup_retention_no_duplicates(spark):
     assert len(out) == 5
     assert all(r.keep == 1 and r.cluster_size == 1 and r.cluster_id == r.doc_id
                for r in out)
+
+
+def test_dedup_retention_exact_collapse_parity(spark):
+    """Heavy exact duplication: the collapse-first pipeline must
+    produce the same manifest the uncollapsed pipeline would — exact
+    copies join their content's near-dup cluster, multiplicity lands
+    in cluster_size, and only the global min id is kept."""
+    from graphdb_testing_spark.functions import dedup
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok39", "tok39x")    # near-dup: one token differs
+    other = " ".join(f"z{i}" for i in range(30))
+    rows = (
+        [(i, base) for i in range(0, 5)]       # 5 exact copies
+        + [(i, near) for i in range(10, 13)]   # 3 exact copies of the near-dup
+        + [(i, other) for i in range(20, 22)]  # 2 copies of unrelated content
+        + [(30, "tiny"), (31, "tiny")]         # short texts: never paired
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.dedup_retention(docs, 0.8).collect()}
+    assert len(got) == 12
+
+    # base+near contents merge: one cluster of 8, canonical id 0
+    for d in list(range(0, 5)) + list(range(10, 13)):
+        assert got[d].cluster_id == 0 and got[d].cluster_size == 8
+        assert got[d].keep == (1 if d == 0 else 0)
+
+    # unrelated exact pair: its own cluster of 2
+    assert got[20].cluster_id == 20 and got[20].cluster_size == 2
+    assert (got[20].keep, got[21].keep) == (1, 0)
+
+    # sub-k texts carry no shingles: singletons even when identical
+    for d in (30, 31):
+        assert got[d].cluster_id == d and got[d].cluster_size == 1
+        assert got[d].keep == 1
