@@ -392,6 +392,59 @@ def semantic_dedup_pairs(
     )
 
 
+def semdedup_retention(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cluster_size: int = 4096,
+) -> DataFrame:
+    """SemDeDup retention manifest — ``(vec_id, cluster_id,
+    cluster_size, keep)`` for EVERY embedding: the per-item keep/drop
+    decision table of semantic deduplication (Abbas et al. 2023 keep
+    one representative per duplicate group; here the canonical is the
+    component min id — the deterministic, oracle-checkable choice).
+
+    Pipeline: cluster-blocked cosine pairs ≥ ``threshold``
+    (:func:`semantic_dedup_pairs`) → connected components over the
+    symmetrized semantic-duplicate graph (the same pointer-jumping
+    kernel as the graph workloads) → canonical min id per component;
+    unmatched embeddings are kept singletons.  The ``cluster_id``
+    here is the CC label of the duplicate graph, NOT the k-means
+    blocking cluster.
+
+    Scale shape mirrors :func:`~graphdb_testing_spark.functions.dedup.
+    dedup_retention`: the CC input is only the verified duplicate
+    edge set, pair generation is Σ|cluster|²-bounded by the blocking
+    contract, and the manifest join is a plain equi-join."""
+    from ..operators.components import connected_components
+
+    pairs = semantic_dedup_pairs(
+        embeddings, threshold, k, id_col, vec_col, target_cluster_size
+    ).select("a_id", "b_id")
+    sym = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    cc = connected_components(sym)
+    sizes = cc.groupBy("label").agg(F.count("*").alias("n"))
+    lab = cc.join(sizes, "label").select(F.col("id").alias("_rid"), "label", "n")
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .join(lab, F.col("vec_id") == F.col("_rid"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("label"), F.col("vec_id"))
+            .cast("long")
+            .alias("cluster_id"),
+            F.coalesce(F.col("n"), F.lit(1)).cast("long").alias("cluster_size"),
+            (F.col("vec_id") == F.coalesce(F.col("label"), F.col("vec_id")))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 8,

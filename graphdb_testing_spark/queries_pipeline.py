@@ -3074,6 +3074,43 @@ def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SemDeDup retention manifest oracle: blocked pairs → bounded
+#: min-label CC → per-embedding keep/drop; the trailing UNION ALL
+#: surfaces the convergence poison row (vec_ids are ≥ 0).
+_SEMDEDUP_RETENTION_ORACLE = f"""
+WITH {_SEMDEDUP_ASG_CTE.strip()},
+ssym AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM sem_pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM sem_pairs
+),
+{oracles.cc_bounded_ctes("ssym", rounds=8, out="slbl")},
+ssz AS (SELECT label, COUNT(*) AS n FROM slbl GROUP BY label)
+SELECT e.vec_id,
+       CAST(COALESCE(l.label, e.vec_id) AS BIGINT) AS cluster_id,
+       CAST(COALESCE(z.n, 1) AS BIGINT) AS cluster_size,
+       CAST(e.vec_id = COALESCE(l.label, e.vec_id) AS BIGINT) AS keep
+FROM embeddings e
+LEFT JOIN slbl l ON l.id = e.vec_id
+LEFT JOIN ssz z ON z.label = l.label
+UNION ALL
+SELECT CAST(id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS cluster_id,
+       CAST(-1 AS BIGINT) AS cluster_size, CAST(-1 AS BIGINT) AS keep
+FROM slbl WHERE id < 0
+"""
+
+
+@register("semdedup_retention", _SEMDEDUP_RETENTION_ORACLE)
+def q_semdedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup retention manifest: cluster-blocked cosine ≥ 0.4 pairs
+    → connected components over the semantic-duplicate graph →
+    canonical min id kept per component, keep/drop flag for every
+    embedding — the embedding-space twin of ``dedup_retention_clusters``.
+    See :func:`~graphdb_testing_spark.functions.simsearch.semdedup_retention`."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return simsearch.semdedup_retention(emb, threshold=0.4, k=8)
+
+
 # ---------------------------------------------------------------------------
 # Cross-source leakage matrix: near-dup pairs straddling corpus sources
 # ---------------------------------------------------------------------------

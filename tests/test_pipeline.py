@@ -826,3 +826,26 @@ def test_dedup_retention_exact_collapse_parity(spark):
     for d in (30, 31):
         assert got[d].cluster_id == d and got[d].cluster_size == 1
         assert got[d].keep == 1
+
+
+def test_semdedup_retention_invariants(spark):
+    """Manifest invariants on real embeddings: one row per vector,
+    cluster_id is the min member id, keep marks exactly the canonical,
+    and cluster sizes are consistent with membership counts."""
+    from graphdb_testing_spark.datasets import load_table
+    from graphdb_testing_spark.functions import simsearch
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = simsearch.semdedup_retention(emb, threshold=0.4, k=8).collect()
+    assert len(rows) == emb.count()
+
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        ids = [m.vec_id for m in members]
+        assert cid == min(ids)
+        assert all(m.cluster_size == len(ids) for m in members)
+        assert sorted(m.keep for m in members) == [0] * (len(ids) - 1) + [1]
+        assert next(m for m in members if m.keep == 1).vec_id == cid
+    assert any(len(m) > 1 for m in by_cluster.values())  # real dups exist
