@@ -849,3 +849,26 @@ def test_semdedup_retention_invariants(spark):
         assert sorted(m.keep for m in members) == [0] * (len(ids) - 1) + [1]
         assert next(m for m in members if m.keep == 1).vec_id == cid
     assert any(len(m) > 1 for m in by_cluster.values())  # real dups exist
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_retention_clusters",
+        "minhash_signature_pairs",
+        "semdedup_retention",
+        "gopher_quality_flags",
+    ],
+)
+def test_round6_pipeline_query_plans_scale_safe(spark, name):
+    """No ``Exchange SinglePartition`` in the plan of the round-6
+    pipeline queries — locks in the manual plan audits (the round-5
+    verdict's regression class: new code quietly planning a
+    single-task global stage)."""
+    import __spark_entry__  # noqa: F401  (registers all query modules)
+
+    from graphdb_testing_spark.queries import all_queries
+
+    df = all_queries()[name](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, name
