@@ -201,6 +201,7 @@ def dedup_retention(
     bands: int = DEFAULT_BANDS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_policy: str = "min_id",
 ) -> DataFrame:
     """Near-dup retention manifest — the decision table a dedup pass
     writes for EVERY document before the filtered corpus is
@@ -210,9 +211,18 @@ def dedup_retention(
     verification (:func:`minhash_near_duplicates`) → connected
     components over the symmetrized duplicate graph (the same
     pointer-jumping kernel as the graph workloads) → canonical =
-    component min id; ``keep = 1`` exactly for the canonical member.
-    Documents in no verified pair are singleton clusters of
-    themselves (``cluster_size = 1, keep = 1``).
+    component min id; ``keep = 1`` exactly for the cluster's chosen
+    representative.  Documents in no verified pair are singleton
+    clusters of themselves (``cluster_size = 1, keep = 1``).
+
+    ``keep_policy`` picks the representative: ``"min_id"`` (default —
+    the component min id, which is also the ``cluster_id``) or
+    ``"longest"`` (the member with the longest text, ties to the
+    smallest id — the choice public web pipelines make so the dedup
+    pass keeps the most complete copy).  ``cluster_id`` is always the
+    min id (a stable cluster key independent of the policy); only the
+    ``keep`` flag moves.  The longest-policy window partitions by
+    ``cluster_id`` — work bounded by cluster size, never the corpus.
 
     Scale shape: EXACT duplicates are collapsed first (one md5
     groupBy; in web corpora they dominate duplication), so the
@@ -268,16 +278,23 @@ def dedup_retention(
     csize = repc.groupBy("cluster_id").agg(
         F.sum("n_exact").cast("long").alias("cluster_size")
     )
-    return (
-        fpd.select("doc_id", "fp")
+    manifest = (
+        fpd.select("doc_id", "fp", F.length("text").alias("_len"))
         .join(repc.select("fp", "cluster_id"), "fp")
         .join(csize, "cluster_id")
-        .select(
-            "doc_id",
-            F.col("cluster_id").cast("long").alias("cluster_id"),
-            "cluster_size",
-            (F.col("doc_id") == F.col("cluster_id")).cast("long").alias("keep"),
-        )
+    )
+    if keep_policy == "min_id":
+        keep = F.col("doc_id") == F.col("cluster_id")
+    elif keep_policy == "longest":
+        pick = F.struct(F.col("_len"), (-F.col("doc_id")).alias("_nid"))
+        keep = pick == F.max(pick).over(Window.partitionBy("cluster_id"))
+    else:
+        raise ValueError(f"unknown keep_policy {keep_policy!r}")
+    return manifest.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "cluster_size",
+        keep.cast("long").alias("keep"),
     )
 
 

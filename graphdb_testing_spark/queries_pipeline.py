@@ -122,9 +122,8 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pair graph; the trailing UNION ALL surfaces the convergence poison
 #: row (id < 0, impossible as a doc_id) so an under-provisioned round
 #: count fails the comparison loudly instead of silently dropping it
-#: in the LEFT JOIN.
-_DEDUP_RETENTION_ORACLE = f"""
-WITH {_minhash_ctes()},
+#: in the LEFT JOIN.  Shared by both keep-policy oracles.
+_RETENTION_CC_CTES = f"""{_minhash_ctes()},
 jac AS (
   SELECT c.a_id, c.b_id,
          ROUND(COALESCE(i.inter, 0)
@@ -140,7 +139,10 @@ dsym AS MATERIALIZED (
   SELECT b_id AS src, a_id AS dst FROM jac WHERE jaccard >= 0.8
 ),
 {oracles.cc_bounded_ctes("dsym", rounds=8, out="dlbl")},
-dsz AS (SELECT label, COUNT(*) AS n FROM dlbl GROUP BY label)
+dsz AS (SELECT label, COUNT(*) AS n FROM dlbl GROUP BY label)"""
+
+_DEDUP_RETENTION_ORACLE = f"""
+WITH {_RETENTION_CC_CTES}
 SELECT d.doc_id,
        CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS cluster_id,
        CAST(COALESCE(z.n, 1) AS BIGINT) AS cluster_size,
@@ -166,6 +168,39 @@ def q_dedup_retention_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     See :func:`~graphdb_testing_spark.functions.dedup.dedup_retention`."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return dedup.dedup_retention(docs, threshold=0.8)
+
+
+_DEDUP_RETENTION_LONGEST_ORACLE = f"""
+WITH {_RETENTION_CC_CTES}
+SELECT doc_id, cluster_id, cluster_size,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY tlen DESC, doc_id) = 1 AS BIGINT) AS keep
+FROM (
+  SELECT d.doc_id,
+         CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS cluster_id,
+         CAST(COALESCE(z.n, 1) AS BIGINT) AS cluster_size,
+         len(d.text) AS tlen
+  FROM documents d
+  LEFT JOIN dlbl l ON l.id = d.doc_id
+  LEFT JOIN dsz z ON z.label = l.label
+)
+UNION ALL
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS cluster_id,
+       CAST(-1 AS BIGINT) AS cluster_size, CAST(-1 AS BIGINT) AS keep
+FROM dlbl WHERE id < 0
+"""
+
+
+@register("dedup_retention_keep_longest", _DEDUP_RETENTION_LONGEST_ORACLE)
+def q_dedup_retention_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention manifest with the keep-the-longest policy: same
+    duplicate clusters as ``dedup_retention_clusters``, but the kept
+    representative is the cluster member with the longest text (ties
+    to the smallest id) — the choice public web pipelines make so the
+    dedup pass retains the most complete copy.  The policy window
+    partitions by cluster — work bounded by cluster size."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return dedup.dedup_retention(docs, threshold=0.8, keep_policy="longest")
 
 
 # ---------------------------------------------------------------------------

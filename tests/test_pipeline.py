@@ -872,3 +872,28 @@ def test_round6_pipeline_query_plans_scale_safe(spark, name):
     df = all_queries()[name](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, name
+
+
+def test_dedup_retention_keep_longest(spark):
+    """keep_policy='longest': the kept member is the longest text in
+    the cluster (ties to smallest id); cluster identity (min id) and
+    sizes are unchanged from the default policy."""
+    from graphdb_testing_spark.functions import dedup
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok39", "tok39x")  # near-dup, one char LONGER
+    rows = (
+        [(i, base) for i in range(0, 5)]
+        + [(i, near) for i in range(10, 13)]
+        + [(20, "solo " + " ".join(f"z{i}" for i in range(30)))]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in dedup.dedup_retention(docs, 0.8, keep_policy="longest").collect()
+    }
+    # cluster key stays the min id; the WINNER moves to the longest text
+    for d in list(range(0, 5)) + list(range(10, 13)):
+        assert got[d].cluster_id == 0 and got[d].cluster_size == 8
+        assert got[d].keep == (1 if d == 10 else 0)  # longest, min id among ties
+    assert got[20].keep == 1 and got[20].cluster_size == 1
