@@ -944,6 +944,83 @@ def streaming_minhash_pairs(
     )
 
 
+def streaming_dedup_decisions(
+    spark: SparkSession,
+    docs_path: str,
+    query_name: str = "dedup_decisions",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming exact-dedup DECISION gate — the streaming twin of
+    :func:`~graphdb_testing_spark.functions.dedup.exact_duplicates`:
+    every arriving document gets a manifest row ``(doc_id,
+    canonical_id, keep, n_prior_copies)`` the moment it arrives, where
+    ``canonical_id`` is the FIRST-seen (min-id within a batch) copy of
+    its content and ``keep = 1`` only for that first copy.
+
+    Unlike ``dropDuplicatesWithinWatermark`` (which silently drops
+    late copies), this emits the keep/drop decision for every row —
+    what an ingestion pipeline writes next to the raw data so the
+    drop is auditable and reversible.
+
+    State is keyed by the md5 content fingerprint: ``(canonical_id,
+    n_seen)`` — two longs per distinct content, the minimal dedup
+    index.  Batches are processed sorted by doc_id, so a replay in id
+    order reproduces the batch manifest exactly (parity-tested).  At
+    100 TB the state shards across fingerprints; no global structure.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def upd(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            canonical, n_seen = state.get
+        else:
+            canonical, n_seen = None, 0
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            if canonical is not None:
+                state.update((canonical, n_seen))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+        out = []
+        for doc_id in pdf["doc_id"]:
+            if canonical is None:
+                canonical = int(doc_id)
+            out.append(
+                (int(doc_id), canonical, int(doc_id == canonical), n_seen)
+            )
+            n_seen += 1
+        state.update((canonical, n_seen))
+        yield pd.DataFrame(
+            out, columns=["doc_id", "canonical_id", "keep", "n_prior_copies"]
+        )
+
+    reader = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_path)
+    keyed = docs.select("doc_id", F.md5("text").alias("fp"))
+    out = keyed.groupBy("fp").applyInPandasWithState(
+        upd,
+        outputStructType=(
+            "doc_id long, canonical_id long, keep long, n_prior_copies long"
+        ),
+        stateStructType="canonical long, n_seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_heavy_hitters(
     spark: SparkSession,
     events_path: str,

@@ -1085,3 +1085,47 @@ def test_minhash_signature_rows_equals_groupby(spark):
     j = rowsig.join(agg, "doc_id")
     assert j.count() == docs.filter(F.length("text") >= 8).count()
     assert j.filter(F.col("sig") != F.col("sig2")).count() == 0
+
+
+def test_streaming_dedup_decisions_matches_batch(spark, tmp_path):
+    """Replay a duplicated corpus in id-ordered micro-batches: the
+    streamed decision manifest must match the batch exact_duplicates
+    closure — same canonical per content, keep only for the first
+    copy, and n_prior_copies counts arrivals before each row."""
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.functions.dedup import exact_duplicates
+    from graphdb_testing_spark.streaming.workflow import streaming_dedup_decisions
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "dd_stream"
+    d.mkdir()
+    t = pq.read_table(f"{sf}/documents.parquet")
+    n = t.num_rows
+    # duplicate the corpus with fresh ids so every content has 2 copies,
+    # split into id-ordered micro-batches (originals, then copies)
+    import pyarrow as pa
+
+    dup = t.set_column(
+        t.schema.get_field_index("doc_id"),
+        "doc_id",
+        pa.array([v.as_py() + n for v in t.column("doc_id")], type=pa.int64()),
+    )
+    pq.write_table(t, f"{d}/part-0.parquet")
+    pq.write_table(dup, f"{d}/part-1.parquet")
+
+    q = streaming_dedup_decisions(
+        spark, str(d), query_name="t_dd", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r for r in spark.sql("select * from t_dd").collect()}
+    assert len(got) == 2 * n
+
+    batch = spark.read.parquet(str(d))
+    want = {r.doc_id: r.canonical_id for r in exact_duplicates(batch).collect()}
+    for doc_id, r in got.items():
+        assert r.canonical_id == want[doc_id]
+        assert r.keep == (1 if doc_id == r.canonical_id else 0)
+    # each original arrives first (0 prior), each copy second (1 prior)
+    assert all(got[i].n_prior_copies == 0 for i in range(n))
+    assert all(got[i + n].n_prior_copies == 1 for i in range(n))
