@@ -1404,8 +1404,7 @@ def q_shard_plan_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gopher quality rules (Rae et al. 2021, Appendix A1.1)
 # ---------------------------------------------------------------------------
 
-_GOPHER_ORACLE = """
-WITH base AS (
+_GOPHER_CTES = """base AS (
   SELECT doc_id, text,
          list_filter(string_split(text, ' '), x -> x <> '') AS w,
          string_split(text, chr(10)) AS lines
@@ -1445,7 +1444,10 @@ r AS (
               ELSE ROUND(n_alpha / CAST(n_words AS DOUBLE), 6) END AS alpha_word_frac,
          n_stop AS n_stop_present
   FROM m
-)
+)"""
+
+_GOPHER_ORACLE = f"""
+WITH {_GOPHER_CTES}
 SELECT *,
        (CAST(n_words BETWEEN 50 AND 100000 AS BIGINT)
         + CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS BIGINT)
@@ -1476,3 +1478,104 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = datasets.load_table(spark, sf_dir, "documents")
     return textstats.gopher_quality(docs)
+
+
+# ---------------------------------------------------------------------------
+# Composed pipeline report: quality gate -> dedup among survivors
+# ---------------------------------------------------------------------------
+
+#: Gate at >= 6 of 7 Gopher rules: rule 7 (>= 2 of the 8 Gopher stop
+#: words) is degenerate on the synthetic vocabulary (only "the"
+#: occurs), so the full conjunction keeps nothing — the >= 6 gate is
+#: the corpus-appropriate relaxation and is discriminative here.
+_RETENTION_REPORT_ORACLE_TMPL = """
+WITH {GOPHER},
+gq AS (
+  SELECT doc_id, n_words,
+         (CAST(n_words BETWEEN 50 AND 100000 AS BIGINT)
+          + CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS BIGINT)
+          + CAST(symbol_word_ratio <= 0.1 AS BIGINT)
+          + CAST(bullet_line_frac < 0.9 AS BIGINT)
+          + CAST(ellipsis_line_frac < 0.3 AS BIGINT)
+          + CAST(alpha_word_frac >= 0.8 AS BIGINT)
+          + CAST(n_stop_present >= 2 AS BIGINT)) AS n_rules_passed
+  FROM r
+),
+qdocs AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN gq ON gq.doc_id = d.doc_id AND gq.n_rules_passed >= 6
+),
+{RETENTION},
+man AS (
+  SELECT q.doc_id,
+         CAST(q.doc_id = COALESCE(l.label, q.doc_id) AS BIGINT) AS keep
+  FROM qdocs q LEFT JOIN dlbl l ON l.id = q.doc_id
+)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM gq WHERE n_rules_passed < 6) AS BIGINT)
+         AS n_quality_fail,
+       CAST(SUM(1 - m.keep) AS BIGINT) AS n_dedup_dropped,
+       CAST(SUM(m.keep) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN m.keep = 1 THEN g.n_words ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       ROUND(SUM(m.keep)
+             / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE), 6)
+         AS frac_kept
+FROM man m JOIN gq g ON g.doc_id = m.doc_id
+"""
+
+
+def _retention_report_oracle() -> str:
+    from .queries_pipeline import _retention_cc_ctes
+
+    return _RETENTION_REPORT_ORACLE_TMPL.replace(
+        "{GOPHER}", _GOPHER_CTES.strip()
+    ).replace("{RETENTION}", _retention_cc_ctes(src="qdocs").strip())
+
+
+@register("corpus_retention_report", _retention_report_oracle())
+def q_corpus_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-prep accounting in one row: Gopher quality
+    gate (≥ 6 of 7 rules — see the oracle note on rule 7) followed by
+    near-dup retention among the survivors; reports documents failing
+    quality, documents dropped as duplicates, documents and whitespace
+    tokens kept, and the kept fraction — the summary a 100 TB
+    filtering run publishes next to its output.  Composes
+    :func:`~graphdb_testing_spark.functions.textstats.gopher_quality`
+    and :func:`~graphdb_testing_spark.functions.dedup.dedup_retention`;
+    every stage inherits their scale shapes (map-only gate, collapsed
+    LSH dedup, scalar rollup)."""
+    from .functions import dedup, textstats
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    g = textstats.gopher_quality(docs).localCheckpoint()
+    qids = g.filter(F.col("n_rules_passed") >= 6).select("doc_id")
+    qdocs = docs.join(qids, "doc_id", "left_semi")
+    man = dedup.dedup_retention(qdocs, threshold=0.8)
+    stats = g.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("n_rules_passed") < 6).cast("long"))
+        .cast("long")
+        .alias("n_quality_fail"),
+    )
+    dd = (
+        man.join(g.select("doc_id", "n_words"), "doc_id")
+        .agg(
+            F.sum(1 - F.col("keep")).cast("long").alias("n_dedup_dropped"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("keep") == 1, F.col("n_words")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
+    return (
+        stats.crossJoin(F.broadcast(dd))
+        .select(
+            "n_docs",
+            "n_quality_fail",
+            "n_dedup_dropped",
+            "n_kept",
+            "tokens_kept",
+            F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("frac_kept"),
+        )
+    )

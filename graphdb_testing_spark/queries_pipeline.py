@@ -40,11 +40,15 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_ctes(k: int = 8, num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_ctes(
+    k: int = 8, num_hashes: int = 16, bands: int = 4, src: str = "documents"
+) -> str:
     """Shared CTE chain ``sh → hv → sig → bands → cand → sizes →
     inter`` (distinct shingles through exact pair intersection) —
-    composed by both the candidate-pair oracle and the retention-
-    manifest oracle so the two stay in hashing lockstep."""
+    composed by the candidate-pair, retention-manifest, and composed-
+    pipeline oracles so they stay in hashing lockstep.  ``src`` is the
+    document relation (a table or an upstream CTE with ``doc_id,
+    text``)."""
     rows = num_hashes // bands
     mh_cols = ",\n         ".join(
         f"MIN(CASE WHEN seed = {s} THEN hv END) AS mh_{s}" for s in range(num_hashes)
@@ -57,7 +61,7 @@ def _minhash_ctes(k: int = 8, num_hashes: int = 16, bands: int = 4) -> str:
     )
     return f"""sh AS (
   SELECT DISTINCT doc_id, substr(text, i, {k}) AS sh
-  FROM documents, UNNEST(generate_series(1, len(text) - {k - 1})) AS t(i)
+  FROM {src}, UNNEST(generate_series(1, len(text) - {k - 1})) AS t(i)
   WHERE len(text) >= {k}
 ),
 hv AS (
@@ -122,8 +126,10 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pair graph; the trailing UNION ALL surfaces the convergence poison
 #: row (id < 0, impossible as a doc_id) so an under-provisioned round
 #: count fails the comparison loudly instead of silently dropping it
-#: in the LEFT JOIN.  Shared by both keep-policy oracles.
-_RETENTION_CC_CTES = f"""{_minhash_ctes()},
+#: in the LEFT JOIN.  Shared by both keep-policy oracles and the
+#: composed-pipeline report (which passes a filtered ``src``).
+def _retention_cc_ctes(src: str = "documents") -> str:
+    return f"""{_minhash_ctes(src=src)},
 jac AS (
   SELECT c.a_id, c.b_id,
          ROUND(COALESCE(i.inter, 0)
@@ -140,6 +146,9 @@ dsym AS MATERIALIZED (
 ),
 {oracles.cc_bounded_ctes("dsym", rounds=8, out="dlbl")},
 dsz AS (SELECT label, COUNT(*) AS n FROM dlbl GROUP BY label)"""
+
+
+_RETENTION_CC_CTES = _retention_cc_ctes()
 
 _DEDUP_RETENTION_ORACLE = f"""
 WITH {_RETENTION_CC_CTES}
