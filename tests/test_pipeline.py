@@ -855,9 +855,15 @@ def test_semdedup_retention_invariants(spark):
     "name",
     [
         "dedup_retention_clusters",
+        "dedup_retention_keep_longest",
         "minhash_signature_pairs",
         "semdedup_retention",
         "gopher_quality_flags",
+        # corpus_retention_report is excluded: it ENDS in a global
+        # scalar aggregate (one output row), whose final
+        # single-partition exchange receives only map-side-combined
+        # partials — the legal scalar-rollup pattern, not a data-sized
+        # global stage.
     ],
 )
 def test_round6_pipeline_query_plans_scale_safe(spark, name):
