@@ -1021,6 +1021,94 @@ def streaming_dedup_decisions(
     )
 
 
+def streaming_ingest_decisions(
+    spark: SparkSession,
+    docs_path: str,
+    min_rules: int = 6,
+    query_name: str = "ingest_decisions",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming ingestion gate — the streaming twin of the batch
+    ``corpus_retention_report`` pipeline's gate stages: every arriving
+    document is scored against the Gopher quality rules (row-level
+    higher-order functions, legal on a stream) and, if it passes
+    ≥ ``min_rules``, runs through the fingerprint-keyed exact-dedup
+    decision state.  Emits one decision row per document:
+
+    * ``('quality_fail', NULL)`` — failed the quality gate;
+    * ``('dup', canonical_id)`` — exact duplicate of an earlier doc;
+    * ``('keep', doc_id)`` — first copy of novel content.
+
+    The union of a stateless branch (quality failures) and one
+    stateful branch (fingerprint state, two longs per distinct
+    content) — the auditable per-row decision log an ingestion
+    pipeline writes at 100 TB, sharded by fingerprint."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.textstats import gopher_quality
+
+    def upd(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            canonical, n_seen = state.get
+        else:
+            canonical, n_seen = None, 0
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            if canonical is not None:
+                state.update((canonical, n_seen))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+        out = []
+        for doc_id in pdf["doc_id"]:
+            if canonical is None:
+                canonical = int(doc_id)
+            out.append(
+                (
+                    int(doc_id),
+                    "keep" if doc_id == canonical else "dup",
+                    canonical,
+                )
+            )
+            n_seen += 1
+        state.update((canonical, n_seen))
+        yield pd.DataFrame(out, columns=["doc_id", "decision", "canonical_id"])
+
+    reader = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_path)
+    scored = gopher_quality(docs).join(docs.select("doc_id", "text"), "doc_id")
+    failed = scored.filter(F.col("n_rules_passed") < min_rules).select(
+        "doc_id",
+        F.lit("quality_fail").alias("decision"),
+        F.lit(None).cast("long").alias("canonical_id"),
+    )
+    passed = (
+        scored.filter(F.col("n_rules_passed") >= min_rules)
+        .select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .applyInPandasWithState(
+            upd,
+            outputStructType="doc_id long, decision string, canonical_id long",
+            stateStructType="canonical long, n_seen long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        passed.unionByName(failed)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_heavy_hitters(
     spark: SparkSession,
     events_path: str,

@@ -1129,3 +1129,51 @@ def test_streaming_dedup_decisions_matches_batch(spark, tmp_path):
     # each original arrives first (0 prior), each copy second (1 prior)
     assert all(got[i].n_prior_copies == 0 for i in range(n))
     assert all(got[i + n].n_prior_copies == 1 for i in range(n))
+
+
+def test_streaming_ingest_decisions_matches_batch(spark, tmp_path):
+    """The streaming ingestion gate must agree with the batch stages:
+    quality failures match the batch Gopher gate, and among survivors
+    the dup/keep decisions match the batch exact-duplicates closure."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.functions.dedup import exact_duplicates
+    from graphdb_testing_spark.functions.textstats import gopher_quality
+    from graphdb_testing_spark.streaming.workflow import streaming_ingest_decisions
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "ig_stream"
+    d.mkdir()
+    t = pq.read_table(f"{sf}/documents.parquet")
+    n = t.num_rows
+    dup = t.set_column(
+        t.schema.get_field_index("doc_id"),
+        "doc_id",
+        pa.array([v.as_py() + n for v in t.column("doc_id")], type=pa.int64()),
+    )
+    pq.write_table(t, f"{d}/part-0.parquet")
+    pq.write_table(dup, f"{d}/part-1.parquet")
+
+    q = streaming_ingest_decisions(
+        spark, str(d), min_rules=6, query_name="t_ig", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r for r in spark.sql("select * from t_ig").collect()}
+    assert len(got) == 2 * n
+
+    batch = spark.read.parquet(str(d))
+    gq = {
+        r.doc_id: r.n_rules_passed for r in gopher_quality(batch).collect()
+    }
+    fails = {i for i, v in gq.items() if v < 6}
+    assert fails and len(fails) < 2 * n  # the gate is discriminative
+    assert {i for i, r in got.items() if r.decision == "quality_fail"} == fails
+
+    survivors = batch.filter(~batch.doc_id.isin(list(fails)))
+    canon = {r.doc_id: r.canonical_id for r in exact_duplicates(survivors).collect()}
+    for doc_id, r in got.items():
+        if r.decision == "quality_fail":
+            continue
+        assert r.canonical_id == canon[doc_id]
+        assert r.decision == ("keep" if doc_id == canon[doc_id] else "dup")
