@@ -343,3 +343,75 @@ def test_greedy_coloring_equals_sequential_on_random_graphs(spark, pairs):
             c += 1
         seq[v] = c
     assert out == seq
+
+
+# retention manifest invariants: random corpora of words drawn from a
+# tiny vocabulary (forcing both exact and near duplication), brute-
+# force shingle Jaccard as ground truth for the verified-pair graph
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+             min_size=3, max_size=12),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(word_lists=corpus_strategy)
+@_settings
+def test_retention_manifest_invariants(spark, word_lists):
+    """For ANY corpus: one manifest row per doc; cluster_id = min
+    member id; exactly one keep per cluster; cluster_size counts the
+    members; exact duplicates always share a cluster; and every
+    same-cluster pair is connected in the brute-force Jaccard≥0.8
+    graph (no over-merging — LSH can only lose pairs, CC cannot
+    invent them)."""
+    from graphdb_testing_spark.functions.dedup import dedup_retention
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = dedup_retention(df, 0.8).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(docs)))
+
+    clusters: dict[int, list] = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    for cid, members in clusters.items():
+        ids = sorted(m.doc_id for m in members)
+        assert cid == ids[0]
+        assert all(m.cluster_size == len(ids) for m in members)
+        assert sum(m.keep for m in members) == 1
+
+    # exact duplicates must co-cluster
+    by_text: dict[str, list[int]] = {}
+    for i, txt in docs:
+        by_text.setdefault(txt, []).append(i)
+    label = {r.doc_id: r.cluster_id for r in rows}
+    for ids in by_text.values():
+        if len(ids) > 1:
+            assert len({label[i] for i in ids}) == 1
+
+    # no over-merge: same-cluster pairs are connected in the exact
+    # Jaccard>=0.8 graph (union-find over brute-force pairs)
+    def shingles(t):
+        return {t[i : i + 8] for i in range(len(t) - 7)} if len(t) >= 8 else set()
+
+    sh = {i: shingles(t) for i, t in docs}
+    edges = []
+    for i, _ in docs:
+        for j, _ in docs:
+            if i < j and sh[i] and sh[j]:
+                inter = len(sh[i] & sh[j])
+                jac = round(inter / (len(sh[i]) + len(sh[j]) - inter), 6)
+                if jac >= 0.8:
+                    edges.append((i, j))
+    truth = _components(edges)
+    # truth maps only matched docs; singleton docs have no constraint
+    tl = {}
+    for members in truth:
+        for m in members:
+            tl[m] = min(members)
+    for cid, members in clusters.items():
+        ids = [m.doc_id for m in members]
+        if len(ids) > 1:
+            assert all(i in tl for i in ids), (ids, edges)
+            assert len({tl[i] for i in ids}) == 1, (ids, edges)
