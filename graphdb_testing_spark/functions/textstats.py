@@ -347,7 +347,10 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
 
 
 def gopher_quality(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry: dict[str, "F.Column"] | None = None,
 ) -> DataFrame:
     """Gopher quality-rule filter (Rae et al. 2021, *Scaling Language
     Models*, Appendix A1.1) — the standard pre-training heuristic
@@ -370,8 +373,15 @@ def gopher_quality(
     bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
     n_stop_present, gopher_pass)``; ratios rounded to 6 decimals, the
     pass flag is BIGINT 0/1 over the conjunction.
+
+    Words are split on runs of ANY whitespace (``\\s+``, the paper's
+    convention) so tokens never glue across newlines; lines split on
+    ``\\n``.  ``carry`` appends extra named expressions (e.g. a content
+    fingerprint) to the SAME projection — the stateless way for a
+    streaming caller to keep derived columns without a stream-stream
+    self-join.
     """
-    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    w = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     lines = F.split(F.col(text_col), "\n")
     n_words = F.size(w).cast("long")
     n_lines = F.size(lines).cast("long")
@@ -416,6 +426,7 @@ def gopher_quality(
         ellipsis_frac.alias("ellipsis_line_frac"),
         F.coalesce(alpha_frac, F.lit(0.0)).alias("alpha_word_frac"),
         n_stop.alias("n_stop_present"),
+        *[expr.alias(name) for name, expr in (carry or {}).items()],
     )
     rules = [
         F.col("n_words").between(50, 100000),

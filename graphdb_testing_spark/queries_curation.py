@@ -1406,7 +1406,7 @@ def q_shard_plan_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GOPHER_CTES = """base AS (
   SELECT doc_id, text,
-         list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w,
          string_split(text, chr(10)) AS lines
   FROM documents
 ),

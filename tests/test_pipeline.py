@@ -724,6 +724,9 @@ def test_gopher_quality_rules_bruteforce(spark):
     assert rows[0].gopher_pass == 1
 
     assert rows[1].bullet_line_frac == 0.75  # 3 of 4 lines
+    # whitespace tokenization: newlines are word separators, so the
+    # bullets doc counts 10 words (no "one\n•"-style glued tokens)
+    assert rows[1].n_words == 10
     assert rows[2].ellipsis_line_frac == 0.75  # 3 of 4 lines end ...
     assert rows[2].gopher_pass == 0
 
