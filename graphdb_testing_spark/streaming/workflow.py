@@ -855,6 +855,7 @@ def streaming_minhash_pairs(
     bands: int = 4,
     query_name: str = "minhash_pairs",
     max_files_per_trigger: int | None = None,
+    ttl_ms: int | None = None,
 ):
     """Streaming near-dup detection: the LSH band index as KEYED
     Structured Streaming state — the streaming twin of
@@ -877,7 +878,22 @@ def streaming_minhash_pairs(
     index on one task), and each bucket's population tracks its
     duplicate-cluster size, not the corpus — the banding premise.
     Signatures are ``num_hashes`` longs per doc, so a bucket of B
-    members costs B·(num_hashes+1) longs of state."""
+    members costs B·(num_hashes+1) longs of state.
+
+    State lifecycle (the 100 TB long-run story): state still grows
+    with corpus novelty, so a month-long ingest needs a lifecycle.
+    ``ttl_ms`` bounds it — a bucket idle for that long is evicted
+    (processing-time timeout), trading exactness at the horizon (a
+    near-dup arriving after the TTL of its bucket's last activity is
+    missed) for bounded state; ``None`` keeps state forever (exact).
+    For durable multi-TB state, configure the RocksDB provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``RocksDBStateStoreProvider``) so state spills off-heap; per-batch
+    state size is observable via :func:`state_telemetry`.  With a TTL
+    set, an ``availableNow`` run keeps scheduling no-data
+    state-cleanup batches after the sources drain (it never
+    self-terminates) — finite-replay harnesses must poll the sink and
+    ``stop()``; a real ingest runs forever anyway."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..functions.dedup import minhash_signature_rows, sig_band_keys
@@ -886,6 +902,9 @@ def streaming_minhash_pairs(
         import numpy as np
         import pandas as pd
 
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             sids, flat = state.get
             ids = np.array(sids, dtype=np.int64)
@@ -897,6 +916,8 @@ def streaming_minhash_pairs(
         if not chunks:
             if len(ids):
                 state.update((ids.tolist(), sigs.reshape(-1).tolist()))
+                if ttl_ms is not None:
+                    state.setTimeoutDuration(ttl_ms)
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
         new_ids = pdf["doc_id"].to_numpy(np.int64)
@@ -917,6 +938,8 @@ def streaming_minhash_pairs(
                 out_b.append(int(max(all_ids[j], new_ids[i])))
                 out_n.append(int(agree[j]))
         state.update((all_ids.tolist(), all_sigs.reshape(-1).tolist()))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if out_a:
             yield pd.DataFrame({"a_id": out_a, "b_id": out_b, "n_agree": out_n})
 
@@ -933,7 +956,11 @@ def streaming_minhash_pairs(
         outputStructType="a_id long, b_id long, n_agree long",
         stateStructType="ids array<long>, flat array<long>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return (
         out.writeStream.outputMode("append")
@@ -949,6 +976,7 @@ def streaming_dedup_decisions(
     docs_path: str,
     query_name: str = "dedup_decisions",
     max_files_per_trigger: int | None = None,
+    ttl_ms: int | None = None,
 ):
     """Streaming exact-dedup DECISION gate — the streaming twin of
     :func:`~graphdb_testing_spark.functions.dedup.exact_duplicates`:
@@ -967,12 +995,30 @@ def streaming_dedup_decisions(
     index.  Batches are processed sorted by doc_id, so a replay in id
     order reproduces the batch manifest exactly (parity-tested).  At
     100 TB the state shards across fingerprints; no global structure.
+
+    State lifecycle: two longs per distinct content STILL grows
+    unboundedly with corpus novelty, which is what kills a month-long
+    ingest.  ``ttl_ms`` bounds it: a fingerprint idle for that long is
+    evicted (processing-time timeout), so a duplicate arriving after
+    the horizon is re-admitted as novel — the standard
+    exactness-for-bounded-state trade, off by default (``None`` =
+    exact forever).  A production deployment pairs the TTL with a
+    periodic snapshot-compaction into the batch retention manifest
+    (the batch twin is the compaction target) and the RocksDB state
+    store provider; per-batch state size is observable via
+    :func:`state_telemetry`.  With a TTL set, an ``availableNow`` run
+    keeps scheduling no-data state-cleanup batches after the sources
+    drain — finite-replay harnesses must poll the sink and ``stop()``
+    rather than ``awaitTermination()``.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def upd(key, pdf_iter, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             canonical, n_seen = state.get
         else:
@@ -981,6 +1027,8 @@ def streaming_dedup_decisions(
         if not chunks:
             if canonical is not None:
                 state.update((canonical, n_seen))
+                if ttl_ms is not None:
+                    state.setTimeoutDuration(ttl_ms)
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
         out = []
@@ -992,6 +1040,8 @@ def streaming_dedup_decisions(
             )
             n_seen += 1
         state.update((canonical, n_seen))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             out, columns=["doc_id", "canonical_id", "keep", "n_prior_copies"]
         )
@@ -1010,7 +1060,11 @@ def streaming_dedup_decisions(
         ),
         stateStructType="canonical long, n_seen long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return (
         out.writeStream.outputMode("append")
@@ -1027,6 +1081,7 @@ def streaming_ingest_decisions(
     min_rules: int = 6,
     query_name: str = "ingest_decisions",
     max_files_per_trigger: int | None = None,
+    ttl_ms: int | None = None,
 ):
     """Streaming ingestion gate — the streaming twin of the batch
     ``corpus_retention_report`` pipeline's gate stages: every arriving
@@ -1039,10 +1094,15 @@ def streaming_ingest_decisions(
     * ``('dup', canonical_id)`` — exact duplicate of an earlier doc;
     * ``('keep', doc_id)`` — first copy of novel content.
 
-    The union of a stateless branch (quality failures) and one
-    stateful branch (fingerprint state, two longs per distinct
+    The union of a genuinely stateless branch (quality failures) and
+    one stateful branch (fingerprint state, two longs per distinct
     content) — the auditable per-row decision log an ingestion
-    pipeline writes at 100 TB, sharded by fingerprint."""
+    pipeline writes at 100 TB, sharded by fingerprint.  The content
+    fingerprint is computed in the SAME projection as the quality
+    metrics (``gopher_quality(..., carry=...)``), so no stream-stream
+    self-join ever buffers the corpus in join state.  ``ttl_ms``
+    bounds the fingerprint state's lifetime exactly as in
+    :func:`streaming_dedup_decisions`."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..functions.textstats import gopher_quality
@@ -1050,6 +1110,9 @@ def streaming_ingest_decisions(
     def upd(key, pdf_iter, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             canonical, n_seen = state.get
         else:
@@ -1058,6 +1121,8 @@ def streaming_ingest_decisions(
         if not chunks:
             if canonical is not None:
                 state.update((canonical, n_seen))
+                if ttl_ms is not None:
+                    state.setTimeoutDuration(ttl_ms)
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
         out = []
@@ -1073,6 +1138,8 @@ def streaming_ingest_decisions(
             )
             n_seen += 1
         state.update((canonical, n_seen))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=["doc_id", "decision", "canonical_id"])
 
     reader = spark.readStream.schema(
@@ -1081,7 +1148,7 @@ def streaming_ingest_decisions(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(docs_path)
-    scored = gopher_quality(docs).join(docs.select("doc_id", "text"), "doc_id")
+    scored = gopher_quality(docs, carry={"fp": F.md5(F.col("text"))})
     failed = scored.filter(F.col("n_rules_passed") < min_rules).select(
         "doc_id",
         F.lit("quality_fail").alias("decision"),
@@ -1089,14 +1156,18 @@ def streaming_ingest_decisions(
     )
     passed = (
         scored.filter(F.col("n_rules_passed") >= min_rules)
-        .select("doc_id", F.md5("text").alias("fp"))
+        .select("doc_id", "fp")
         .groupBy("fp")
         .applyInPandasWithState(
             upd,
             outputStructType="doc_id long, decision string, canonical_id long",
             stateStructType="canonical long, n_seen long",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
     return (
@@ -1107,6 +1178,36 @@ def streaming_ingest_decisions(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def state_telemetry(query) -> list[dict]:
+    """Per-batch state-store telemetry for a streaming query: one row
+    per (micro-batch, stateful operator) with the state row count and
+    churn — the observability a long-running ingest needs to see its
+    state trajectory (and to alarm when a NoTimeout deployment's state
+    stops plateauing).
+
+    Returns ``[{"batch": id, "operator": name, "state_rows": total,
+    "updated": n, "removed": n}, ...]`` drawn from the query's
+    ``recentProgress`` (Structured Streaming's own instrumentation —
+    no extra work on the hot path)."""
+    import json as _json
+
+    out = []
+    for prog in query.recentProgress:
+        if not isinstance(prog, dict):  # StreamingQueryProgress object
+            prog = _json.loads(prog.json)
+        for op in prog.get("stateOperators", []) or []:
+            out.append(
+                {
+                    "batch": prog.get("batchId"),
+                    "operator": op.get("operatorName"),
+                    "state_rows": op.get("numRowsTotal"),
+                    "updated": op.get("numRowsUpdated"),
+                    "removed": op.get("numRowsRemoved"),
+                }
+            )
+    return out
 
 
 def streaming_heavy_hitters(

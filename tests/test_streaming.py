@@ -1092,6 +1092,9 @@ def test_streaming_dedup_decisions_matches_batch(spark, tmp_path):
     streamed decision manifest must match the batch exact_duplicates
     closure — same canonical per content, keep only for the first
     copy, and n_prior_copies counts arrivals before each row."""
+    import os
+    import time
+
     import pyarrow.parquet as pq
 
     from graphdb_testing_spark.functions.dedup import exact_duplicates
@@ -1113,6 +1116,11 @@ def test_streaming_dedup_decisions_matches_batch(spark, tmp_path):
     )
     pq.write_table(t, f"{d}/part-0.parquet")
     pq.write_table(dup, f"{d}/part-1.parquet")
+    # FileStreamSource orders by mtime (ms granularity): pin distinct
+    # mtimes so the id-ordered replay assumption can never tie-break
+    now = time.time()
+    os.utime(f"{d}/part-0.parquet", (now - 10, now - 10))
+    os.utime(f"{d}/part-1.parquet", (now, now))
 
     q = streaming_dedup_decisions(
         spark, str(d), query_name="t_dd", max_files_per_trigger=1
@@ -1135,6 +1143,9 @@ def test_streaming_ingest_decisions_matches_batch(spark, tmp_path):
     """The streaming ingestion gate must agree with the batch stages:
     quality failures match the batch Gopher gate, and among survivors
     the dup/keep decisions match the batch exact-duplicates closure."""
+    import os
+    import time
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1154,6 +1165,9 @@ def test_streaming_ingest_decisions_matches_batch(spark, tmp_path):
     )
     pq.write_table(t, f"{d}/part-0.parquet")
     pq.write_table(dup, f"{d}/part-1.parquet")
+    now = time.time()
+    os.utime(f"{d}/part-0.parquet", (now - 10, now - 10))
+    os.utime(f"{d}/part-1.parquet", (now, now))
 
     q = streaming_ingest_decisions(
         spark, str(d), min_rules=6, query_name="t_ig", max_files_per_trigger=1
@@ -1177,3 +1191,171 @@ def test_streaming_ingest_decisions_matches_batch(spark, tmp_path):
             continue
         assert r.canonical_id == canon[doc_id]
         assert r.decision == ("keep" if doc_id == canon[doc_id] else "dup")
+
+
+def test_streaming_dedup_ttl_evicts_idle_state(spark, tmp_path):
+    """State lifecycle (round-7): with a tiny processing-time TTL, a
+    fingerprint idle for one batch is evicted, so a later copy of the
+    same content is re-admitted as novel; with TTL off (the default)
+    the same replay marks it a duplicate — the documented
+    exactness-for-bounded-state trade."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.streaming.workflow import (
+        state_telemetry,
+        streaming_dedup_decisions,
+    )
+
+    def mk_doc(doc_id, text):
+        return pa.table(
+            {
+                "doc_id": pa.array([doc_id], pa.int64()),
+                "text": pa.array([text]),
+                "lang": pa.array(["en"]),
+                "source": pa.array(["t"]),
+                "n_chars": pa.array([len(text)], pa.int64()),
+            }
+        )
+
+    def write_stream(d):
+        # b0: content A; b1: unrelated B (A idle); b2: A again
+        os.makedirs(d)
+        now = time.time()
+        for i, tbl in enumerate(
+            [mk_doc(0, "same content"), mk_doc(1, "other"), mk_doc(2, "same content")]
+        ):
+            f = f"{d}/part-{i}.parquet"
+            pq.write_table(tbl, f)
+            os.utime(f, (now - 10 + i, now - 10 + i))
+
+    # TTL off: the batch-exact behavior — doc 2 is a duplicate of doc 0
+    d1 = str(tmp_path / "no_ttl")
+    write_stream(d1)
+    q = streaming_dedup_decisions(
+        spark, d1, query_name="t_ttl_off", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r for r in spark.sql("select * from t_ttl_off").collect()}
+    assert got[2].keep == 0 and got[2].canonical_id == 0
+
+    # TTL 1ms: doc 0's fingerprint expires during batch 1 (it has no
+    # data there), so doc 2 arrives to empty state and is kept.
+    # NOTE: with a processing-time TTL an availableNow run keeps
+    # scheduling state-cleanup batches after the data is exhausted
+    # (Spark's "no new data but cleaning up state" loop), so the
+    # harness polls the sink and stops the query — awaitTermination
+    # would block forever.  A real ingest runs forever anyway.
+    d2 = str(tmp_path / "ttl")
+    write_stream(d2)
+    q = streaming_dedup_decisions(
+        spark, d2, query_name="t_ttl_on", max_files_per_trigger=1, ttl_ms=1
+    )
+    _await_sink_rows(spark, q, "t_ttl_on", 3)
+    got = {r.doc_id: r for r in spark.sql("select * from t_ttl_on").collect()}
+    assert got[0].keep == 1
+    assert got[2].keep == 1 and got[2].canonical_id == 2  # re-admitted
+    # telemetry: per-batch state churn is observable
+    tel = state_telemetry(q)
+    assert tel and any((t["updated"] or 0) > 0 for t in tel)
+
+
+def _await_sink_rows(spark, q, table, n, timeout_s=180, distinct=False):
+    """Poll a memory-sink table until it holds >= n (optionally
+    distinct) rows, then stop the query (TTL queries never
+    self-terminate under availableNow: Spark keeps running
+    state-cleanup batches)."""
+    import time
+
+    sel = "select count(*) from " + (
+        f"(select distinct * from {table})" if distinct else table
+    )
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if spark.sql(sel).collect()[0][0] >= n:
+            q.stop()
+            return
+        if not q.isActive:
+            return
+        time.sleep(1)
+    q.stop()
+    raise AssertionError(f"{table} never reached {n} rows in {timeout_s}s")
+
+
+def test_streaming_ingest_has_single_stateful_operator(spark, tmp_path):
+    """The ingestion gate must carry ONE stateful operator (the
+    fingerprint dedup state): the quality branch is stateless — no
+    stream-stream self-join buffering the corpus in join state."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.streaming.workflow import (
+        state_telemetry,
+        streaming_ingest_decisions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "ig_plan"
+    d.mkdir()
+    t = pq.read_table(f"{sf}/documents.parquet")
+    pq.write_table(t, f"{d}/part-0.parquet")
+    now = time.time()
+    os.utime(f"{d}/part-0.parquet", (now - 5, now - 5))
+
+    q = streaming_ingest_decisions(spark, str(d), query_name="t_ig_plan")
+    q.awaitTermination()
+    tel = state_telemetry(q)
+    ops = {x["operator"] for x in tel}
+    assert len(ops) == 1, f"expected one stateful operator, saw {ops}"
+    assert not any("join" in (o or "").lower() for o in ops)
+    assert spark.sql("select count(*) from t_ig_plan").collect()[0][0] == t.num_rows
+
+
+def test_streaming_minhash_ttl_off_parity_preserved(spark, tmp_path):
+    """ttl_ms=None (default) leaves streaming_minhash_pairs exactly on
+    its batch-twin contract; a huge TTL (never expires within the run)
+    also must not change the pair set — the knob only acts at expiry."""
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.datasets import load_table
+    from graphdb_testing_spark.functions.dedup import signature_agreement_pairs
+    from graphdb_testing_spark.streaming.workflow import streaming_minhash_pairs
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path / "mh_ttl"
+    d.mkdir()
+    t = pq.read_table(f"{sf}/documents.parquet")
+    n = t.num_rows
+    import os
+    import time
+
+    now = time.time()
+    for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
+        f = f"{d}/part-{i}.parquet"
+        pq.write_table(t.slice(lo, hi - lo), f)
+        os.utime(f, (now - 10 + i, now - 10 + i))
+
+    want = {
+        (r.a_id, r.b_id, r.n_agree)
+        for r in signature_agreement_pairs(
+            load_table(spark, sf, "documents"), min_agree=8
+        ).collect()
+    }
+    q = streaming_minhash_pairs(
+        spark,
+        str(d),
+        query_name="t_mh_ttl",
+        max_files_per_trigger=1,
+        ttl_ms=3_600_000,  # an hour: never expires inside this run
+    )
+    _await_sink_rows(spark, q, "t_mh_ttl", len(want), distinct=True)
+    got = {
+        (r.a_id, r.b_id, r.n_agree)
+        for r in spark.sql("select distinct * from t_mh_ttl").collect()
+    }
+    assert got == want and want
