@@ -202,6 +202,7 @@ def dedup_retention(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_policy: str = "min_id",
+    stage_times: dict | None = None,
 ) -> DataFrame:
     """Near-dup retention manifest — the decision table a dedup pass
     writes for EVERY document before the filtered corpus is
@@ -242,34 +243,58 @@ def dedup_retention(
     (parity-tested).  Texts shorter than ``k`` get a per-document
     fingerprint — they carry no shingles, so the uncollapsed pipeline
     never pairs them, even when byte-identical.
+
+    ``stage_times`` (benchmark mode): pass a dict to have the LSH+
+    verify and connected-components stages materialized eagerly and
+    their wall-times recorded under ``"lsh_verify_s"`` / ``"cc_s"`` —
+    the manifest is unchanged, only the materialization boundaries
+    move (used by ``scripts/bench_retention_collapse.py`` to report
+    where a disk-resident run spends its time).
     """
     from ..operators.components import connected_components
 
-    fpd = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
-        F.when(
-            F.length(text_col) >= k, F.md5(F.col(text_col))
-        ).otherwise(F.concat(F.lit("short|"), F.col(id_col).cast("string"))).alias(
-            "fp"
-        ),
+    # checkpoint ONLY (doc_id, fp, length) — the columns reused across
+    # stages.  Text is deliberately NOT materialized (at 100 TB that
+    # checkpoint would be a second full-corpus write); the one place
+    # that needs it (`reps`) reads it straight off the source scan via
+    # a semi-join on the representative ids.
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    fpd = src.select(
+        "doc_id",
+        F.when(F.length("text") >= k, F.md5(F.col("text")))
+        .otherwise(F.concat(F.lit("short|"), F.col("doc_id").cast("string")))
+        .alias("fp"),
+        F.length("text").alias("_len"),
     ).localCheckpoint()
     groups = fpd.groupBy("fp").agg(
         F.min("doc_id").alias("rep_id"),
         F.count("*").cast("long").alias("n_exact"),
     )
-    reps = (
-        fpd.join(groups.select("fp", "rep_id"), "fp")
-        .filter(F.col("doc_id") == F.col("rep_id"))
-        .select(F.col("rep_id").alias("doc_id"), "text")
+    reps = src.join(
+        groups.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
     )
     dup = minhash_near_duplicates(reps, threshold, k, num_hashes, bands).select(
         "a_id", "b_id"
     )
+    if stage_times is not None:
+        import time as _time
+
+        t0 = _time.time()
+        dup = dup.localCheckpoint()
+        stage_times["lsh_verify_s"] = round(_time.time() - t0, 2)
     sym = dup.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     ).unionAll(dup.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
-    cc = connected_components(sym).withColumnRenamed("id", "rep_id")
+    if stage_times is not None:
+        t0 = _time.time()
+        cc = connected_components(sym).localCheckpoint().withColumnRenamed(
+            "id", "rep_id"
+        )
+        stage_times["cc_s"] = round(_time.time() - t0, 2)
+    else:
+        cc = connected_components(sym).withColumnRenamed("id", "rep_id")
     repc = (
         groups.join(cc, "rep_id", "left")
         .withColumn("cluster_id", F.coalesce(F.col("label"), F.col("rep_id")))
@@ -279,7 +304,7 @@ def dedup_retention(
         F.sum("n_exact").cast("long").alias("cluster_size")
     )
     manifest = (
-        fpd.select("doc_id", "fp", F.length("text").alias("_len"))
+        fpd.select("doc_id", "fp", "_len")
         .join(repc.select("fp", "cluster_id"), "fp")
         .join(csize, "cluster_id")
     )

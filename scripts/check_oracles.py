@@ -11,6 +11,14 @@ that runs past the limit and records ``[oracle-to ]`` instead of
 hanging the sweep — several oracles are transitive-closure recursive
 CTEs that are exact but quadratic, fine at sf0.01 and infeasible at
 sf0.1; the Spark side still executes and row-counts.
+
+Every timing row is stamped with its concurrency context
+(``ctx=shard/load`` — ``SWEEP_SHARD`` env tag plus the host 1-min
+load average at row time), because per-row times from PARALLEL shard
+runs are contention noise, not a perf signal: round 6's sharded log
+showed a query at 91s that a quiet host runs in 26.5s.  Diagnose
+regressions only from rows whose load was quiet, or re-time with
+``scripts/profile_queries.py``.
 """
 
 from __future__ import annotations
@@ -57,6 +65,12 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    shard = _os.environ.get("SWEEP_SHARD", "serial")
+
+    def _ctx() -> str:
+        load = _os.getloadavg()[0]
+        return f"ctx={shard}/load{load:.0f}"
+
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -67,7 +81,9 @@ def main() -> int:
         sdf = fn(spark, sf_dir).toPandas()
         t_spark = time.time() - t0
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(sdf)} rows ({t_spark:.1f}s)")
+            print(
+                f"[rows-only] {name}: {len(sdf)} rows ({t_spark:.1f}s) [{_ctx()}]"
+            )
             continue
         import os
         import threading
@@ -124,7 +140,8 @@ def main() -> int:
                     status = f"DTYPE MISMATCH (spark,duck): {bad}"
         tag = "ok        " if status == "ok" else "FAIL      "
         print(
-            f"[{tag}] {name}: {len(a)} rows (spark {t_spark:.1f}s, duck {t_duck:.1f}s)"
+            f"[{tag}] {name}: {len(a)} rows (spark {t_spark:.1f}s, "
+            f"duck {t_duck:.1f}s) [{_ctx()}]"
             + ("" if status == "ok" else f"\n    {status}")
         )
         if status != "ok":

@@ -2,11 +2,16 @@
 
 Usage::
 
-    python scripts/profile_queries.py [sf_dir] query [query ...]
+    python scripts/profile_queries.py [--json OUT] [sf_dir] query [query ...]
 
 Prints one line per query: name, wall seconds, row count.  Used to
 profile the heavier analytics (betweenness, community, core numbers)
-that bench.py does not time per-round.
+that bench.py does not time per-round, and — with ``--json`` — to
+record the quiet-host serial times of the sweep's heaviest queries
+(``SWEEP_TIMES_r{N}.json``), the trustworthy companion to the
+contention-noisy parallel sweep logs.  Run it on a QUIET host; each
+record carries the load average at measurement time so a reader can
+tell.
 """
 
 from __future__ import annotations
@@ -22,8 +27,15 @@ from graphdb_testing_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    names = sys.argv[2:]
+    import json
+
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    names = argv[1:]
     qs = entry_mod.queries()
     unknown = [n for n in names if n not in qs]
     if unknown:
@@ -33,10 +45,37 @@ def main() -> int:
         app_name="graphdb-testing-spark-profile",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    records = []
     for name in names:
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
-        print(f"{name}: {time.time() - t0:.2f}s rows={n}", flush=True)
+        dt = time.time() - t0
+        records.append(
+            {
+                "query": name,
+                "spark_s": round(dt, 2),
+                "rows": n,
+                "load1": round(os.getloadavg()[0], 1),
+            }
+        )
+        print(f"{name}: {dt:.2f}s rows={n}", flush=True)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "note": (
+                        "serial quiet-host re-times of the sweep's heaviest "
+                        "queries; sharded sweep-log row times are contention "
+                        "noise (see check_oracles.py docstring)"
+                    ),
+                    "sf_dir": sf_dir,
+                    "mode": "serial",
+                    "times": records,
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
     return 0
 
 
