@@ -19,7 +19,12 @@ Reuses the ``bench_rmat.py`` graph cache (``$SPARK_GRAFT_BENCH_CACHE``,
 default ``.bench_cache/``) so the 4-minute SCALE-22 build is paid
 once.  Usage::
 
-    python scripts/bench_pruned_merge.py [tiny|small|medium|large22] [B]
+    python scripts/bench_pruned_merge.py [tiny|small|medium|large22|large24] [B|auto]
+
+``auto`` (or omitting B) sizes the store with ``derive_n_parts`` from
+the table row count — the 262k-rows/partition rule — and reports the
+derived B, so the measured crossover map and the auto-sizing rule are
+verified against each other.
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from graphdb_testing_spark.operators.updates import (  # noqa: E402
     apply_actions,
     apply_actions_pruned,
+    derive_n_parts,
     init_edge_store,
     read_edge_store,
 )
@@ -56,7 +62,8 @@ BATCHES = [
 
 def main() -> None:
     size = sys.argv[1] if len(sys.argv) > 1 else "large22"
-    n_parts = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    b_arg = sys.argv[2] if len(sys.argv) > 2 else "auto"
+    n_parts = None if b_arg == "auto" else int(b_arg)
     scale = SCALES[size]
 
     ne_raw = 2 * (2**scale) * 8
@@ -77,6 +84,10 @@ def main() -> None:
         rmat_graph(spark, scale, 8).write.mode("overwrite").parquet(graph_path)
     edges = spark.read.parquet(graph_path)
     ne = edges.count()
+    derived = n_parts is None
+    if derived:
+        n_parts = derive_n_parts(ne)
+        print(f"derived n_parts={n_parts} from ne={ne}", file=sys.stderr)
 
     work = os.path.join(cache_root, f"pruned_merge_s{scale}_b{n_parts}")
     store = os.path.join(work, "store")
@@ -146,6 +157,7 @@ def main() -> None:
                 "size": size,
                 "ne": ne,
                 "n_parts": n_parts,
+                "n_parts_derived": derived,
                 "store_init_s": t_init,
                 "rows": rows,
             }
