@@ -1579,3 +1579,111 @@ def q_corpus_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("frac_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-7: duplication accounting — concentration curve + per-source report
+# ---------------------------------------------------------------------------
+
+_RETENTION_MAN_CTE = """
+man AS (
+  SELECT d.doc_id, d.source,
+         CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS cluster_id,
+         CAST(COALESCE(z.n, 1) AS BIGINT) AS cluster_size,
+         CAST(d.doc_id = COALESCE(l.label, d.doc_id) AS BIGINT) AS keep
+  FROM documents d
+  LEFT JOIN dlbl l ON l.id = d.doc_id
+  LEFT JOIN dsz z ON z.label = l.label
+)"""
+
+
+def _duplication_pareto_oracle() -> str:
+    from .queries_pipeline import _retention_cc_ctes
+
+    return f"""
+WITH {_retention_cc_ctes().strip()},
+{_RETENTION_MAN_CTE.strip()},
+spec AS (
+  SELECT cluster_size,
+         CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         CAST(COUNT(*) AS BIGINT) AS docs_covered
+  FROM man GROUP BY cluster_size
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters, docs_covered,
+       ROUND(SUM(docs_covered) OVER (ORDER BY cluster_size DESC)
+             / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE), 6)
+         AS cum_doc_frac
+FROM spec
+"""
+
+
+@register("duplication_pareto", _duplication_pareto_oracle())
+def q_duplication_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication concentration curve: the near-dup cluster-size
+    spectrum with the cumulative share of documents covered by
+    clusters of that size or larger — the accounting a curation run
+    publishes to show whether duplication is a few huge clusters (one
+    boilerplate page copied everywhere) or a long tail.  Composes
+    :func:`~graphdb_testing_spark.functions.dedup.dedup_retention`;
+    the spectrum aggregate is map-side-combined on cluster_size and
+    the cumulative window runs over the ~|distinct sizes| spectrum
+    rows, never the corpus."""
+    from .functions import dedup
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    man = dedup.dedup_retention(docs, threshold=0.8)
+    n_docs = docs.count()
+    spec = man.groupBy("cluster_size").agg(
+        F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+        F.count("*").cast("long").alias("docs_covered"),
+    )
+    w = Window.orderBy(F.col("cluster_size").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return spec.select(
+        "cluster_size",
+        "n_clusters",
+        "docs_covered",
+        F.round(F.sum("docs_covered").over(w) / F.lit(n_docs), 6).alias(
+            "cum_doc_frac"
+        ),
+    )
+
+
+def _retention_by_source_oracle() -> str:
+    from .queries_pipeline import _retention_cc_ctes
+
+    return f"""
+WITH {_retention_cc_ctes().strip()},
+{_RETENTION_MAN_CTE.strip()}
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(1 - keep) AS BIGINT) AS n_dropped,
+       ROUND(SUM(keep) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_kept
+FROM man GROUP BY source
+"""
+
+
+@register("retention_by_source", _retention_by_source_oracle())
+def q_retention_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup accounting: documents, kept, dropped, and the
+    kept fraction for each ingestion source under the near-dup
+    retention policy — the table that tells a corpus owner WHICH feed
+    is producing the duplication (mirror sites and syndicated feeds
+    show up as low frac_kept).  One equi-join of the manifest back to
+    the (doc_id, source) projection and a 20-group aggregate."""
+    from .functions import dedup
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    man = dedup.dedup_retention(docs, threshold=0.8)
+    return (
+        man.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.sum(1 - F.col("keep")).cast("long").alias("n_dropped"),
+            F.round(F.sum("keep") / F.count("*"), 6).alias("frac_kept"),
+        )
+    )
