@@ -443,6 +443,149 @@ def gopher_quality(
     )
 
 
+#: Gopher repetition thresholds (Rae et al. 2021, Table A1):
+#: (column, max allowed fraction)
+GOPHER_REPETITION_RULES: tuple[tuple[str, float], ...] = (
+    ("dup_line_frac", 0.30),
+    ("dup_line_char_frac", 0.20),
+    ("top2gram_char_frac", 0.20),
+    ("top3gram_char_frac", 0.18),
+    ("top4gram_char_frac", 0.16),
+)
+
+
+def gopher_repetition(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher repetition-rule filter (Rae et al. 2021, Appendix A1.2)
+    — the within-document repetition signals that complement the
+    A1.1 quality gate (:func:`gopher_quality`):
+
+    * ``dup_line_frac`` — fraction of line occurrences beyond the
+      first of each distinct line, ``(n_lines - n_distinct)/n_lines``
+      (≤ 0.30);
+    * ``dup_line_char_frac`` — fraction of line characters belonging
+      to lines that occur more than once, all occurrences counted
+      (≤ 0.20);
+    * ``top{2,3,4}gram_char_frac`` — fraction of the document's
+      characters covered by its single most frequent word {2,3,4}-gram
+      (occurrences × gram length / document length; ≤ 0.20/0.18/0.16).
+      Ties on occurrence count break to the larger coverage — the
+      fraction is identical either way, so the tie-break never shows.
+      Overlapping occurrences each count (the public-reimplementation
+      convention), so a degenerate "x y x y ..." document can exceed
+      1.0 — which fails the ≤-threshold rule exactly as intended.
+
+    (The paper's duplicate-PARAGRAPH rules are the same computation
+    over a ``\n\n`` split and the 5-10-gram *all-duplicate* coverage
+    rules need overlap-deduplication; both are omitted here and
+    documented — the five rules above are the discriminative subset on
+    single-paragraph corpora.)
+
+    Scale shape: repetition counting is per-document, so everything is
+    a map-side-combined ``groupBy(doc_id, token)`` count followed by a
+    per-document max/sum — three n-gram passes and one line pass, each
+    one shuffle on (doc_id, token), no window over the corpus and no
+    O(len²) per-row loops (a 100k-word document costs its token count,
+    not its square).  Words split on whitespace runs, the
+    :func:`gopher_quality` convention.
+
+    Returns ``(doc_id, dup_line_frac, dup_line_char_frac,
+    top2gram_char_frac, top3gram_char_frac, top4gram_char_frac,
+    n_rep_rules_passed, repetition_pass)``; fractions rounded to 6
+    decimals; documents shorter than n words score 0 for that n-gram
+    rule (nothing repeats).
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    # duplicate-line fractions: one (doc_id, line) count
+    lines = d.select("doc_id", F.explode(F.split("text", "\n")).alias("ln"))
+    lc = lines.groupBy("doc_id", "ln").agg(F.count("*").alias("c"))
+    ld = lc.groupBy("doc_id").agg(
+        F.round(
+            (F.sum("c") - F.count("*")) / F.sum("c"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("c") > 1, F.col("c") * F.length("ln")
+                    ).otherwise(F.lit(0))
+                )
+                / F.nullif(F.sum(F.col("c") * F.length("ln")), F.lit(0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+    # densest word n-gram coverage: explode -> count -> per-doc max
+    w = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+
+    def _grams(n: int) -> "F.Column":
+        wcol = w
+
+        def _mk(i):  # factory, not default-arg (HOF lambda arity)
+            return F.concat_ws(" ", F.slice(wcol, i, n))
+
+        return F.when(
+            F.size(wcol) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(wcol) - (n - 1)), lambda i: _mk(i)
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    tops = []
+    for n in (2, 3, 4):
+        g = d.select("doc_id", F.explode(_grams(n)).alias("g"))
+        cnt = g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        top = (
+            cnt.groupBy("doc_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"),
+                        (F.col("c") * F.length("g")).alias("cov"),
+                    )
+                ).alias("t")
+            )
+            .select("doc_id", F.col("t.cov").alias(f"_cov{n}"))
+        )
+        tops.append(top)
+
+    out = d.select("doc_id", F.length("text").alias("_chars")).join(
+        ld, "doc_id", "left"
+    )
+    for top in tops:
+        out = out.join(top, "doc_id", "left")
+    for n in (2, 3, 4):
+        out = out.withColumn(
+            f"top{n}gram_char_frac",
+            F.round(
+                F.coalesce(
+                    F.col(f"_cov{n}") / F.nullif(F.col("_chars"), F.lit(0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+    rules = [
+        F.col(col) <= F.lit(thr) for col, thr in GOPHER_REPETITION_RULES
+    ]
+    n_passed = sum(r.cast("long") for r in rules)
+    return out.select(
+        "doc_id",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top2gram_char_frac",
+        "top3gram_char_frac",
+        "top4gram_char_frac",
+        n_passed.alias("n_rep_rules_passed"),
+        (n_passed == len(rules)).cast("long").alias("repetition_pass"),
+    )
+
+
 def token_freq_spectrum(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1687,3 +1687,91 @@ def q_retention_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("keep") / F.count("*"), 6).alias("frac_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021, Appendix A1.2)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH rep AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents
+),
+lcnt AS (
+  SELECT doc_id, l, COUNT(*) AS c, len(l) AS ll FROM ln GROUP BY 1, 2
+),
+ldup AS (
+  SELECT doc_id,
+         ROUND((SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE), 6)
+           AS dup_line_frac,
+         ROUND(COALESCE(SUM(CASE WHEN c > 1 THEN c * ll ELSE 0 END)
+               / CAST(NULLIF(SUM(c * ll), 0) AS DOUBLE), 0), 6)
+           AS dup_line_char_frac
+  FROM lcnt GROUP BY doc_id
+),
+g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+       FROM rep, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+       WHERE len(w) >= 2),
+g3 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+       FROM rep, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+       WHERE len(w) >= 3),
+g4 AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+       FROM rep, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+       WHERE len(w) >= 4),
+t2 AS (SELECT doc_id, MAX(struct_pack(c := c, cov := c * gl)) AS t
+       FROM (SELECT doc_id, g, COUNT(*) AS c, len(g) AS gl
+             FROM g2 GROUP BY 1, 2) GROUP BY doc_id),
+t3 AS (SELECT doc_id, MAX(struct_pack(c := c, cov := c * gl)) AS t
+       FROM (SELECT doc_id, g, COUNT(*) AS c, len(g) AS gl
+             FROM g3 GROUP BY 1, 2) GROUP BY doc_id),
+t4 AS (SELECT doc_id, MAX(struct_pack(c := c, cov := c * gl)) AS t
+       FROM (SELECT doc_id, g, COUNT(*) AS c, len(g) AS gl
+             FROM g4 GROUP BY 1, 2) GROUP BY doc_id),
+f AS (
+  SELECT d.doc_id,
+         ld.dup_line_frac,
+         ld.dup_line_char_frac,
+         ROUND(COALESCE((t2.t).cov / CAST(NULLIF(len(d.text), 0) AS DOUBLE), 0), 6)
+           AS top2gram_char_frac,
+         ROUND(COALESCE((t3.t).cov / CAST(NULLIF(len(d.text), 0) AS DOUBLE), 0), 6)
+           AS top3gram_char_frac,
+         ROUND(COALESCE((t4.t).cov / CAST(NULLIF(len(d.text), 0) AS DOUBLE), 0), 6)
+           AS top4gram_char_frac
+  FROM documents d
+  JOIN ldup ld ON ld.doc_id = d.doc_id
+  LEFT JOIN t2 ON t2.doc_id = d.doc_id
+  LEFT JOIN t3 ON t3.doc_id = d.doc_id
+  LEFT JOIN t4 ON t4.doc_id = d.doc_id
+)
+SELECT *,
+       (CAST(dup_line_frac <= 0.30 AS BIGINT)
+        + CAST(dup_line_char_frac <= 0.20 AS BIGINT)
+        + CAST(top2gram_char_frac <= 0.20 AS BIGINT)
+        + CAST(top3gram_char_frac <= 0.18 AS BIGINT)
+        + CAST(top4gram_char_frac <= 0.16 AS BIGINT)) AS n_rep_rules_passed,
+       CAST(dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+            AND top2gram_char_frac <= 0.20 AND top3gram_char_frac <= 0.18
+            AND top4gram_char_frac <= 0.16 AS BIGINT) AS repetition_pass
+FROM f
+"""
+
+
+@register("gopher_repetition_flags", _REPETITION_ORACLE)
+def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules per document (Rae et al. 2021, Appendix
+    A1.2): duplicate-line fraction and character share, plus the
+    character coverage of the single densest word 2/3/4-gram, with the
+    paper's thresholds folded into a pass flag — the within-document
+    repetition gate that complements ``gopher_quality_flags``.  Three
+    map-side-combined n-gram counts + one line count; no corpus-wide
+    window.  See
+    :func:`~graphdb_testing_spark.functions.textstats.gopher_repetition`."""
+    from .functions import textstats
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return textstats.gopher_repetition(docs)

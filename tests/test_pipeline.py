@@ -743,6 +743,47 @@ def test_gopher_quality_rules_bruteforce(spark):
     assert rows[0].mean_word_len == round((3 + 2 + 2 + 2 + 4 * 60) / 64, 6)
 
 
+def test_gopher_repetition_rules_bruteforce(spark):
+    """Each repetition signal against hand-computed values: duplicate
+    lines (count and char share), densest 2/3/4-gram coverage with
+    overlap counting, degenerate docs (empty, single word)."""
+    from graphdb_testing_spark.functions import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b\na b\nc d\ne f"),  # "a b" line twice
+            (1, "x y x y x y x y"),  # one 2-gram dominates, overlaps
+            (2, "unique words only here now"),
+            (3, ""),
+            (4, "w"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.gopher_repetition(docs).collect()}
+
+    # doc 0: 4 lines, one duplicated -> (4-3)/4; dup chars 6 of 12
+    assert rows[0].dup_line_frac == 0.25
+    assert rows[0].dup_line_char_frac == 0.5
+    # "a b" occurs twice in [a b a b c d e f] -> 2*3 / len 15
+    assert rows[0].top2gram_char_frac == 0.4
+
+    # doc 1: "x y" at 4 positions -> 4*3/15; the 4-gram "x y x y"
+    # occurs 3 OVERLAPPING times -> 3*7/15 > 1, fails the rule harder
+    assert rows[1].top2gram_char_frac == 0.8
+    assert rows[1].top4gram_char_frac == round(21 / 15, 6)
+    assert rows[1].repetition_pass == 0
+
+    # no repetition anywhere: line rules pass, short-text n-gram
+    # coverage is high by construction (5 words), so only the line
+    # rules and nothing-repeats fractions are asserted
+    assert rows[2].dup_line_frac == 0.0 and rows[2].dup_line_char_frac == 0.0
+
+    # degenerate docs: all signals 0, full pass
+    for d in (3, 4):
+        assert rows[d].n_rep_rules_passed == 5
+        assert rows[d].repetition_pass == 1
+
+
 def test_dedup_retention_manifest(spark):
     """Retention semantics on a constructed corpus: exact duplicates
     cluster together under one canonical id; distinct docs are
