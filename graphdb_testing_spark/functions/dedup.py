@@ -903,3 +903,69 @@ def remove_repeated_spans(
             .alias("removed_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SoftDeDup: duplication-aware sampling weights (He et al., ACL 2024)
+# ---------------------------------------------------------------------------
+
+
+def softdedup_commonness(
+    docs: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document data *commonness* for soft deduplication —
+    ``(doc_id, n_grams, sum_logf_micro, avg_logf_micro)`` over every
+    document with at least ``k`` words.
+
+    SoftDeDup (He et al., "SoftDedup: an Efficient Data Reweighting
+    Method for Speeding Up Language Model Pre-training", ACL 2024)
+    replaces hard duplicate *removal* with duplication-aware
+    *down-weighting*: a document's commonness is the (log-space)
+    product of its word n-grams' corpus frequencies, and its sampling
+    weight decreases in that commonness.  This returns the measurable
+    half — the exact commonness scores; turning them into sampling
+    probabilities is a normalization the trainer owns.
+
+    Arithmetic is the registry's micro-log idiom (``bigram_lm_scores``):
+    each occurrence contributes ``ROUND(1e6 · ln(corpus_freq))`` as a
+    BIGINT, so the per-doc sum is associative integer math —
+    hash-identical on any engine and partition order.
+    ``avg_logf_micro`` is the integer mean (``div``), the
+    length-normalized score a cutoff would threshold on.
+
+    Scale shape: one explode (≈ |words| rows per doc), one
+    map-side-combined n-gram frequency aggregate, one equi-join back,
+    one per-doc aggregate — the exact shape of the TF-IDF and bigram-LM
+    pipelines, no windows, no driver state.
+    """
+    grams = (
+        docs.filter(F.size(F.split(F.col(text_col), " ")) >= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}),"
+                    f" i -> array_join(slice(split({text_col}, ' '), i, {k}), ' '))"
+                )
+            ).alias("gram"),
+        )
+    )
+    freq = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    micro = F.expr("cast(round(1e6 * ln(cnt)) as bigint)")
+    return (
+        grams.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(micro).cast("long").alias("sum_logf_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "sum_logf_micro",
+            F.expr("sum_logf_micro div n_grams").cast("long").alias("avg_logf_micro"),
+        )
+    )

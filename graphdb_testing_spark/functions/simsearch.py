@@ -567,18 +567,23 @@ def kmeans_lloyd(
     return assign
 
 
-def kmeans_lloyd_oracle_sql(dim: int = 64, k: int = 8, rounds: int = 3) -> str:
+def kmeans_lloyd_oracle_sql(
+    dim: int = 64, k: int = 8, rounds: int = 3, source: str = "embeddings"
+) -> str:
     """DuckDB CTE chain unrolling the same integer Lloyd rounds.
-    Final relation: ``lloyd_result(vec_id, cluster_id, dist2)``."""
+    Final relation: ``lloyd_result(vec_id, cluster_id, dist2)``.
+    ``source`` is the input relation (a table or upstream CTE with
+    ``vec_id, embedding``) so composed oracles — e.g. D4's prune-the-
+    SemDeDup-survivors stage — can run Lloyd on a filtered corpus."""
     dist2 = (
         f"list_sum(list_transform(generate_series(1, {dim}), "
         "i -> (1000 * p.p[i] - c.c[i]) * (1000 * p.p[i] - c.c[i])))"
     )
     ctes = [
-        """lpts AS MATERIALIZED (
+        f"""lpts AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding,
            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS p
-  FROM embeddings
+  FROM {source}
 )""",
         f"""lcent0 AS (
   SELECT vec_id AS cluster_id, list_transform(p, x -> 1000 * x) AS c
@@ -617,3 +622,160 @@ def kmeans_lloyd_oracle_sql(dim: int = 64, k: int = 8, rounds: int = 3) -> str:
 )"""
     )
     return ",\n".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# Prototype-based data pruning (Sorscher et al. 2022) and D4
+# ---------------------------------------------------------------------------
+
+
+def prototype_pruning(
+    embeddings: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    keep_num: int = 1,
+    keep_den: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototype data pruning manifest — ``(vec_id, cluster_id,
+    dist2, proto_rank, keep)``: cluster the corpus with ``rounds``
+    exact-integer Lloyd iterations (:func:`kmeans_lloyd`), rank every
+    point within its cluster by distance-to-prototype DESCENDING
+    (hardest first), and keep the hardest ``keep_num/keep_den``
+    fraction of each cluster.
+
+    This is the self-supervised prototype metric of Sorscher et al.
+    2022 ("Beyond neural scaling laws: beating power law scaling via
+    data pruning", NeurIPS 2022): examples far from their k-means
+    prototype are the informative ones when data is abundant, so the
+    keep set is the per-cluster distance tail.  Ceiling semantics:
+    a cluster of n points keeps ``ceil(n * keep_num / keep_den)`` —
+    every non-empty cluster retains at least one point, so coverage
+    of the embedding space survives aggressive pruning.
+
+    Exactness: ``dist2`` is the BIGINT integer-space distance of
+    :func:`kmeans_lloyd` (no float boundary), ranking ties break on
+    ``vec_id``, and the keep threshold is integer arithmetic — the
+    whole manifest is hash-checkable against the DuckDB twin.
+
+    Scale shape: inherits Lloyd's broadcast-centroid map-only rounds;
+    the ranking window partitions by cluster_id (bounded by cluster
+    size, the same contract as the retention manifests), and the keep
+    rule adds one integer comparison — no extra shuffle beyond the
+    per-cluster window.
+    """
+    assign = kmeans_lloyd(embeddings, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("dist2"), "vec_id")
+    return (
+        assign.withColumn("proto_rank", F.row_number().over(w).cast("long"))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("cluster_id")))
+        .select(
+            "vec_id",
+            "cluster_id",
+            "dist2",
+            "proto_rank",
+            (
+                F.col("proto_rank")
+                <= F.expr(f"({keep_num} * _n + {keep_den} - 1) div {keep_den}")
+            )
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
+def prototype_pruning_oracle_sql(
+    dim: int = 64,
+    k: int = 8,
+    rounds: int = 3,
+    keep_num: int = 1,
+    keep_den: int = 2,
+    source: str = "embeddings",
+) -> str:
+    """DuckDB CTE chain for :func:`prototype_pruning` — Lloyd rounds
+    plus the per-cluster hardest-first rank and ceiling keep rule.
+    Final relation: ``proto_result(vec_id, cluster_id, dist2,
+    proto_rank, keep)``."""
+    return (
+        kmeans_lloyd_oracle_sql(dim=dim, k=k, rounds=rounds, source=source)
+        + f""",
+proto_result AS (
+  SELECT vec_id, cluster_id, dist2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY dist2 DESC, vec_id) AS BIGINT)
+           AS proto_rank,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY dist2 DESC, vec_id)
+              <= ({keep_num} * COUNT(*) OVER (PARTITION BY cluster_id)
+                  + {keep_den} - 1) // {keep_den} AS BIGINT) AS keep
+  FROM lloyd_result
+)"""
+    )
+
+
+def d4_retention(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    k: int = 8,
+    rounds: int = 3,
+    keep_num: int = 1,
+    keep_den: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """D4 retention manifest — ``(vec_id, sem_keep, proto_cluster,
+    proto_rank, keep)`` for EVERY embedding: semantic dedup first,
+    prototype pruning on the survivors (Tirumala et al. 2023, "D4:
+    Improving LLM Pretraining via Document De-Duplication and
+    Diversification", NeurIPS 2023).
+
+    Stage 1 is :func:`semdedup_retention` (cluster-blocked cosine
+    pairs → CC over the duplicate graph → canonical per component);
+    stage 2 re-clusters ONLY the semantic-dedup survivors with exact
+    Lloyd and keeps each cluster's hardest ``keep_num/keep_den``
+    tail (:func:`prototype_pruning`).  ``keep = sem_keep AND
+    proto_keep``; documents dropped at stage 1 carry ``proto_cluster
+    = proto_rank = -1`` so the manifest stays one row per input.
+
+    Scale shape: stage 1's pair set is Σ|cluster|²-bounded and its CC
+    runs on verified duplicate edges only; stage 2 inherits Lloyd's
+    broadcast-centroid rounds over the (smaller) survivor set — the
+    composition adds one left join, no new corpus-spanning stage.
+    """
+    sem = semdedup_retention(embeddings, threshold, k, id_col, vec_col)
+    surv_ids = sem.filter(F.col("keep") == 1).select("vec_id")
+    survivors = embeddings.join(
+        surv_ids, embeddings[id_col] == surv_ids.vec_id, "left_semi"
+    )
+    proto = prototype_pruning(
+        survivors,
+        k=k,
+        rounds=rounds,
+        keep_num=keep_num,
+        keep_den=keep_den,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return (
+        sem.select("vec_id", F.col("keep").alias("sem_keep"))
+        .join(
+            proto.select(
+                F.col("vec_id").alias("_pid"),
+                F.col("cluster_id").alias("proto_cluster"),
+                "proto_rank",
+                F.col("keep").alias("proto_keep"),
+            ),
+            F.col("vec_id") == F.col("_pid"),
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.col("sem_keep").cast("long").alias("sem_keep"),
+            F.coalesce("proto_cluster", F.lit(-1)).cast("long").alias("proto_cluster"),
+            F.coalesce("proto_rank", F.lit(-1)).cast("long").alias("proto_rank"),
+            (F.col("sem_keep") * F.coalesce("proto_keep", F.lit(0)))
+            .cast("long")
+            .alias("keep"),
+        )
+    )

@@ -3318,3 +3318,102 @@ def q_token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~graphdb_testing_spark.functions.textstats.token_freq_spectrum`."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return textstats.token_freq_spectrum(docs)
+
+
+# ---------------------------------------------------------------------------
+# Prototype-based data pruning (Sorscher et al. 2022), D4 (Tirumala et
+# al. 2023), and SoftDeDup commonness weights (He et al. 2024)
+# ---------------------------------------------------------------------------
+
+_PROTO_PRUNING_ORACLE = (
+    "WITH "
+    + simsearch.prototype_pruning_oracle_sql(dim=64, k=8, rounds=3)
+    + "\nSELECT vec_id, cluster_id, dist2, proto_rank, keep FROM proto_result"
+)
+
+
+@register("prototype_pruning_keep", _PROTO_PRUNING_ORACLE)
+def q_prototype_pruning_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher et al. 2022): 3 exact
+    Lloyd rounds, rank within cluster by distance-to-prototype
+    descending, keep each cluster's hardest ceil(n/2).  See
+    :func:`~graphdb_testing_spark.functions.simsearch.prototype_pruning`."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return simsearch.prototype_pruning(emb, k=8, rounds=3)
+
+
+#: D4 oracle: SemDeDup keep (blocked pairs → bounded CC → canonical)
+#: → Lloyd + hardest-tail prune over the survivors only; the trailing
+#: UNION ALL surfaces the CC convergence poison row (vec_ids ≥ 0).
+_D4_RETENTION_ORACLE = f"""
+WITH {_SEMDEDUP_ASG_CTE.strip()},
+dsym AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM sem_pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM sem_pairs
+),
+{oracles.cc_bounded_ctes("dsym", rounds=8, out="dlbl")},
+semk AS MATERIALIZED (
+  SELECT e.vec_id,
+         CAST(e.vec_id = COALESCE(l.label, e.vec_id) AS BIGINT) AS sem_keep
+  FROM embeddings e LEFT JOIN dlbl l ON l.id = e.vec_id
+),
+d4_surv AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN semk s USING (vec_id) WHERE s.sem_keep = 1
+),
+{simsearch.prototype_pruning_oracle_sql(dim=64, k=8, rounds=3, source="d4_surv").strip()}
+SELECT s.vec_id, s.sem_keep,
+       CAST(COALESCE(p.cluster_id, -1) AS BIGINT) AS proto_cluster,
+       CAST(COALESCE(p.proto_rank, -1) AS BIGINT) AS proto_rank,
+       CAST(s.sem_keep * COALESCE(p.keep, 0) AS BIGINT) AS keep
+FROM semk s LEFT JOIN proto_result p USING (vec_id)
+UNION ALL
+SELECT CAST(id AS BIGINT) AS vec_id, CAST(-1 AS BIGINT) AS sem_keep,
+       CAST(-1 AS BIGINT) AS proto_cluster, CAST(-1 AS BIGINT) AS proto_rank,
+       CAST(-1 AS BIGINT) AS keep
+FROM dlbl WHERE id < 0
+"""
+
+
+@register("d4_retention", _D4_RETENTION_ORACLE)
+def q_d4_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 retention manifest (Tirumala et al. 2023): semantic dedup
+    first, prototype pruning on the survivors — dedup removes
+    redundancy, the prototype tail keeps diversity.  See
+    :func:`~graphdb_testing_spark.functions.simsearch.d4_retention`."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    return simsearch.d4_retention(emb, threshold=0.4, k=8, rounds=3)
+
+
+_SOFTDEDUP_ORACLE = """
+WITH sd_wa AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+sd_gr AS MATERIALIZED (
+  SELECT doc_id, array_to_string(a[i:i+3], ' ') AS gram
+  FROM sd_wa, UNNEST(generate_series(1, len(a) - 3)) t(i)
+  WHERE len(a) >= 4
+),
+sd_fr AS (SELECT gram, COUNT(*) AS cnt FROM sd_gr GROUP BY gram),
+sd_doc AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CAST(ROUND(1e6 * LN(f.cnt)) AS BIGINT)) AS BIGINT)
+           AS sum_logf_micro
+  FROM sd_gr g JOIN sd_fr f USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, sum_logf_micro,
+       CAST(sum_logf_micro // n_grams AS BIGINT) AS avg_logf_micro
+FROM sd_doc
+"""
+
+
+@register("softdedup_commonness", _SOFTDEDUP_ORACLE)
+def q_softdedup_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup commonness scores (He et al., ACL 2024): per-document
+    micro-log sum of word 4-gram corpus frequencies — the
+    duplication-aware *re-weighting* alternative to hard removal.  See
+    :func:`~graphdb_testing_spark.functions.dedup.softdedup_commonness`."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return dedup.softdedup_commonness(docs, k=4)

@@ -947,3 +947,81 @@ def test_dedup_retention_keep_longest(spark):
         assert got[d].cluster_id == 0 and got[d].cluster_size == 8
         assert got[d].keep == (1 if d == 10 else 0)  # longest, min id among ties
     assert got[20].keep == 1 and got[20].cluster_size == 1
+
+
+# ---------------------------------------------------------------------------
+# prototype pruning (Sorscher et al. 2022), D4, SoftDeDup commonness
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def small_embeddings(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        # four well-separated direction groups + in-group jitter so
+        # Lloyd converges to meaningful prototypes
+        g = i % 4
+        base = [0.0] * 8
+        base[g * 2] = 1.0
+        base[g * 2 + 1] = 0.5
+        vec = [v + 0.01 * ((i * 7 + j) % 5) for j, v in enumerate(base)]
+        n = math.sqrt(sum(x * x for x in vec))
+        rows.append((i, [x / n for x in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_prototype_pruning_keep_rule(spark, small_embeddings):
+    out = simsearch.prototype_pruning(
+        small_embeddings, k=4, rounds=2, keep_num=1, keep_den=2
+    ).collect()
+    assert len(out) == 40  # one manifest row per input
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rows in by_cluster.items():
+        n = len(rows)
+        ranks = sorted(r.proto_rank for r in rows)
+        assert ranks == list(range(1, n + 1)), (cid, ranks)
+        kept = [r for r in rows if r.keep == 1]
+        assert len(kept) == (n + 1) // 2  # ceil(n/2)
+        # the keep set is exactly the hardest (largest-dist2) ranks
+        assert {r.proto_rank for r in kept} == set(range(1, len(kept) + 1))
+        hardest = max(rows, key=lambda r: (r.dist2, -r.vec_id))
+        assert hardest.keep == 1  # farthest point always survives
+
+
+def test_d4_retention_composition(spark, small_embeddings):
+    out = simsearch.d4_retention(
+        small_embeddings, threshold=0.95, k=4, rounds=2
+    ).collect()
+    assert len(out) == 40
+    for r in out:
+        if r.keep == 1:
+            assert r.sem_keep == 1 and r.proto_rank >= 1
+        if r.sem_keep == 0:
+            # dropped at stage 1 -> no prototype stage fields
+            assert r.proto_cluster == -1 and r.proto_rank == -1 and r.keep == 0
+    # stage-2 ran on survivors only: every survivor has a rank
+    surv = [r for r in out if r.sem_keep == 1]
+    assert all(r.proto_rank >= 1 for r in surv)
+    # ceiling rule per proto cluster among survivors
+    by_cluster = {}
+    for r in surv:
+        by_cluster.setdefault(r.proto_cluster, []).append(r)
+    for cid, rows in by_cluster.items():
+        assert sum(r.keep for r in rows) == (len(rows) + 1) // 2
+
+
+def test_softdedup_commonness_scores(spark, docs):
+    out = {r.doc_id: r for r in dedup.softdedup_commonness(docs, k=4).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # identical documents get identical commonness
+    assert out[1].sum_logf_micro == out[2].sum_logf_micro
+    assert out[1].n_grams == out[2].n_grams == 12 - 4 + 1
+    # duplicated content is MORE common than unique content
+    assert out[1].avg_logf_micro > out[4].avg_logf_micro
+    # integer mean is consistent
+    for r in out.values():
+        assert r.avg_logf_micro == r.sum_logf_micro // r.n_grams

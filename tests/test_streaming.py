@@ -295,6 +295,14 @@ def test_streaming_sessions_state_carries_across_batches(spark, tmp_path):
     half = t.num_rows // 2
     pq.write_table(t.slice(0, half), f"{stream_dir}/part-0.parquet")
     pq.write_table(t.slice(half), f"{stream_dir}/part-1.parquet")
+    # FileStreamSource orders files by mtime (ms granularity) — two
+    # quick writes can tie, so pin strictly increasing mtimes
+    import os as _os
+    import time as _time
+
+    _now = _time.time()
+    _os.utime(f"{stream_dir}/part-0.parquet", (_now - 10, _now - 10))
+    _os.utime(f"{stream_dir}/part-1.parquet", (_now, _now))
     q = streaming_sessions(
         spark, str(stream_dir), query_name="t_sessions2", max_files_per_trigger=1
     )
@@ -451,6 +459,12 @@ def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
     t = pq.read_table(f"{sf}/events.parquet")
     pq.write_table(t, f"{stream_dir}/part-0.parquet")
     pq.write_table(t, f"{stream_dir}/part-1.parquet")
+    import os as _os
+    import time as _time
+
+    _now = _time.time()
+    _os.utime(f"{stream_dir}/part-0.parquet", (_now - 10, _now - 10))
+    _os.utime(f"{stream_dir}/part-1.parquet", (_now, _now))
     q = streaming_dedup(
         spark, str(stream_dir), query_name="t_dedup", max_files_per_trigger=1
     )
@@ -510,6 +524,12 @@ def test_streaming_heavy_hitters_misra_gries_guarantee(spark, tmp_path):
     half = len(pdf) // 2
     pq.write_table(pa.Table.from_pandas(pdf.iloc[:half]), f"{stream_dir}/part-0.parquet")
     pq.write_table(pa.Table.from_pandas(pdf.iloc[half:]), f"{stream_dir}/part-1.parquet")
+    import os as _os
+    import time as _time
+
+    _now = _time.time()
+    _os.utime(f"{stream_dir}/part-0.parquet", (_now - 10, _now - 10))
+    _os.utime(f"{stream_dir}/part-1.parquet", (_now, _now))
     q = streaming_heavy_hitters(
         spark, str(stream_dir), capacity=4,
         query_name="t_hh", max_files_per_trigger=1,
