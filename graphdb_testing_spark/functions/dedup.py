@@ -147,17 +147,11 @@ def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs:
     ``(a_id, b_id, inter, a_size, b_size, jaccard)``."""
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = shingles.select(F.col("doc_id").alias("a_id"), "sh")
-    sb = shingles.select(F.col("doc_id").alias("b_id"), "sh")
-    inter = (
-        pairs.join(sa, "a_id")
-        .join(sb, ["b_id", "sh"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("inter"))
-    )
+    # PPJoin-style verify (see _verify_intersections): zero-overlap
+    # pairs survive because the set join is on doc ids, not items
+    inter = _verify_intersections(pairs, shingles, "sh")
     return (
-        pairs.join(inter, ["a_id", "b_id"], "left")
-        .na.fill({"inter": 0})
+        inter
         .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_size"), "a_id")
         .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_size"), "b_id")
         .select(
@@ -524,6 +518,44 @@ def simhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
+def _verify_intersections(
+    cands: DataFrame, items: DataFrame, item_col: str
+) -> DataFrame:
+    """Exact ``|A ∩ B|`` for every candidate pair — the PPJoin-style
+    *verification* step (Xiao et al. 2008 verify candidates by merging
+    the two records' sorted token lists): join each side's sorted
+    distinct-item array onto the pair once and count the overlap
+    map-side, instead of re-exploding candidates into (pair × item)
+    rows and aggregating them back.
+
+    Shuffle volume is |cands| rows (each carrying two document item
+    arrays) versus |cands| · |A| exploded rows plus a groupBy for the
+    join-per-item shape; per-row memory is bounded by the two
+    documents' distinct-set sizes — the bound the documents themselves
+    already impose on the scan.  ``items`` is the distinct
+    ``(doc_id, item)`` relation; ``cands`` has columns
+    ``(a_id, b_id)``.  Returns ``(a_id, b_id, inter)``.
+    """
+    sets_ = items.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(item_col)).alias("_tset")
+    )
+    return (
+        cands.join(
+            sets_.select(F.col("doc_id").alias("a_id"), F.col("_tset").alias("_ta")),
+            "a_id",
+        )
+        .join(
+            sets_.select(F.col("doc_id").alias("b_id"), F.col("_tset").alias("_tb")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("_ta", "_tb")).cast("long").alias("inter"),
+        )
+    )
+
+
 def word_ngrams(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -581,14 +613,7 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     sizes = ng.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = ng.select(F.col("doc_id").alias("a_id"), "ng")
-    sb = ng.select(F.col("doc_id").alias("b_id"), "ng")
-    inter = (
-        cand.join(sa, "a_id")
-        .join(sb, ["b_id", "ng"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("inter"))
-    )
+    inter = _verify_intersections(cand, ng, "ng")
     return (
         inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("a_sz")), "a_id")
         .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("b_sz")), "b_id")
@@ -625,7 +650,8 @@ def jaccard_prefix_join(
     share a token within the first ``|x| - ceil(t·|x|) + 1`` tokens of
     each side — the *prefix*.  Candidates therefore come from an
     inverted-index equi-join on prefix tokens only, then one
-    verification join computes the exact intersection.  Unlike
+    verification (PPJoin-style sorted-set merge) computes the exact
+    intersection.  Unlike
     ``ngram_jaccard_pairs`` (which drops n-grams above ``max_df`` and
     can miss all-frequent-token pairs) this join is EXACT — the DuckDB
     oracle brute-forces all pairs and must agree bit-for-bit.
@@ -669,14 +695,7 @@ def jaccard_prefix_join(
         .distinct()
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    ta = toks.withColumnRenamed("doc_id", "a_id")
-    tb = toks.withColumnRenamed("doc_id", "b_id")
-    inter = (
-        cands.join(ta, "a_id")
-        .join(tb, ["b_id", "tok"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").cast("long").alias("inter"))
-    )
+    inter = _verify_intersections(cands, toks, "tok")
     return (
         inter.join(
             sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"),
@@ -714,7 +733,7 @@ def containment_join(
     ``|A∩B| ≥ ceil(t·|A|)``, so A must share a token within the first
     ``|A| - ceil(t·|A|) + 1`` of its rare-first (df, tok) order with
     B's FULL token set — candidates are A-prefix ⋈ full inverted
-    index, then one verification join.  Self-pairs and duplicate
+    index, then one PPJoin-style set-merge verification.  Self-pairs and duplicate
     candidates removed; both orders can appear (A⊂B and B⊂A are
     different facts).
     """
@@ -745,14 +764,7 @@ def containment_join(
         .distinct()
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    ta = toks.withColumnRenamed("doc_id", "a_id")
-    tb = toks.withColumnRenamed("doc_id", "b_id")
-    inter = (
-        cands.join(ta, "a_id")
-        .join(tb, ["b_id", "tok"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").cast("long").alias("inter"))
-    )
+    inter = _verify_intersections(cands, toks, "tok")
     return (
         inter.join(
             sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"),
