@@ -633,3 +633,53 @@ def token_freq_spectrum(
             .alias("gt_adjusted_micro"),
         )
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer fertility — ``(lang, n_docs, n_chars,
+    n_words, n_pieces, chars_per_piece, pieces_per_word)``.
+
+    Fertility (pieces per word) and compression (chars per piece) are
+    the standard per-language tokenizer-efficiency metrics for
+    multilingual training budgets: a language whose text fragments
+    into many pieces per word pays proportionally more sequence
+    length for the same content, which shifts both its effective
+    sampling weight and its training cost.  Uses the same BPE-style
+    pre-tokenizer regex as :func:`bpe_token_counts` (the registry's
+    token cost model) and whitespace words.
+
+    One map-side projection computing three integers per doc, one
+    grouped sum over |languages| keys, two rounded divisions — scan-
+    bounded, no joins, no windows.
+    """
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PIECE_RE), F.lit(0))
+    words = F.expr(f"size(filter(split({text_col}, ' '), t -> t <> ''))")
+    per_doc = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.length(text_col).cast("long").alias("chars"),
+        words.cast("long").alias("words"),
+        F.size(pieces).cast("long").alias("pieces"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("n_chars"),
+            F.sum("words").cast("long").alias("n_words"),
+            F.sum("pieces").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            "n_words",
+            "n_pieces",
+            F.round(F.col("n_chars") / F.col("n_pieces"), 6).alias("chars_per_piece"),
+            F.round(F.col("n_pieces") / F.col("n_words"), 6).alias("pieces_per_word"),
+        )
+    )

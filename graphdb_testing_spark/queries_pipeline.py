@@ -3417,3 +3417,31 @@ def q_softdedup_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~graphdb_testing_spark.functions.dedup.softdedup_commonness`."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return dedup.softdedup_commonness(docs, k=4)
+
+
+_FERTILITY_ORACLE = r"""
+WITH fd AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS words,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS pieces
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS n_chars,
+       CAST(SUM(words) AS BIGINT) AS n_words,
+       CAST(SUM(pieces) AS BIGINT) AS n_pieces,
+       ROUND(SUM(chars) * 1e0 / SUM(pieces), 6) AS chars_per_piece,
+       ROUND(SUM(pieces) * 1e0 / SUM(words), 6) AS pieces_per_word
+FROM fd GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility_by_lang", _FERTILITY_ORACLE)
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility and compression — the
+    sequence-length cost model a multilingual sampling budget (see
+    ``unimax_lang_budgets``) prices languages with.  See
+    :func:`~graphdb_testing_spark.functions.textstats.tokenizer_fertility`."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return textstats.tokenizer_fertility(docs)

@@ -1025,3 +1025,17 @@ def test_softdedup_commonness_scores(spark, docs):
     # integer mean is consistent
     for r in out.values():
         assert r.avg_logf_micro == r.sum_logf_micro // r.n_grams
+
+
+def test_tokenizer_fertility(spark):
+    rows = [(1, "ab cd!", "en"), (2, "hello world", "en"), (3, "x1 y2", "zh")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.lang: r for r in textstats.tokenizer_fertility(d).collect()}
+    en, zh = out["en"], out["zh"]
+    # "ab cd!" -> pieces [ab, cd, !]; "hello world" -> [hello, world]
+    assert en.n_docs == 2 and en.n_chars == 17 and en.n_words == 4
+    assert en.n_pieces == 5
+    assert en.pieces_per_word == round(5 / 4, 6)
+    # "x1 y2" -> pieces [x, 1, y, 2] (letter/digit runs split)
+    assert zh.n_pieces == 4 and zh.n_words == 2 and zh.n_chars == 5
+    assert zh.chars_per_piece == round(5 / 4, 6)
