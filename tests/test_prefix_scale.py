@@ -183,3 +183,26 @@ def test_helpers_on_empty_and_single_row(spark):
 def test_range_ntile_k1(skewed):
     got = range_ntile(skewed, [F.col("v"), F.col("id")], 1, "b")
     assert got.filter(F.col("b") != 1).count() == 0
+
+
+def test_set_similarity_verify_is_merge_shaped(spark):
+    """The exact set-similarity verification must be the PPJoin merge
+    shape (array_intersect on the pair row), never the old
+    join-per-item explode + pair-keyed aggregate — the round-7 rewrite
+    that cut the verify stage's shuffle from Σ|pair|·|set| rows to
+    |pairs|."""
+    from graphdb_testing_spark.functions.dedup import _verify_intersections
+
+    items = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "c")], "doc_id long, item string"
+    )
+    cands = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    df = _verify_intersections(cands, items, "item")
+    plan = _plan(df)
+    assert "array_intersect" in plan, plan
+    # no aggregate keyed on the candidate pair (the old verify shape)
+    import re
+
+    assert not re.search(r"HashAggregate\(keys=\[a_id\S*, b_id", plan), plan
+    out = {(r.a_id, r.b_id): r.inter for r in df.collect()}
+    assert out == {(1, 2): 1}
