@@ -781,3 +781,70 @@ def shard_plan_balanced(
         "shard",
         (F.row_number().over(wp)).cast("long").alias("pos"),
     )
+
+
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style per-language perplexity buckets — ``(doc_id, lang,
+    avg_logp_micro, ppl_bucket, bucket_label)`` for every document
+    with at least one bigram.
+
+    CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data") splits each language's
+    documents into head/middle/tail terciles by language-model
+    perplexity and trains preferentially on the head.  Here the LM is
+    the registry's corpus-trained add-one bigram model
+    (:func:`~graphdb_testing_spark.functions.textstats.
+    bigram_lm_scores`, exact integer micros), the per-document score
+    is the length-normalized ``avg_logp_micro`` (higher = more
+    fluent), and bucket 1 = head (lowest perplexity).
+
+    Scale shape: the within-language ranking NEVER plans a
+    per-language window (|languages| partitions each holding n/|L|
+    rows — the skew the exact-rank helpers exist to avoid).  Instead
+    one global ``range_row_number`` over ``(lang, ppl, doc_id)``
+    range-shuffles the corpus once; per-language rank = global rank −
+    the language's broadcast first-rank base, and the bucket is the
+    closed-form ntile over (within-rank, language count) — standard
+    SQL NTILE semantics, bit-identical to the oracle's windowed
+    NTILE.
+    """
+    from ..operators.prefix import ntile_expr, range_row_number
+    from .textstats import bigram_lm_scores
+
+    lm = bigram_lm_scores(docs, id_col, text_col)
+    scored = (
+        lm.filter(F.col("n_bigrams") > 0)
+        .select(
+            "doc_id",
+            F.expr("sum_logp_micro div n_bigrams").cast("long").alias("avg_logp_micro"),
+        )
+        .join(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")),
+            "doc_id",
+        )
+        .withColumn("_ppl", -F.col("avg_logp_micro"))
+    )
+    ranked = range_row_number(
+        scored, [F.col("lang"), F.col("_ppl"), F.col("doc_id")], "_gr"
+    )
+    langn = ranked.groupBy("lang").agg(
+        F.count("*").cast("long").alias("_n"), F.min("_gr").alias("_first")
+    )
+    within = F.col("_gr") - F.col("_first") + F.lit(1)
+    bucket = ntile_expr(within, F.col("_n"), k).cast("long")
+    label = (
+        F.when(F.col("ppl_bucket") == 1, F.lit("head"))
+        .when(F.col("ppl_bucket") == k, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        ranked.join(F.broadcast(langn), "lang")
+        .withColumn("ppl_bucket", bucket)
+        .select("doc_id", "lang", "avg_logp_micro", "ppl_bucket", label.alias("bucket_label"))
+    )

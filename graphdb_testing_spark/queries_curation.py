@@ -1775,3 +1775,57 @@ def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = datasets.load_table(spark, sf_dir, "documents")
     return textstats.gopher_repetition(docs)
+
+
+# ---------------------------------------------------------------------------
+# CCNet per-language perplexity buckets (Wenzek et al. 2020)
+# ---------------------------------------------------------------------------
+
+_CCNET_ORACLE = """
+WITH cn_wa AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+cn_bg AS MATERIALIZED (
+  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+  FROM cn_wa, UNNEST(generate_series(1, len(a) - 1)) AS t(i)
+),
+cn_vocab AS (
+  SELECT COUNT(DISTINCT a[i]) AS v
+  FROM cn_wa, UNNEST(generate_series(1, len(a))) AS t(i)
+),
+cn_cbg AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS cbg FROM cn_bg GROUP BY 1, 2),
+cn_cctx AS MATERIALIZED (SELECT w1, COUNT(*) AS cctx FROM cn_bg GROUP BY 1),
+cn_lm AS (
+  SELECT b.doc_id, COUNT(*) AS n,
+         SUM(CAST(ROUND(1e6 * LN((c.cbg + 1) * 1e0
+                 / (x.cctx + (SELECT v FROM cn_vocab)))) AS BIGINT)) AS s
+  FROM cn_bg b JOIN cn_cbg c USING (w1, w2) JOIN cn_cctx x USING (w1)
+  GROUP BY b.doc_id
+),
+cn_sc AS (
+  SELECT l.doc_id, d.lang, CAST(l.s // l.n AS BIGINT) AS avg_logp_micro
+  FROM cn_lm l JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, avg_logp_micro, ppl_bucket,
+       CASE WHEN ppl_bucket = 1 THEN 'head'
+            WHEN ppl_bucket = 3 THEN 'tail'
+            ELSE 'middle' END AS bucket_label
+FROM (
+  SELECT doc_id, lang, avg_logp_micro,
+         CAST(NTILE(3) OVER (PARTITION BY lang
+                             ORDER BY -avg_logp_micro, doc_id) AS BIGINT)
+           AS ppl_bucket
+  FROM cn_sc)
+"""
+
+
+@register("ccnet_perplexity_buckets", _CCNET_ORACLE)
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles (Wenzek et al. 2020): each
+    language's documents split by corpus-bigram-LM perplexity; head =
+    most fluent third.  Within-language ranking runs as ONE global
+    range shuffle + broadcast rank bases — never a per-language
+    window.  See :func:`~graphdb_testing_spark.functions.curation.
+    ccnet_perplexity_buckets`."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return curation.ccnet_perplexity_buckets(docs, k=3)

@@ -1039,3 +1039,36 @@ def test_tokenizer_fertility(spark):
     # "x1 y2" -> pieces [x, 1, y, 2] (letter/digit runs split)
     assert zh.n_pieces == 4 and zh.n_words == 2 and zh.n_chars == 5
     assert zh.chars_per_piece == round(5 / 4, 6)
+
+
+def test_ccnet_buckets_invariants(spark):
+    from graphdb_testing_spark.functions import curation
+
+    rows = []
+    # two languages, clearly-fluent vs gibberish docs
+    for i in range(6):
+        rows.append((i, "the cat sat on the mat and the cat sat", "en"))
+    rows.append((6, "zzz qqq xxx www vvv uuu ttt sss rrr", "en"))
+    rows.append((7, "zzz qqq xxx www vvv uuu ttt sss rrr", "en"))
+    rows.append((8, "der hund lief durch den park und der hund", "de"))
+    rows.append((9, "der hund lief durch den park und der hund", "de"))
+    rows.append((10, "qwe rty uio pas dfg hjk", "de"))
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = curation.ccnet_perplexity_buckets(d, k=3).collect()
+    assert len(out) == 11
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = {}
+        for r in rs:
+            sizes[r.ppl_bucket] = sizes.get(r.ppl_bucket, 0) + 1
+        # ntile balance: bucket sizes differ by at most 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        # head docs are at least as fluent as tail docs
+        head_min = min(r.avg_logp_micro for r in rs if r.bucket_label == "head")
+        tail_max = max(r.avg_logp_micro for r in rs if r.bucket_label == "tail")
+        assert head_min >= tail_max, (lang, head_min, tail_max)
+    # the repeated fluent sentence outranks the gibberish in en
+    en = {r.doc_id: r.bucket_label for r in by_lang["en"]}
+    assert en[0] == "head" and en[6] == "tail"

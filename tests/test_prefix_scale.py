@@ -130,6 +130,10 @@ _EXACT_RANK_QUERIES = [
     # every byte of a 100 TB corpus passes through) must never plan an
     # Exchange SinglePartition sort — verdict r5 finding 1
     "shard_plan_balanced",
+    # round-7: CCNet terciles rank within-language via the global
+    # range shuffle + broadcast bases, never a per-language window
+    # (|languages| partitions = skew)
+    "ccnet_perplexity_buckets",
 ]
 
 # top-k queries: the O(n) ordering must be TakeOrderedAndProject (the
