@@ -981,3 +981,82 @@ def softdedup_commonness(
             F.expr("sum_logf_micro div n_grams").cast("long").alias("avg_logf_micro"),
         )
     )
+
+
+def lsh_s_curve(
+    docs: DataFrame,
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    floor_j: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH S-curve calibration — per Jaccard bucket of width 0.05,
+    the MEASURED detection rate of the banded index against the exact
+    shared-shingle ground truth, next to the THEORETICAL detection
+    probability ``1 - (1 - j^r)^b`` at the bucket midpoint (the
+    standard MinHash-LSH S-curve, r = rows per band, b = bands).
+
+    ``(j_bucket, j_lo, n_true, n_detected, detect_rate, p_theory)`` —
+    the table that tells an operator what their ``(bands, rows)``
+    configuration actually detects at each similarity level, and
+    whether the corpus behaves like the independence assumption says
+    it should.  The ANN twin of this diagnostic is ``ivf_recall``.
+
+    Exactness: the theoretical curve is built from explicit
+    multiplication chains (never ``pow``, whose rounding is not
+    specified identically across engines); ground truth comes from
+    the shared-shingle inverted join (a pair with zero shared
+    shingles has J = 0 < floor, so the join loses nothing).
+
+    Scale: ground-truth enumeration is the same verification-heavy
+    shape as ``minhash_recall`` — a calibration you run on a sample,
+    not the full corpus; the LSH candidate side stays banded.
+    """
+    rows = num_hashes // bands
+    sh = char_shingles(docs, k, id_col, text_col).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    b = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("za")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("zb")), "b_id")
+        .withColumn("j", F.col("i") / (F.col("za") + F.col("zb") - F.col("i")))
+        .filter(F.col("j") >= floor_j)
+        .select("a_id", "b_id", "j")
+    )
+    cand = lsh_candidate_pairs(
+        lsh_bands(minhash_signatures(sh, num_hashes), bands, num_hashes)
+    ).withColumn("_f", F.lit(1))
+    det = truth.join(cand, ["a_id", "b_id"], "left").select(
+        "j", F.coalesce("_f", F.lit(0)).alias("f")
+    )
+    bk = det.groupBy(
+        F.floor(F.col("j") * 20).cast("long").alias("j_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum("f").cast("long").alias("n_detected"),
+    )
+    jm = F.least(F.col("j_bucket") / F.lit(20.0) + F.lit(0.025), F.lit(1.0))
+    jr = jm
+    for _ in range(rows - 1):
+        jr = jr * jm
+    q = F.lit(1.0) - jr
+    qb = q
+    for _ in range(bands - 1):
+        qb = qb * q
+    return bk.select(
+        "j_bucket",
+        F.round(F.col("j_bucket") / F.lit(20.0), 6).alias("j_lo"),
+        "n_true",
+        "n_detected",
+        F.round(F.col("n_detected") / F.col("n_true"), 6).alias("detect_rate"),
+        F.round(F.lit(1.0) - qb, 6).alias("p_theory"),
+    )

@@ -3445,3 +3445,65 @@ def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
     :func:`~graphdb_testing_spark.functions.textstats.tokenizer_fertility`."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return textstats.tokenizer_fertility(docs)
+
+
+# ---------------------------------------------------------------------------
+# LSH S-curve calibration (measured vs theoretical detection per bucket)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_s_curve_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    jr = " * ".join(["jm"] * rows)
+    qb = " * ".join(["q"] * bands)
+    return f"""
+WITH {_minhash_ctes().strip()},
+sc_titer AS (
+  SELECT sa.doc_id AS a_id, sb.doc_id AS b_id, COUNT(*) AS i
+  FROM sh sa JOIN sh sb ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+),
+sc_truth AS (
+  SELECT t.a_id, t.b_id, t.i / (1e0 * (za.sz + zb.sz - t.i)) AS j
+  FROM sc_titer t
+  JOIN sizes za ON za.doc_id = t.a_id
+  JOIN sizes zb ON zb.doc_id = t.b_id
+  WHERE t.i / (1e0 * (za.sz + zb.sz - t.i)) >= 0.05
+),
+sc_det AS (
+  SELECT tr.j, CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END AS f
+  FROM sc_truth tr
+  LEFT JOIN cand c ON c.a_id = tr.a_id AND c.b_id = tr.b_id
+),
+sc_bk AS (
+  SELECT CAST(FLOOR(j * 20) AS BIGINT) AS j_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(f) AS BIGINT) AS n_detected
+  FROM sc_det GROUP BY 1
+),
+sc_thry AS (
+  SELECT j_bucket, n_true, n_detected,
+         LEAST(j_bucket / 20.0 + 0.025, 1.0) AS jm
+  FROM sc_bk
+),
+sc_q AS (
+  SELECT j_bucket, n_true, n_detected, jm, 1.0 - ({jr}) AS q FROM sc_thry
+)
+SELECT j_bucket,
+       ROUND(j_bucket / 20.0, 6) AS j_lo,
+       n_true, n_detected,
+       ROUND(n_detected / (1e0 * n_true), 6) AS detect_rate,
+       ROUND(1.0 - ({qb}), 6) AS p_theory
+FROM sc_q
+"""
+
+
+@register("lsh_s_curve", _lsh_s_curve_oracle())
+def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH S-curve calibration: measured banded-index
+    detection rate per exact-Jaccard bucket vs the theoretical
+    ``1 - (1 - j^r)^b`` — the diagnostic that says what the (bands,
+    rows) configuration actually catches at each similarity level.
+    See :func:`~graphdb_testing_spark.functions.dedup.lsh_s_curve`."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return dedup.lsh_s_curve(docs)

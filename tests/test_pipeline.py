@@ -1072,3 +1072,20 @@ def test_ccnet_buckets_invariants(spark):
     # the repeated fluent sentence outranks the gibberish in en
     en = {r.doc_id: r.bucket_label for r in by_lang["en"]}
     assert en[0] == "head" and en[6] == "tail"
+
+
+def test_lsh_s_curve_calibration(spark, docs):
+    out = sorted(dedup.lsh_s_curve(docs).collect(), key=lambda r: r.j_bucket)
+    assert out, "no buckets"
+    # theory is monotone nondecreasing in the bucket and stays in [0,1]
+    ps = [r.p_theory for r in out]
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    assert all(a <= b for a, b in zip(ps, ps[1:]))
+    for r in out:
+        assert 0 <= r.n_detected <= r.n_true
+        assert abs(r.detect_rate - r.n_detected / r.n_true) < 1e-9
+    # the exact-duplicate pair (docs 1,2; J = 1) lands in the top
+    # bucket, where every band must collide: theory 1, measured 1
+    top = out[-1]
+    assert top.j_bucket == 20 and top.p_theory == 1.0
+    assert top.detect_rate == 1.0
