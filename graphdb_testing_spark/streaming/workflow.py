@@ -1875,3 +1875,172 @@ def streaming_ewma(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_retention_decisions(
+    spark: SparkSession,
+    docs_path: str,
+    min_agree: int = 8,
+    k: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Streaming NEAR-dup retention gate — the streaming twin of the
+    batch retention manifest (`dedup_retention` via signature
+    agreement): every arriving document gets an auditable
+    ``(batch_id, doc_id, cluster_id, cluster_size_so_far, keep)``
+    row AT ARRIVAL, where ``cluster_id`` is the min doc id of its
+    near-duplicate cluster among everything seen so far and ``keep``
+    marks the current canonical.
+
+    Per micro-batch (``foreachBatch``, the reference's workflow-loop
+    shape — ``stinger-workflow.h:15-28``):
+
+    1. row-level MinHash signatures for the batch (map-only);
+    2. LSH band equi-join of the batch against the persisted band
+       table (new×old) and itself (new×new) — candidates verified by
+       signature agreement ≥ ``min_agree`` (Broder estimator), the
+       one-pass batch twin's exact semantics;
+    3. incremental component merge: new duplicate edges collapse to
+       REPRESENTATIVE edges through the current label table, the CC
+       kernel runs on that O(|new pairs|) rep graph only, and the
+       label table relabels through the result — min-label
+       invariant preserved, so a cluster's label IS its canonical
+       min doc id (the insert fast path of ``IncrementalComponents``,
+       specialized to an insert-only pair stream);
+    4. decisions for the batch's documents against the merged labels.
+
+    Scale shape: the persisted state is (signature bands, labels) —
+    both flat tables that grow with the corpus, exactly the batch
+    pipeline's working set, maintained via ``localCheckpoint`` (a
+    production deployment would keep them as a lakehouse table).  No
+    stage is corpus-quadratic: pair discovery stays banded, the CC
+    runs on representative edges only, and decisions are one
+    broadcast-size join per batch.
+
+    Returns ``{"decisions": <union of per-batch decision tables>,
+    "labels": <final doc_id -> min-id cluster label table>}``.
+    Replay parity with the batch twin is pytest-enforced.
+    """
+    from ..functions.dedup import minhash_signature_rows, sig_band_keys
+    from ..operators.components import connected_components
+
+    state: dict = {"bands": None, "labels": None, "decisions": [], "batch_id": 0}
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        if batch_df.rdd.isEmpty():
+            return
+        sig_new = minhash_signature_rows(batch_df, k, num_hashes)
+        bnd_new = sig_band_keys(sig_new, bands, num_hashes).localCheckpoint()
+        bnd_all = (
+            bnd_new if state["bands"] is None else state["bands"].unionAll(bnd_new)
+        )
+        a = bnd_new.select(
+            F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bkey"
+        )
+        b = bnd_all.select(
+            F.col("doc_id").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bkey"
+        )
+        n_agree = F.expr(
+            "aggregate(zip_with(a_sig, b_sig, (x, y) -> CAST(x = y AS INT)),"
+            " 0L, (acc, v) -> acc + v)"
+        )
+        pairs = (
+            a.join(b, ["band", "bkey"])
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select(
+                F.least("a_id", "b_id").alias("u"),
+                F.greatest("a_id", "b_id").alias("v"),
+                n_agree.alias("n_agree"),
+            )
+            .filter(F.col("n_agree") >= min_agree)
+            .select("u", "v")
+            .distinct()
+            .localCheckpoint()
+        )
+        new_ids = batch_df.select(F.col("doc_id").alias("id")).distinct()
+        labels = (
+            new_ids.select("id", F.col("id").alias("label"))
+            if state["labels"] is None
+            else state["labels"].unionAll(
+                new_ids.select("id", F.col("id").alias("label"))
+            )
+        )
+        if not pairs.rdd.isEmpty():
+            # collapse new duplicate edges to representative edges and
+            # re-solve ONLY that tiny graph; relabel through the result
+            la = labels.select(F.col("id").alias("u"), F.col("label").alias("lu"))
+            lb = labels.select(F.col("id").alias("v"), F.col("label").alias("lv"))
+            rep = (
+                pairs.join(la, "u")
+                .join(lb, "v")
+                .filter(F.col("lu") != F.col("lv"))
+                .select(F.col("lu").alias("src"), F.col("lv").alias("dst"))
+            )
+            rep_sym = rep.unionAll(
+                rep.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            if not rep_sym.rdd.isEmpty():
+                merged = connected_components(rep_sym).select(
+                    F.col("id").alias("label"), F.col("label").alias("_new")
+                )
+                labels = (
+                    labels.join(F.broadcast(merged), "label", "left")
+                    .select(
+                        "id", F.coalesce("_new", F.col("label")).alias("label")
+                    )
+                )
+        labels = labels.localCheckpoint()
+        sizes = labels.groupBy("label").agg(F.count("*").alias("n"))
+        decisions = (
+            batch_df.select("doc_id")
+            .join(labels, batch_df.doc_id == labels.id)
+            .join(sizes, "label")
+            .select(
+                F.lit(state["batch_id"]).cast("long").alias("batch_id"),
+                "doc_id",
+                F.col("label").cast("long").alias("cluster_id"),
+                F.col("n").cast("long").alias("cluster_size_so_far"),
+                (F.col("doc_id") == F.col("label")).cast("long").alias("keep"),
+            )
+            .localCheckpoint()
+        )
+        state["decisions"].append(decisions)
+        state["bands"] = bnd_all.localCheckpoint()
+        state["labels"] = labels
+        state["batch_id"] += 1
+
+    reader = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(docs_path)
+    q = (
+        docs.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not state["decisions"]:
+        out = spark.createDataFrame(
+            [],
+            "batch_id long, doc_id long, cluster_id long,"
+            " cluster_size_so_far long, keep long",
+        )
+    else:
+        out = state["decisions"][0]
+        for d in state["decisions"][1:]:
+            out = out.unionAll(d)
+    # NB: no temp-view registration — DataFrames built inside
+    # foreachBatch belong to the micro-batch's CLONED session, whose
+    # temp catalog is invisible to the caller's session; hand the
+    # tables back directly instead
+    final_labels = (
+        state["labels"]
+        if state["labels"] is not None
+        else spark.createDataFrame([], "id long, label long")
+    )
+    return {"decisions": out, "labels": final_labels}

@@ -1379,3 +1379,131 @@ def test_streaming_minhash_ttl_off_parity_preserved(spark, tmp_path):
         for r in spark.sql("select distinct * from t_mh_ttl").collect()
     }
     assert got == want and want
+
+
+def test_streaming_retention_matches_batch(spark, tmp_path):
+    """Near-dup retention gate replay parity: final labels equal a
+    batch recompute of the signature-agreement manifest; batch-0
+    decisions equal the batch twin run on the prefix alone."""
+    import os as _os
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.datasets import load_table
+    from graphdb_testing_spark.functions import dedup as ddp
+    from graphdb_testing_spark.operators.components import connected_components
+    from graphdb_testing_spark.streaming.workflow import (
+        streaming_retention_decisions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "ret_stream"
+    stream_dir.mkdir()
+    t = pq.read_table(f"{sf}/documents.parquet")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), f"{stream_dir}/part-0.parquet")
+    pq.write_table(t.slice(half), f"{stream_dir}/part-1.parquet")
+    _now = _time.time()
+    _os.utime(f"{stream_dir}/part-0.parquet", (_now - 10, _now - 10))
+    _os.utime(f"{stream_dir}/part-1.parquet", (_now, _now))
+
+    res = streaming_retention_decisions(
+        spark, str(stream_dir), min_agree=8, max_files_per_trigger=1,
+    )
+    rows = res["decisions"].collect()
+    assert len(rows) == t.num_rows
+    assert len({r.doc_id for r in rows}) == t.num_rows  # one decision per doc
+
+    def batch_manifest(docs_df):
+        pairs = ddp.signature_agreement_pairs(docs_df, min_agree=8).select(
+            "a_id", "b_id"
+        )
+        sym = pairs.select(
+            F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+        ).unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        cc = connected_components(sym)
+        return {
+            r.doc_id: r.label
+            for r in docs_df.select("doc_id")
+            .join(cc, docs_df.doc_id == cc.id, "left")
+            .select("doc_id", F.coalesce("label", F.col("doc_id")).alias("label"))
+            .collect()
+        }
+
+    docs = load_table(spark, sf, "documents")
+    # final labels == batch recompute over the whole corpus
+    want = batch_manifest(docs)
+    got = {r.id: r.label for r in res["labels"].collect()}
+    assert got == want
+    # prefix parity: batch-0 decisions == batch twin on part-0 docs only
+    prefix_ids = {r["doc_id"] for r in t.slice(0, half).to_pylist()}
+    want_prefix = batch_manifest(docs.filter(F.col("doc_id").isin(prefix_ids)))
+    b0 = [r for r in rows if r.batch_id == 0]
+    assert {r.doc_id for r in b0} == prefix_ids
+    for r in b0:
+        assert r.cluster_id == want_prefix[r.doc_id], r
+        assert r.keep == (1 if r.doc_id == want_prefix[r.doc_id] else 0)
+    # batch-1 decisions see the full corpus: clusters match final labels
+    for r in rows:
+        if r.batch_id == 1:
+            assert r.cluster_id == want[r.doc_id], r
+            assert r.keep == (1 if r.doc_id == want[r.doc_id] else 0)
+    # keep flags: exactly one canonical per final cluster among keepers
+    keepers = [r.doc_id for r in rows if r.keep == 1]
+    assert len(keepers) == len(set(keepers))
+
+
+def test_streaming_retention_cross_batch_duplicate(spark, tmp_path):
+    """A duplicate arriving AFTER its canonical must be dropped at
+    arrival; short docs (no signature) stay kept singletons."""
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphdb_testing_spark.streaming.workflow import (
+        streaming_retention_decisions,
+    )
+
+    long_a = "the quick brown fox jumps over the lazy dog " * 4
+    long_b = "completely different content about spark engines " * 4
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def tbl(rows):
+        return pa.table(
+            {c: [r[i] for r in rows] for i, c in enumerate(cols)},
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string()),
+                 ("lang", pa.string()), ("source", pa.string()),
+                 ("n_chars", pa.int64())]
+            ),
+        )
+
+    d = tmp_path / "xb_stream"
+    d.mkdir()
+    pq.write_table(
+        tbl([(10, long_a, "en", "s", len(long_a)),
+             (11, long_b, "en", "s", len(long_b)),
+             (12, "tiny", "en", "s", 4)]),
+        f"{d}/part-0.parquet",
+    )
+    pq.write_table(
+        tbl([(20, long_a, "en", "s", len(long_a)),   # dup of 10
+             (21, "shrt", "en", "s", 4)]),
+        f"{d}/part-1.parquet",
+    )
+    _now = _time.time()
+    _os.utime(f"{d}/part-0.parquet", (_now - 10, _now - 10))
+    _os.utime(f"{d}/part-1.parquet", (_now, _now))
+    res = streaming_retention_decisions(spark, str(d), min_agree=8,
+                                        max_files_per_trigger=1)
+    dec = {r.doc_id: r for r in res["decisions"].collect()}
+    assert set(dec) == {10, 11, 12, 20, 21}
+    assert dec[10].keep == 1 and dec[10].cluster_id == 10
+    assert dec[20].keep == 0 and dec[20].cluster_id == 10  # late duplicate
+    assert dec[20].cluster_size_so_far == 2
+    # unique and sub-k docs keep themselves
+    for i in (11, 12, 21):
+        assert dec[i].keep == 1 and dec[i].cluster_id == i
