@@ -3507,3 +3507,72 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     See :func:`~graphdb_testing_spark.functions.dedup.lsh_s_curve`."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return dedup.lsh_s_curve(docs)
+
+
+# ---------------------------------------------------------------------------
+# signature-agreement retention manifest (the streaming workflow's
+# batch anchor: final streaming labels must equal this table)
+# ---------------------------------------------------------------------------
+
+_SIG_RETENTION_ORACLE = f"""
+WITH {_minhash_ctes().strip()},
+sg_pairs AS (
+  SELECT a_id, b_id FROM (
+    SELECT c.a_id, c.b_id,
+           ({" + ".join(f"CAST(a.mh_{s} = b.mh_{s} AS BIGINT)" for s in range(16))})
+             AS n_agree
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.a_id
+    JOIN sig b ON b.doc_id = c.b_id
+  ) WHERE n_agree >= 8
+),
+sg_sym AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM sg_pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM sg_pairs
+),
+{oracles.cc_bounded_ctes("sg_sym", rounds=8, out="sglbl")},
+sgsz AS (SELECT label, COUNT(*) AS n FROM sglbl GROUP BY label)
+SELECT d.doc_id,
+       CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(COALESCE(z.n, 1) AS BIGINT) AS cluster_size,
+       CAST(d.doc_id = COALESCE(l.label, d.doc_id) AS BIGINT) AS keep
+FROM documents d
+LEFT JOIN sglbl l ON l.id = d.doc_id
+LEFT JOIN sgsz z ON z.label = l.label
+UNION ALL
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS cluster_id,
+       CAST(-1 AS BIGINT) AS cluster_size, CAST(-1 AS BIGINT) AS keep
+FROM sglbl WHERE id < 0
+"""
+
+
+@register("signature_retention_clusters", _SIG_RETENTION_ORACLE)
+def q_signature_retention_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention manifest over SIGNATURE-AGREEMENT pairs (Broder
+    estimator, one corpus pass): the batch anchor of the streaming
+    retention workflow — ``streaming_retention_decisions``' final
+    label table must equal this manifest's cluster assignment
+    (replay-parity-tested in ``tests/test_streaming.py``)."""
+    from .operators.components import connected_components
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    pairs = dedup.signature_agreement_pairs(docs, min_agree=8).select("a_id", "b_id")
+    sym = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    cc = connected_components(sym)
+    sizes = cc.groupBy("label").agg(F.count("*").alias("n"))
+    lab = cc.join(sizes, "label").select(F.col("id").alias("_rid"), "label", "n")
+    return (
+        docs.select("doc_id")
+        .join(lab, F.col("doc_id") == F.col("_rid"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).cast("long").alias("cluster_id"),
+            F.coalesce("n", F.lit(1)).cast("long").alias("cluster_size"),
+            (F.col("doc_id") == F.coalesce("label", F.col("doc_id")))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
