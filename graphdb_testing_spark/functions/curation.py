@@ -817,6 +817,12 @@ def ccnet_perplexity_buckets(
     from ..operators.prefix import ntile_expr, range_row_number
     from .textstats import bigram_lm_scores
 
+    if k < 2:
+        # head/tail/middle labels presume distinct first and last
+        # buckets (CCNet's own split is head/middle/tail, k=3); with
+        # k=1 the single bucket would read "head", and the registered
+        # oracle's CASE shares the same k — guard rather than drift
+        raise ValueError(f"ccnet_perplexity_buckets requires k >= 2, got {k}")
     lm = bigram_lm_scores(docs, id_col, text_col)
     scored = (
         lm.filter(F.col("n_bigrams") > 0)

@@ -144,9 +144,14 @@ def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
 
 
 def jaccard_for_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs:
-    ``(a_id, b_id, inter, a_size, b_size, jaccard)``."""
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    """Exact shingle-SET Jaccard for candidate pairs:
+    ``(a_id, b_id, inter, a_size, b_size, jaccard)``.
+
+    Set semantics throughout: sizes are ``countDistinct`` and the
+    overlap is the distinct-set intersection, so a non-distinct
+    ``(doc_id, sh)`` input yields the same answer as its
+    deduplicated form (multiplicity never leaks into the ratio)."""
+    sizes = shingles.groupBy("doc_id").agg(F.countDistinct("sh").alias("sz"))
     # PPJoin-style verify (see _verify_intersections): zero-overlap
     # pairs survive because the set join is on doc ids, not items
     inter = _verify_intersections(pairs, shingles, "sh")
@@ -532,12 +537,14 @@ def _verify_intersections(
     arrays) versus |cands| · |A| exploded rows plus a groupBy for the
     join-per-item shape; per-row memory is bounded by the two
     documents' distinct-set sizes — the bound the documents themselves
-    already impose on the scan.  ``items`` is the distinct
-    ``(doc_id, item)`` relation; ``cands`` has columns
-    ``(a_id, b_id)``.  Returns ``(a_id, b_id, inter)``.
+    already impose on the scan.  ``items`` is a ``(doc_id, item)``
+    relation — duplicates are collapsed here (``collect_set``), so the
+    overlap is always the distinct-set intersection ``array_intersect``
+    computes, whether or not the caller pre-deduplicated; ``cands`` has
+    columns ``(a_id, b_id)``.  Returns ``(a_id, b_id, inter)``.
     """
     sets_ = items.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list(item_col)).alias("_tset")
+        F.sort_array(F.collect_set(item_col)).alias("_tset")
     )
     return (
         cands.join(

@@ -679,7 +679,17 @@ def tokenizer_fertility(
             "n_chars",
             "n_words",
             "n_pieces",
-            F.round(F.col("n_chars") / F.col("n_pieces"), 6).alias("chars_per_piece"),
-            F.round(F.col("n_pieces") / F.col("n_words"), 6).alias("pieces_per_word"),
+            # null-safe ratios: a language whose docs are all
+            # whitespace/empty has n_pieces or n_words == 0 — emit NULL
+            # (mirrored as CASE WHEN in the registered oracle; DuckDB's
+            # IEEE default would otherwise yield inf and break parity)
+            F.when(
+                F.col("n_pieces") > 0,
+                F.round(F.col("n_chars") / F.col("n_pieces"), 6),
+            ).alias("chars_per_piece"),
+            F.when(
+                F.col("n_words") > 0,
+                F.round(F.col("n_pieces") / F.col("n_words"), 6),
+            ).alias("pieces_per_word"),
         )
     )

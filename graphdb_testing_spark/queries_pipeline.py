@@ -3431,8 +3431,10 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(chars) AS BIGINT) AS n_chars,
        CAST(SUM(words) AS BIGINT) AS n_words,
        CAST(SUM(pieces) AS BIGINT) AS n_pieces,
-       ROUND(SUM(chars) * 1e0 / SUM(pieces), 6) AS chars_per_piece,
-       ROUND(SUM(pieces) * 1e0 / SUM(words), 6) AS pieces_per_word
+       CASE WHEN SUM(pieces) > 0
+            THEN ROUND(SUM(chars) * 1e0 / SUM(pieces), 6) END AS chars_per_piece,
+       CASE WHEN SUM(words) > 0
+            THEN ROUND(SUM(pieces) * 1e0 / SUM(words), 6) END AS pieces_per_word
 FROM fd GROUP BY lang
 """
 

@@ -1892,7 +1892,17 @@ def streaming_retention_decisions(
     ``(batch_id, doc_id, cluster_id, cluster_size_so_far, keep)``
     row AT ARRIVAL, where ``cluster_id`` is the min doc id of its
     near-duplicate cluster among everything seen so far and ``keep``
-    marks the current canonical.
+    marks the canonical AS OF THAT ARRIVAL.
+
+    ``keep`` is a point-in-time decision, not a final verdict: if a
+    smaller-id duplicate arrives later, it becomes the cluster's new
+    canonical and ALSO gets keep=1, so one final cluster can carry
+    two keep=1 rows (the early one is superseded, never retracted —
+    append-only decisions cannot be un-emitted).  When ids arrive in
+    increasing order the situation cannot occur and keepers are 1:1
+    with final clusters.  The returned ``labels`` table is the
+    authoritative retained set: retain exactly the docs with
+    ``id == label`` there, and treat ``decisions`` as the audit log.
 
     Per micro-batch (``foreachBatch``, the reference's workflow-loop
     shape — ``stinger-workflow.h:15-28``):

@@ -1449,9 +1449,20 @@ def test_streaming_retention_matches_batch(spark, tmp_path):
         if r.batch_id == 1:
             assert r.cluster_id == want[r.doc_id], r
             assert r.keep == (1 if r.doc_id == want[r.doc_id] else 0)
-    # keep flags: exactly one canonical per final cluster among keepers
+    # keep flags are point-in-time (see streaming_retention_decisions
+    # docstring): in general a later-arriving smaller-id duplicate can
+    # add a second keep=1 row to a cluster.  HERE ids arrive in
+    # increasing order (parquet slices of an id-ordered table), so the
+    # guarantee tightens to exactly one keeper per FINAL cluster —
+    # assert that stronger form, plus keeper == the cluster's min id.
+    arrival = [r["doc_id"] for r in t.to_pylist()]
+    assert arrival == sorted(arrival)  # precondition of the 1:1 claim
     keepers = [r.doc_id for r in rows if r.keep == 1]
     assert len(keepers) == len(set(keepers))
+    keeper_final_clusters = [want[d] for d in keepers]
+    assert len(keeper_final_clusters) == len(set(keeper_final_clusters))
+    assert set(keeper_final_clusters) == set(want.values())
+    assert all(d == want[d] for d in keepers)  # keeper IS the min id
 
 
 def test_streaming_retention_cross_batch_duplicate(spark, tmp_path):
