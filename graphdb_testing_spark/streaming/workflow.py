@@ -592,6 +592,7 @@ def streaming_sessions(
     gap_minutes: int = 30,
     query_name: str = "sessions",
     max_files_per_trigger: int | None = None,
+    ttl_ms: int | None = None,
 ):
     """Custom stateful streaming operator: per-user sessionization via
     ``applyInPandasWithState`` — the engine's analog of the
@@ -606,17 +607,43 @@ def streaming_sessions(
     batch.  In-batch assignment is vectorized pandas (gap diff +
     cumsum), not a per-row Python loop; Arrow moves the batches.
 
+    State lifecycle (round-8, same pattern as the dedup trio): state
+    is one open session per EVER-SEEN user, which on a long-running
+    ingest grows with user cardinality.  ``ttl_ms`` bounds it — a
+    user idle for that long (processing time) has their open session
+    FLUSHED as closed and the state evicted, so nothing is lost, only
+    decided early: a post-TTL event that would have continued the
+    session (a wall-clock laggard still inside the event-time gap)
+    starts a new session instead — the exactness-for-bounded-state
+    trade.  ``None`` (default) keeps state forever (batch-exact; the
+    open session is simply never emitted).  Per-batch state size is
+    observable via :func:`state_telemetry`; with a TTL set an
+    ``availableNow`` run keeps scheduling state-cleanup batches after
+    the sources drain — poll the sink and ``stop()`` rather than
+    ``awaitTermination()``.
+
     Returns the started query (memory sink, ``availableNow``); read
     emitted closed sessions from the ``query_name`` temp table.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    _cols = ["user_id", "session_seq", "n_events", "start_us", "end_us"]
 
     def assign(key, pdf_iter, state: "GroupState"):
         import pandas as pd
 
         (user_id,) = key
+        if state.hasTimedOut:
+            # idle past the TTL: flush the carried open session as a
+            # closed one (early decision, not data loss) and evict
+            seq, n, start, last = state.get
+            state.remove()
+            if n:
+                yield pd.DataFrame(
+                    [(user_id, seq, n, start, last)], columns=_cols
+                )
+            return
         if state.exists:
             seq, n, start, last = state.get
         else:
@@ -661,11 +688,10 @@ def streaming_sessions(
                     seq, n, start, last = int(s), cnt, mn, mx
         state.update((int(seq), int(n), int(start) if start is not None else 0,
                       int(last) if last is not None else 0))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=["user_id", "session_seq", "n_events", "start_us", "end_us"],
-            )
+            yield pd.DataFrame(closed, columns=_cols)
 
     ev = _events_stream(
         spark, events_path, max_files_per_trigger=max_files_per_trigger
@@ -678,7 +704,11 @@ def streaming_sessions(
         ),
         stateStructType="session_seq long, n_events long, start_us long, last_us long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return (
         out.writeStream.outputMode("append")
@@ -750,6 +780,7 @@ def streaming_debounce(
     min_gap_seconds: int = 60,
     query_name: str = "debounced",
     max_files_per_trigger: int | None = None,
+    ttl_ms: int | None = None,
 ):
     """Stateful streaming twin of the batch ``event_debounce`` query:
     emit an event only if the previous event of the same
@@ -763,6 +794,19 @@ def streaming_debounce(
     (provided micro-batches arrive in event-time order per key, the
     file-source contract used here).  Vectorized inside the batch:
     lag + gap filter in pandas, no per-row Python loop.
+
+    State lifecycle (round-8, same pattern as the dedup trio): one
+    timestamp per ``(user_id, event_type)`` still grows with key
+    cardinality on a long-running ingest.  ``ttl_ms`` evicts a key
+    idle for that long (processing time) — a post-TTL event arrives
+    to empty state and is KEPT, so the only exactness loss is a
+    laggard inside ``min_gap_seconds`` of a long-evicted
+    predecessor being admitted; any ``ttl_ms`` comfortably above
+    ``min_gap_seconds * 1000`` makes that window empty in practice.
+    ``None`` (default) keeps state forever (batch-exact).  Per-batch
+    state size is observable via :func:`state_telemetry`; with a TTL
+    set an ``availableNow`` run keeps scheduling state-cleanup
+    batches after the sources drain — poll the sink and ``stop()``.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -772,6 +816,9 @@ def streaming_debounce(
         import pandas as pd
 
         user_id, event_type = key
+        if state.hasTimedOut:
+            state.remove()  # forget the last-seen mark; next event is kept
+            return
         last = state.get[0] if state.exists else None
         chunks = [pdf for pdf in pdf_iter if len(pdf)]
         if chunks:
@@ -787,6 +834,8 @@ def streaming_debounce(
                 prev.iloc[0] = last
             keep = (prev.isna() | ((us - prev) > gap_us)).to_numpy()
             state.update((int(us[-1]),))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             out = pdf.loc[keep, ["event_id", "user_id", "event_type"]].copy()
             out["ts_us"] = us[keep]
             if len(out):
@@ -802,7 +851,11 @@ def streaming_debounce(
         ),
         stateStructType="last_us long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return (
         out.writeStream.outputMode("append")

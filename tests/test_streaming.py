@@ -1518,3 +1518,181 @@ def test_streaming_retention_cross_batch_duplicate(spark, tmp_path):
     # unique and sub-k docs keep themselves
     for i in (11, 12, 21):
         assert dec[i].keep == 1 and dec[i].cluster_id == i
+
+
+# ---------------------------------------------------------------------------
+# round-8: state lifecycle for the two remaining NoTimeout stateful ops
+# (VERDICT r7 task 4 — sessions + debounce get the dedup trio's
+# ttl_ms + state_telemetry pattern)
+# ---------------------------------------------------------------------------
+
+
+def _mk_event_stream(d, batches):
+    """Write one parquet file per batch of (event_id, user_id,
+    event_type, ts_us) rows, mtimes pinned strictly increasing so the
+    file source's batch order is deterministic."""
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _os.makedirs(d, exist_ok=True)
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        f = f"{d}/part-{i}.parquet"
+        pq.write_table(tbl, f)
+        _os.utime(f, (now - 10 + i, now - 10 + i))
+
+
+def test_streaming_sessions_ttl_flushes_idle_open_session(spark, tmp_path):
+    """With a tiny processing-time TTL an idle user's open session is
+    FLUSHED as closed (early decision, no data loss) and the state
+    evicted; with TTL off the same replay keeps every session open
+    forever (batch-exact).  Also: telemetry shows the churn."""
+    from graphdb_testing_spark.streaming.workflow import (
+        state_telemetry,
+        streaming_sessions,
+    )
+
+    T0 = 1_600_000_000_000_000  # us
+    batches = [
+        [(100, 1, "click", T0)],
+        [(200, 2, "click", T0 + 3_600_000_000)],
+        # user 1 again, 10 min later in event time (inside the 30-min
+        # gap: would CONTINUE the session if state survived)
+        [(300, 1, "click", T0 + 600_000_000)],
+    ]
+
+    # TTL off: all sessions stay open -> nothing is ever emitted
+    d1 = str(tmp_path / "sess_no_ttl")
+    _mk_event_stream(d1, batches)
+    q = streaming_sessions(
+        spark, d1, query_name="t_sess_ttl_off", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    assert spark.sql("select * from t_sess_ttl_off").count() == 0
+
+    # TTL 1ms: every open session is flushed by the next batch's
+    # state-cleanup pass, so the sink converges to three closed
+    # sessions: user 1's first event, user 2's, user 1's second
+    # (fresh state after eviction -> session_seq restarts at 0)
+    d2 = str(tmp_path / "sess_ttl")
+    _mk_event_stream(d2, batches)
+    q = streaming_sessions(
+        spark, d2, query_name="t_sess_ttl_on",
+        max_files_per_trigger=1, ttl_ms=1,
+    )
+    _await_sink_rows(spark, q, "t_sess_ttl_on", 3)
+    rows = spark.sql("select * from t_sess_ttl_on").collect()
+    got = {(r.user_id, r.start_us): (r.n_events, r.end_us) for r in rows}
+    assert got == {
+        (1, T0): (1, T0),
+        (2, T0 + 3_600_000_000): (1, T0 + 3_600_000_000),
+        (1, T0 + 600_000_000): (1, T0 + 600_000_000),
+    }
+    tel = state_telemetry(q)
+    assert tel and any((t["removed"] or 0) > 0 for t in tel)
+
+
+def test_streaming_sessions_ttl_off_parity_preserved(spark, tmp_path):
+    """A TTL large enough never to fire inside the run leaves the
+    emitted closed-session set exactly the TTL-off result."""
+    from graphdb_testing_spark.streaming.workflow import streaming_sessions
+
+    T0 = 1_600_000_000_000_000
+    batches = [
+        [(100, 1, "click", T0)],
+        # 2h later: exceeds the 30-min gap -> closes session 0
+        [(200, 1, "click", T0 + 7_200_000_000)],
+    ]
+    d1 = str(tmp_path / "sess_p_off")
+    _mk_event_stream(d1, batches)
+    q = streaming_sessions(
+        spark, d1, query_name="t_sess_p_off", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    want = {
+        (r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+        for r in spark.sql("select * from t_sess_p_off").collect()
+    }
+    assert want == {(1, 1, 1, T0, T0)}  # session_seq is 1-based here
+
+    d2 = str(tmp_path / "sess_p_on")
+    _mk_event_stream(d2, batches)
+    q = streaming_sessions(
+        spark, d2, query_name="t_sess_p_on",
+        max_files_per_trigger=1, ttl_ms=3_600_000,
+    )
+    _await_sink_rows(spark, q, "t_sess_p_on", 1)
+    got = {
+        (r.user_id, r.session_seq, r.n_events, r.start_us, r.end_us)
+        for r in spark.sql("select * from t_sess_p_on").collect()
+    }
+    assert got == want
+
+
+def test_streaming_debounce_ttl_evicts_idle_state(spark, tmp_path):
+    """With a tiny TTL the last-seen mark of an idle key is evicted,
+    so a later same-key event inside the debounce gap is re-admitted;
+    with TTL off (or a TTL that never fires) it is dropped —
+    batch-exact."""
+    from graphdb_testing_spark.streaming.workflow import (
+        state_telemetry,
+        streaming_debounce,
+    )
+
+    T0 = 1_600_000_000_000_000
+    batches = [
+        [(100, 1, "click", T0)],
+        [(200, 2, "click", T0 + 5_000_000)],
+        # user 1 again 30s later: inside the 60s debounce gap
+        [(300, 1, "click", T0 + 30_000_000)],
+    ]
+
+    # TTL off: event 300 debounced
+    d1 = str(tmp_path / "deb_no_ttl")
+    _mk_event_stream(d1, batches)
+    q = streaming_debounce(
+        spark, d1, query_name="t_deb_ttl_off", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    assert {
+        r.event_id for r in spark.sql("select * from t_deb_ttl_off").collect()
+    } == {100, 200}
+
+    # 1h TTL (never fires in-run): identical to TTL off
+    d2 = str(tmp_path / "deb_ttl_long")
+    _mk_event_stream(d2, batches)
+    q = streaming_debounce(
+        spark, d2, query_name="t_deb_ttl_long",
+        max_files_per_trigger=1, ttl_ms=3_600_000,
+    )
+    _await_sink_rows(spark, q, "t_deb_ttl_long", 2)
+    assert {
+        r.event_id for r in spark.sql("select * from t_deb_ttl_long").collect()
+    } == {100, 200}
+
+    # TTL 1ms: user 1's mark expires during batch 1 -> event 300 kept
+    d3 = str(tmp_path / "deb_ttl")
+    _mk_event_stream(d3, batches)
+    q = streaming_debounce(
+        spark, d3, query_name="t_deb_ttl_on",
+        max_files_per_trigger=1, ttl_ms=1,
+    )
+    _await_sink_rows(spark, q, "t_deb_ttl_on", 3)
+    assert {
+        r.event_id for r in spark.sql("select * from t_deb_ttl_on").collect()
+    } == {100, 200, 300}
+    tel = state_telemetry(q)
+    assert tel and any((t["removed"] or 0) > 0 for t in tel)
