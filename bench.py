@@ -10,6 +10,16 @@ Kernel names follow the reference result files
 (``tests/sqlite/test.c:364-375``): build / sv (connected components) /
 sssp (BFS) / pr (PageRank to convergence) / update (action merge),
 plus engine extensions (triangles, q1, dedup/ANN once implemented).
+
+Drift adjudication (round-8): every rep records TWO fixed-work
+calibrations — the xxhash CPU loop (``t1``/``tn``) and a Spark-shaped
+join+agg+shuffle probe (``ts``) that moves with the memory/IO
+contention kernels actually feel — and ``python bench.py --against
+<git-ref>`` runs HEAD and the ref's code interleaved on the same host
+to attribute a swing to code vs ambient directly (the reference's own
+results are cross-machine comparisons — ``make_graphs.py:114-124`` —
+which is exactly what an uncalibrated wall-clock number can't
+support).
 """
 
 from __future__ import annotations
@@ -46,6 +56,53 @@ from graphdb_testing_spark.session import get_spark  # noqa: E402
 #: across rounds BY CONTRACT — changing it invalidates cross-round
 #: normalization (bump the calib "work" tag if it ever must change).
 _CALIB_ROWS_PER_PART = 1 << 27
+
+
+#: fixed shuffle-probe work (rows on the fact side; the dim side is a
+#: quarter of it).  Constant across rounds BY CONTRACT, same as
+#: ``_CALIB_ROWS_PER_PART`` — changing it invalidates cross-round
+#: normalization (bump the probe's "work" tag if it ever must change).
+_PROBE_FACT_ROWS = 1 << 24
+_PROBE_KEYSPACE = 1 << 21
+
+
+def calibrate_shuffle(spark, n_parts: int) -> float:
+    """Fixed-work SPARK-SHAPED calibration probe: a pinned
+    join+agg+shuffle job over synthetic rows — hash a 16.8M-row fact
+    side and a 4.2M-row dim side into a 2M keyspace, shuffle-join them
+    (the dim side is ~67 MB, far past the broadcast threshold, so both
+    sides genuinely exchange), then a two-level aggregate.  Exercises
+    codegen + hash join + shuffle write/read + partial aggregation —
+    the paths the kernels actually live on.
+
+    Round-7 post-mortem: the xxhash busy-loop (``calibrate``) measured
+    the host FASTER while every kernel ran 1.4-1.6× slower — pure-CPU
+    hashing doesn't see memory-bandwidth / IO / scheduler contention,
+    which is exactly what shuffles see.  This probe moves with that
+    ambient factor, so ``compare_bench.py`` can attribute a
+    round-over-round swing to the host without a manual identical-code
+    A/B (``--against`` below automates that too).
+    """
+    t0 = time.time()
+    fact = spark.range(0, _PROBE_FACT_ROWS, 1, n_parts).select(
+        F.pmod(F.xxhash64("id"), F.lit(_PROBE_KEYSPACE)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, _PROBE_FACT_ROWS >> 2, 1, n_parts).select(
+        F.pmod(F.xxhash64(F.col("id") * 7), F.lit(_PROBE_KEYSPACE)).alias("k"),
+        F.col("id").alias("w"),
+    )
+    (
+        fact.join(dim, "k")
+        .groupBy(F.pmod(F.col("k"), F.lit(4096)).alias("g"))
+        .agg(
+            F.sum(F.pmod(F.col("v") + F.col("w"), F.lit(1000003))).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .agg(F.sum("s").alias("ss"), F.sum("c").alias("cc"))
+        .collect()
+    )
+    return round(time.time() - t0, 4)
 
 
 def calibrate(spark, n_parts: int) -> float:
@@ -171,9 +228,118 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     return timings, meta
 
 
+def run_against(ref: str, sf_dir: str, reps: int) -> None:
+    """Identical-host code A/B: check ``ref`` out into a temporary git
+    worktree and run BOTH suites interleaved (HEAD rep, ref rep, HEAD
+    rep, ref rep, ...) in the same host session, so ambient drift hits
+    both sides equally and the per-kernel ratio is attributable to
+    CODE alone — the adjudication the round-7 judge had to perform by
+    hand (r6 code recorded 62.8s, re-ran at 82.3s on the drifted
+    host) now automated as an artifact.
+
+    Each single-rep suite runs in its own subprocess/JVM (two
+    codebases cannot share one interpreter), but A/B pairs run
+    back-to-back within the same minutes on the same host, which is
+    the property the attribution needs.  Emits ONE JSON line with
+    both sides' per-kernel minima, calibrations, and the code ratio.
+    """
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sha = subprocess.run(
+        ["git", "rev-parse", "--short", ref],
+        cwd=repo, check=True, capture_output=True, text=True,
+    ).stdout.strip()
+    wt = tempfile.mkdtemp(prefix="bench-against-")
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", "--force", wt, ref],
+        cwd=repo, check=True, capture_output=True,
+    )
+
+    def one_rep(cwd: str) -> dict:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_REPS="1",
+            SPARK_GRAFT_SF_DIR=sf_dir,
+        )
+        p = subprocess.run(
+            [sys.executable, "bench.py"],
+            cwd=cwd, env=env, check=True,
+            stdout=subprocess.PIPE, stderr=sys.stderr,
+        )
+        return json.loads(p.stdout.decode().strip().splitlines()[-1])
+
+    try:
+        head_runs: list[dict] = []
+        ref_runs: list[dict] = []
+        for rep in range(reps):
+            print(f"[against rep {rep + 1}/{reps}] HEAD ...", file=sys.stderr)
+            head_runs.append(one_rep(repo))
+            print(f"[against rep {rep + 1}/{reps}] {ref} ...", file=sys.stderr)
+            ref_runs.append(one_rep(wt))
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=repo, capture_output=True,
+        )
+
+    def fold(runs: list[dict]) -> dict:
+        qs = {
+            k: round(min(r["queries"][k] for r in runs), 4)
+            for k in runs[0]["queries"]
+        }
+        calib = {}
+        for probe in ("t1", "tn", "ts"):
+            vals = [
+                (r.get("calib") or {}).get(f"{probe}_min") for r in runs
+            ]
+            vals = [v for v in vals if v]
+            if vals:
+                calib[f"{probe}_min"] = round(min(vals), 4)
+        return {
+            "queries": qs,
+            "value": round(sum(qs.values()), 4),
+            "rep_totals": [r["value"] for r in runs],
+            "calib": calib,
+        }
+
+    head, base = fold(head_runs), fold(ref_runs)
+    code_ratio = {
+        k: round(head["queries"][k] / base["queries"][k], 3)
+        for k in head["queries"]
+        if k in base["queries"] and base["queries"][k]
+    }
+    suspects = sorted(
+        (k for k, v in code_ratio.items() if v > 1.15), key=code_ratio.get
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "kernel_suite_ab",
+                "unit": "sec",
+                "against": {"ref": ref, "sha": sha},
+                "interleaved": True,
+                "reps": reps,
+                "head": head,
+                "ref": base,
+                # same host, same minutes: this ratio is CODE, not
+                # ambient — the attribution compare_bench.py cannot
+                # extract from two artifacts recorded weeks apart
+                "code_ratio": code_ratio,
+                "code_ratio_total": round(head["value"] / base["value"], 3),
+                "code_regression_suspects": suspects,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    if len(sys.argv) >= 3 and sys.argv[1] == "--against":
+        run_against(sys.argv[2], sf_dir, reps)
+        return
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark(
@@ -188,6 +354,7 @@ def main() -> None:
     # from parquet; the OS page cache staying warm is the point.
     n_threads = spark.sparkContext.defaultParallelism
     calibrate(spark, n_threads)  # JIT/codegen warmup, untimed
+    calibrate_shuffle(spark, n_threads)  # shuffle-probe warmup, untimed
     runs: list[tuple[dict[str, float], dict[str, int]]] = []
     calibs: list[dict[str, float]] = []
     for rep in range(reps):
@@ -197,12 +364,19 @@ def main() -> None:
         # rep's kernels just ran in — the drift control (round-5
         # verdict task 2)
         calibs.append(
-            {"t1": calibrate(spark, 1), "tn": calibrate(spark, n_threads)}
+            {
+                "t1": calibrate(spark, 1),
+                "tn": calibrate(spark, n_threads),
+                # Spark-shaped probe (join+agg+shuffle) — sees the
+                # memory/IO contention the CPU loop is blind to
+                "ts": calibrate_shuffle(spark, n_threads),
+            }
         )
         print(
             f"[rep {rep + 1}/{reps}] total "
             f"{round(sum(runs[-1][0].values()), 2)}s "
-            f"calib t1={calibs[-1]['t1']}s tn={calibs[-1]['tn']}s",
+            f"calib t1={calibs[-1]['t1']}s tn={calibs[-1]['tn']}s "
+            f"ts={calibs[-1]['ts']}s",
             file=sys.stderr,
         )
     meta = runs[-1][1]
@@ -248,10 +422,15 @@ def main() -> None:
                 # headline (suite cost in parallel-calibration units).
                 "calib": {
                     "work": "sum(xxhash64(id)) 2^27 rows/partition",
+                    "probe_work": (
+                        "join+agg+shuffle: 2^24 fact x 2^22 dim"
+                        " into 2^21 keys"
+                    ),
                     "threads": n_threads,
                     "per_rep": calibs,
                     "t1_min": round(min(c["t1"] for c in calibs), 4),
                     "tn_min": round(min(c["tn"] for c in calibs), 4),
+                    "ts_min": round(min(c["ts"] for c in calibs), 4),
                 },
                 "value_per_calib": round(
                     total / min(c["tn"] for c in calibs), 2

@@ -1,16 +1,25 @@
 """Calibration-normalized round-over-round bench comparison.
 
 Reads two ``BENCH_r{N}.json`` artifacts and prints per-kernel deltas
-both raw and divided by the host-speed calibration ratio, so an
-ambient slowdown (round-5's unresolved 54s -> 77s swing) separates
-from a plan regression without reading git diffs::
+raw and divided by the host-speed calibration ratio, so an ambient
+slowdown separates from a plan regression without reading git diffs::
 
     python scripts/compare_bench.py BENCH_r05.json BENCH_r06.json
 
-A kernel whose raw ratio tracks the calib ratio moved with the host;
-a kernel whose normalized ratio is still >1.15 regressed in plan or
-code.  Rounds before r06 carry no ``calib`` block — the tool then
-reports raw ratios and says the normalization is unavailable.
+Two calibration probes (round-8, after the round-7 post-mortem where
+the CPU loop measured the host FASTER while every kernel ran 1.4-1.6x
+slower):
+
+- ``tn``  — xxhash busy loop: pure-CPU speed (codegen arithmetic);
+- ``ts``  — join+agg+shuffle probe: the memory-bandwidth / IO /
+  scheduler contention path the kernels actually run on.
+
+Normalization PREFERS ``ts`` when both artifacts carry it and falls
+back to ``tn`` (pre-r08 artifacts have no ``ts``).  A kernel whose
+raw ratio tracks the probe ratio moved with the host; a kernel whose
+normalized ratio is still >1.15 is a plan/code suspect — confirm with
+``python bench.py --against <git-ref>``, which runs both codebases
+interleaved on the same host and yields a pure code ratio.
 """
 
 from __future__ import annotations
@@ -32,14 +41,25 @@ def main() -> int:
         print(__doc__)
         return 2
     a, b = load(sys.argv[1]), load(sys.argv[2])
-    ca = (a.get("calib") or {}).get("tn_min")
-    cb = (b.get("calib") or {}).get("tn_min")
-    host_ratio = (cb / ca) if (ca and cb) else None
-    print(f"{sys.argv[1]}: total {a['value']}s" + (f", calib tn {ca}s" if ca else " (no calib)"))
-    print(f"{sys.argv[2]}: total {b['value']}s" + (f", calib tn {cb}s" if cb else " (no calib)"))
-    if host_ratio:
-        print(f"host-speed ratio (calib_b / calib_a): {host_ratio:.3f}")
-    else:
+    ca, cb = a.get("calib") or {}, b.get("calib") or {}
+    ratios: dict[str, float] = {}
+    for probe in ("tn", "ts"):
+        pa, pb = ca.get(f"{probe}_min"), cb.get(f"{probe}_min")
+        if pa and pb:
+            ratios[probe] = pb / pa
+    # the shuffle probe sees ambient contention the CPU loop misses —
+    # use it for the verdict when both sides have it
+    norm_probe = "ts" if "ts" in ratios else ("tn" if "tn" in ratios else None)
+    host_ratio = ratios.get(norm_probe) if norm_probe else None
+    for path, d, c in ((sys.argv[1], a, ca), (sys.argv[2], b, cb)):
+        calib_s = " ".join(
+            f"{p}={c[f'{p}_min']}s" for p in ("tn", "ts") if c.get(f"{p}_min")
+        )
+        print(f"{path}: total {d['value']}s" + (f", calib {calib_s}" if calib_s else " (no calib)"))
+    for probe, r in ratios.items():
+        tag = " <- normalizer" if probe == norm_probe else ""
+        print(f"host-speed ratio via {probe} (b/a): {r:.3f}{tag}")
+    if not host_ratio:
         print("calibration missing on one side — raw ratios only")
     print(f"{'kernel':<10} {'a_s':>8} {'b_s':>8} {'raw_x':>7} {'norm_x':>7}")
     flagged = []
@@ -58,10 +78,13 @@ def main() -> int:
             flagged.append((k, norm))
     if host_ratio:
         tot = (b["value"] / a["value"]) / host_ratio
-        print(f"normalized total ratio: {tot:.3f}")
+        print(f"normalized total ratio (via {norm_probe}): {tot:.3f}")
         if flagged:
-            print("plan-regression suspects (normalized > 1.15): " +
-                  ", ".join(f"{k} {n:.2f}x" for k, n in flagged))
+            print(
+                "plan-regression suspects (normalized > 1.15): "
+                + ", ".join(f"{k} {n:.2f}x" for k, n in flagged)
+                + "\nconfirm with: python bench.py --against <previous-round-ref>"
+            )
         else:
             print("no kernel regressed beyond host drift")
     return 0
