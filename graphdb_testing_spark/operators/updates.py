@@ -518,14 +518,141 @@ _STORE_SCHEMA = "src bigint, dst bigint, wgt bigint, pt bigint"
 def read_edge_store(spark, path: str) -> DataFrame:
     """Read the full logical edge table back from a partitioned store,
     resolved through the commit pointer (a pre-generation flat layout
-    is read as-is)."""
+    is read as-is).  A crashed trickle merge's undo journal, if
+    present, is rolled back first so readers never see a torn
+    partition set — sqlite's hot-journal-on-open semantics, which
+    presumes the store's single-writer discipline (a reader racing a
+    LIVE merge would roll it back; the engine's workflow loop never
+    interleaves the two)."""
     meta = store_meta(spark, path)
     data_dir = meta["data_dir"] if meta else path
+    recover_trickle(spark, data_dir)
     return (
         spark.read.schema(_STORE_SCHEMA)
         .parquet(data_dir)
         .select("src", "dst", "wgt")
     )
+
+
+# -- trickle undo journal (crash-safe in-place partition overwrite) ---
+#
+#   data_dir/.trickle-journal/pt=<p>/*   pre-batch copies of every
+#                                        touched partition's files
+#   data_dir/.trickle-journal/record.json  {"touched": [...]} — written
+#                                        LAST, so its presence means
+#                                        the copies above are complete
+#
+# The bulk-rewrite path gets atomicity from the generation-pointer
+# swap; the trickle path deliberately overwrites partitions IN PLACE
+# inside the live generation (copying the untouched 1-touch_frac of
+# the table into a new generation would cost the O(|E|) the pruning
+# exists to avoid).  That leaves a crash window: Spark's dynamic
+# partition overwrite commits per job, and the annihilated-partition
+# sweep runs after it, so a kill can leave SOME touched partitions
+# merged and others stale — a torn table the action log alone cannot
+# repair, because the merge is an upsert (replaying onto an
+# already-merged partition double-counts weights).  The undo journal
+# closes it with rollback-journal semantics (the same contract the
+# reference's sqlite backend leans on around tests/sqlite/test.c:341):
+# copy the touched partitions aside, write the record, mutate, delete
+# the record.  Recovery (``recover_trickle``) restores the pre-batch
+# copies by COPY (not move), deleting the record only once every
+# partition is back — so a crash during recovery itself just re-runs
+# it; after rollback the action batch replays cleanly.  The journal
+# is dotfile-named, so Spark's file index never reads it as data.
+# Journal cost: one extra copy of the touched sliver (k/B of the
+# table), the same order as the merge's own read — and nothing on
+# the untouched remainder.
+
+_TRICKLE_JOURNAL = ".trickle-journal"
+
+
+def _journal_paths(data_dir: str):
+    jdir = f"{data_dir}/{_TRICKLE_JOURNAL}"
+    return jdir, f"{jdir}/record.json"
+
+
+def _write_trickle_journal(spark, data_dir: str, touched: list[int]) -> None:
+    """Copy the current files of every touched partition into the
+    journal, then publish the record (files first, record last: the
+    record's existence certifies the copies are complete)."""
+    import json as _json
+
+    fs, pcls = _hadoop_fs(spark, data_dir)
+    jdir, jrec = _journal_paths(data_dir)
+    # a stale journal here means the previous merge crashed and the
+    # caller didn't recover — refuse rather than overlay two batches
+    if fs.exists(pcls(jrec)):
+        raise RuntimeError(
+            f"unrecovered trickle journal at {jdir}; run recover_trickle()"
+        )
+    if fs.exists(pcls(jdir)):  # torn journal from an earlier crash
+        fs.delete(pcls(jdir), True)
+    futil = spark._jvm.org.apache.hadoop.fs.FileUtil
+    conf = spark._jsc.hadoopConfiguration()
+    existing = []
+    for p in touched:
+        src = pcls(f"{data_dir}/pt={p}")
+        if fs.exists(src):
+            futil.copy(fs, src, fs, pcls(f"{jdir}/pt={p}"), False, conf)
+            existing.append(p)
+    out = fs.create(pcls(jrec), False)  # exclusive: never clobbers
+    try:
+        out.write(bytearray(
+            _json.dumps({"touched": touched, "had_dir": existing}).encode()
+        ))
+        out.hsync()
+    finally:
+        out.close()
+
+
+def _clear_trickle_journal(spark, data_dir: str) -> None:
+    fs, pcls = _hadoop_fs(spark, data_dir)
+    jdir, jrec = _journal_paths(data_dir)
+    # record first: once it is gone the journal is inert garbage
+    if fs.exists(pcls(jrec)):
+        fs.delete(pcls(jrec), False)
+    if fs.exists(pcls(jdir)):
+        fs.delete(pcls(jdir), True)
+
+
+def recover_trickle(spark, data_dir: str) -> bool:
+    """Roll back a crashed trickle merge: restore every journaled
+    partition to its pre-batch content and clear the journal.
+
+    Returns ``True`` if a rollback happened.  Idempotent — restores by
+    copy and deletes the record only after every partition is back, so
+    a crash DURING recovery re-runs cleanly.  A journal directory with
+    no record (crash while journaling, before any mutation) is swept
+    without touching data.  After a rollback the interrupted action
+    batch replays cleanly from the action log (the source of truth).
+    """
+    import json as _json
+
+    fs, pcls = _hadoop_fs(spark, data_dir)
+    jdir, jrec = _journal_paths(data_dir)
+    if not fs.exists(pcls(jrec)):
+        if fs.exists(pcls(jdir)):
+            fs.delete(pcls(jdir), True)  # torn journal, data untouched
+        return False
+    stream = fs.open(pcls(jrec))
+    try:
+        rec = _json.loads(
+            spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        )
+    finally:
+        stream.close()
+    futil = spark._jvm.org.apache.hadoop.fs.FileUtil
+    conf = spark._jsc.hadoopConfiguration()
+    had_dir = set(rec.get("had_dir", rec["touched"]))
+    for p in rec["touched"]:
+        live = pcls(f"{data_dir}/pt={p}")
+        if fs.exists(live):
+            fs.delete(live, True)
+        if p in had_dir:
+            futil.copy(fs, pcls(f"{jdir}/pt={p}"), fs, live, False, conf)
+    _clear_trickle_journal(spark, data_dir)
+    return True
 
 
 def apply_actions_pruned(
@@ -556,13 +683,20 @@ def apply_actions_pruned(
     The partition count is read from the store's commit record
     (``n_parts`` may be passed only to assert it).  The touched
     partitions are overwritten IN PLACE within the live generation —
-    atomic per Spark's job commit, not per batch; that is the pruning
-    trade (copying untouched partitions into a new generation would
-    cost the O(|E|) the pruning exists to avoid), and the action log
-    remains the source of truth for trickle replay.  The crash-safe
-    generation swap covers the bulk-rewrite path
-    (:func:`apply_actions_auto`), where a whole-table write is already
-    being paid.
+    that is the pruning trade (copying untouched partitions into a new
+    generation would cost the O(|E|) the pruning exists to avoid).
+    Crash safety comes from the trickle UNDO JOURNAL: the touched
+    partitions are copied aside before the overwrite (cost: one extra
+    pass over the k/B sliver, nothing on the rest), and a kill at any
+    point — mid-journal, between partition overwrites, before the
+    annihilation sweep, during cleanup — is rolled back to the
+    pre-batch state by :func:`recover_trickle` (auto-invoked here and
+    by :func:`read_edge_store`), after which the batch replays cleanly
+    from the action log.  Replay WITHOUT rollback would double-count
+    (the merge is an upsert), which is why the journal exists.  The
+    bulk-rewrite path (:func:`apply_actions_auto`) gets the same
+    guarantee from the generation-pointer swap instead, where a
+    whole-table write is already being paid.
     """
     meta = store_meta(spark, path)
     if meta is not None:
@@ -579,6 +713,7 @@ def apply_actions_pruned(
                 "flat (uncommitted) store layout requires explicit n_parts"
             )
         data_dir = path
+    recover_trickle(spark, data_dir)  # roll back any crashed predecessor
     delta = batch_delta(both_directions(decode_actions(actions))).withColumn(
         "pt", _store_pt(n_parts)
     )
@@ -639,6 +774,10 @@ def apply_actions_pruned(
 
     before = {p: _ls(p) for p in touched}
 
+    # undo journal BEFORE any mutation — a kill anywhere below rolls
+    # back to this point and the batch replays from the action log
+    _write_trickle_journal(spark, data_dir, touched)
+
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -650,6 +789,7 @@ def apply_actions_pruned(
         if before[p] and _ls(p) == before[p]:  # untouched by the write ⇒ annihilated
             hp = jvm.org.apache.hadoop.fs.Path(f"{data_dir}/pt={p}")
             hp.getFileSystem(conf).delete(hp, True)
+    _clear_trickle_journal(spark, data_dir)  # batch durable: journal inert
     delta.unpersist()
     base.unpersist()
     return {"touched": len(touched), "n_parts": n_parts}

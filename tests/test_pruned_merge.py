@@ -440,3 +440,190 @@ def test_init_edge_store_derives_n_parts_by_default(spark, tmp_path):
     assert used == 16  # tiny table -> floor
     assert store_meta(spark, path)["n_parts"] == 16
     assert read_edge_store(spark, path).count() == 100
+
+
+# ---------------------------------------------------------------------------
+# round-8: trickle undo journal — crash-safe in-place partition overwrite
+# (VERDICT r7 task 3; rollback-journal semantics per the reference's
+# sqlite backend, tests/sqlite/test.c:341-360 — actions applied in
+# both orientations, inserts and deletes)
+# ---------------------------------------------------------------------------
+
+import shutil as _shutil
+
+from graphdb_testing_spark.operators.updates import (  # noqa: E402
+    _write_trickle_journal,
+    recover_trickle,
+)
+
+
+def _mk_torn_scenario(spark, tmp_path, name):
+    """Build twin stores (same base, same batch: inserts AND deletes
+    spanning several partitions), run the batch to completion on the
+    twin, and return (crash_path, twin data for expectations)."""
+    base_rows = [(i, i + 1, 5) for i in range(0, 40, 2)]
+    base_rows += [(j, i, w) for i, j, w in base_rows]  # both orientations
+    base = _edges(spark, base_rows)
+    # inserts (seq,src,dst,w>0) and deletes (w=None encoded by the
+    # action decoder via negative src per reference ~x convention) —
+    # use the actions helper's plain form: positive = insert/incr
+    acts_rows = [(0, 1, 2, 7), (1, 100, 101, 3), (2, ~4, ~5, 0), (3, ~5, ~4, 0)]
+    acts = _actions(spark, acts_rows)
+
+    crash, twin = str(tmp_path / f"{name}_crash"), str(tmp_path / f"{name}_twin")
+    init_edge_store(base, crash, n_parts=8)
+    init_edge_store(base, twin, n_parts=8)
+    apply_actions_pruned(spark, twin, acts)  # uninterrupted run
+    want = as_map(read_edge_store(spark, twin))
+    # sanity: the batch really does change things in both orientations
+    assert want != as_map(_edges(spark, base_rows))
+    return crash, acts, want, as_map(_edges(spark, base_rows))
+
+
+def test_trickle_crash_between_partition_overwrites(spark, tmp_path):
+    """Kill AFTER some touched partitions carry the merged result and
+    others are still stale (the dynamic-overwrite torn window):
+    recovery must roll the store back to the pre-batch state and a
+    replay of the same action batch from the log must converge to the
+    uninterrupted run's content."""
+    crash, acts, want, pre = _mk_torn_scenario(spark, tmp_path, "torn")
+    d_crash = _data_dir(crash)
+
+    # a second uninterrupted twin supplies per-partition MERGED bytes
+    # (built BEFORE journaling crash — read_edge_store auto-recovers,
+    # which would sweep a live journal)
+    crash2 = str(tmp_path / "torn_twin2")
+    init_edge_store(_edges(spark, [(k[0], k[1], w) for k, w in pre.items()]),
+                    crash2, n_parts=8)
+    apply_actions_pruned(spark, crash2, acts)
+
+    # the real journal step (what the merge does first)
+    from graphdb_testing_spark.operators.updates import batch_delta, both_directions, decode_actions, _store_pt
+
+    delta = batch_delta(both_directions(decode_actions(acts))).withColumn(
+        "pt", _store_pt(8)
+    )
+    touched = sorted(r["pt"] for r in delta.select("pt").distinct().collect())
+    assert len(touched) >= 2, "scenario must tear across >= 2 partitions"
+    _write_trickle_journal(spark, d_crash, touched)
+
+    # torn overwrite: replace ONE touched partition with its merged
+    # content (copied from the uninterrupted twin), leave the rest stale
+    p0 = touched[0]
+    src = os.path.join(_data_dir(crash2), f"pt={p0}")
+    dst = os.path.join(d_crash, f"pt={p0}")
+    _shutil.rmtree(dst, ignore_errors=True)
+    if os.path.isdir(src):
+        _shutil.copytree(src, dst)
+    # --- crash here: some partitions merged, some stale, journal live ---
+
+    # a reader resolves the pre-batch table (read_edge_store auto-rolls back)
+    assert as_map(read_edge_store(spark, crash)) == pre
+    # replay from the action log converges to the uninterrupted result
+    apply_actions_pruned(spark, crash, acts)
+    assert as_map(read_edge_store(spark, crash)) == want
+    # journal cleaned up after the successful replay
+    assert not os.path.exists(os.path.join(_data_dir(crash), ".trickle-journal"))
+
+
+def test_trickle_crash_mid_journal_is_noop(spark, tmp_path):
+    """Kill while COPYING into the journal (no record yet): data was
+    never mutated, recovery just sweeps the torn journal, and the
+    merge runs cleanly afterwards."""
+    crash, acts, want, pre = _mk_torn_scenario(spark, tmp_path, "midj")
+    d_crash = _data_dir(crash)
+    jdir = os.path.join(d_crash, ".trickle-journal")
+    os.makedirs(os.path.join(jdir, "pt=3"))
+    with open(os.path.join(jdir, "pt=3", "part-copy.parquet"), "wb") as f:
+        f.write(b"partial copy")  # no record.json -> journal invalid
+    assert recover_trickle(spark, d_crash) is False
+    assert not os.path.exists(jdir)
+    assert as_map(read_edge_store(spark, crash)) == pre
+    apply_actions_pruned(spark, crash, acts)
+    assert as_map(read_edge_store(spark, crash)) == want
+
+
+def test_trickle_crash_before_cleanup_rolls_back_then_replays(spark, tmp_path):
+    """Kill AFTER the overwrite completed but BEFORE the journal was
+    cleared: recovery cannot know the write finished, so it rolls back
+    (the safe direction — rollback + replay is exact, double-apply is
+    not) and the replay converges."""
+    crash, acts, want, pre = _mk_torn_scenario(spark, tmp_path, "precl")
+    d_crash = _data_dir(crash)
+
+    # journal the pre-batch state, then run the FULL merge but re-plant
+    # the journal as if the final cleanup never happened
+    from graphdb_testing_spark.operators.updates import batch_delta, both_directions, decode_actions, _store_pt
+
+    delta = batch_delta(both_directions(decode_actions(acts))).withColumn(
+        "pt", _store_pt(8)
+    )
+    touched = sorted(r["pt"] for r in delta.select("pt").distinct().collect())
+    jsave = str(tmp_path / "jsave")
+    _write_trickle_journal(spark, d_crash, touched)
+    _shutil.copytree(os.path.join(d_crash, ".trickle-journal"), jsave)
+    apply_actions_pruned(spark, crash, acts)  # clears the journal itself
+    assert as_map(read_edge_store(spark, crash)) == want
+    _shutil.copytree(jsave, os.path.join(d_crash, ".trickle-journal"))
+    # --- crash here: merge durable, journal still present ---
+
+    assert recover_trickle(spark, d_crash) is True  # rolls BACK
+    assert as_map(read_edge_store(spark, crash)) == pre
+    apply_actions_pruned(spark, crash, acts)  # replay from the log
+    assert as_map(read_edge_store(spark, crash)) == want
+
+
+def test_trickle_crash_during_recovery_is_idempotent(spark, tmp_path):
+    """Kill DURING recovery (record present, one partition already
+    restored): a second recovery pass restores the rest — copy-based
+    restore with record-deleted-last makes recovery re-runnable."""
+    crash, acts, want, pre = _mk_torn_scenario(spark, tmp_path, "rec2")
+    d_crash = _data_dir(crash)
+    from graphdb_testing_spark.operators.updates import batch_delta, both_directions, decode_actions, _store_pt
+
+    delta = batch_delta(both_directions(decode_actions(acts))).withColumn(
+        "pt", _store_pt(8)
+    )
+    touched = sorted(r["pt"] for r in delta.select("pt").distinct().collect())
+    _write_trickle_journal(spark, d_crash, touched)
+    # tear every touched partition (simulate a wild overwrite), then
+    # simulate a half-finished recovery: restore touched[0] by hand
+    for p in touched:
+        _shutil.rmtree(os.path.join(d_crash, f"pt={p}"), ignore_errors=True)
+    j0 = os.path.join(d_crash, ".trickle-journal", f"pt={touched[0]}")
+    if os.path.isdir(j0):
+        _shutil.copytree(j0, os.path.join(d_crash, f"pt={touched[0]}"))
+    # --- crash during recovery; journal record still present ---
+    assert recover_trickle(spark, d_crash) is True
+    assert as_map(read_edge_store(spark, crash)) == pre
+    apply_actions_pruned(spark, crash, acts)
+    assert as_map(read_edge_store(spark, crash)) == want
+
+
+def test_trickle_journal_restores_annihilated_partition_dir(spark, tmp_path):
+    """A touched partition whose merge result is EMPTY has its dir
+    deleted by the annihilation sweep; a crash after that delete but
+    before cleanup must restore the dir from the journal on rollback
+    (delete orientation of the sqlite insert/remove loop)."""
+    # base with exactly one edge pair in some partition; delete it all
+    base = _edges(spark, [(1, 2, 5), (2, 1, 5), (30, 31, 4), (31, 30, 4)])
+    acts = _actions(spark, [(0, ~1, ~2, 0), (1, ~2, ~1, 0)])
+    crash = str(tmp_path / "annih_crash")
+    init_edge_store(base, crash, n_parts=8)
+    pre = as_map(read_edge_store(spark, crash))
+    d_crash = _data_dir(crash)
+
+    from graphdb_testing_spark.operators.updates import batch_delta, both_directions, decode_actions, _store_pt
+
+    delta = batch_delta(both_directions(decode_actions(acts))).withColumn(
+        "pt", _store_pt(8)
+    )
+    touched = sorted(r["pt"] for r in delta.select("pt").distinct().collect())
+    _write_trickle_journal(spark, d_crash, touched)
+    for p in touched:  # annihilation sweep happened, then crash
+        _shutil.rmtree(os.path.join(d_crash, f"pt={p}"), ignore_errors=True)
+    assert recover_trickle(spark, d_crash) is True
+    assert as_map(read_edge_store(spark, crash)) == pre
+    out = apply_actions_pruned(spark, crash, acts)
+    assert out["touched"] == len(touched)
+    assert as_map(read_edge_store(spark, crash)) == {(30, 31): 4, (31, 30): 4}
