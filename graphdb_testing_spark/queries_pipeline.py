@@ -675,6 +675,49 @@ def q_media_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_checksums(img.unionByName(aud))
 
 
+_MEDIA_PNG_ORACLE = """
+WITH mseed AS (
+  SELECT doc_id, md5(doc_id::VARCHAR || '|' || substr(text, 1, 64)) AS seed
+  FROM documents
+),
+imb AS (
+  SELECT m.doc_id, (bi.i * 16 + bj.j) AS k,
+         ('0x' || substr(md5(m.seed || '|' || bi.i::VARCHAR),
+                         2 * bj.j + 1, 2))::INT AS v
+  FROM mseed m, range(0, 12) bi(i), range(0, 16) bj(j)
+)
+SELECT doc_id AS media_id, 'image' AS modality,
+       CAST(SUM((k + 1) * v) AS BIGINT) AS wsum
+FROM imb GROUP BY doc_id
+"""
+
+
+@register("media_png_codec", _MEDIA_PNG_ORACLE)
+def q_media_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-codec round trip (round-8: closes the heavy-codec
+    seam with a real compressed format): every document's md5-derived
+    8×8 RGB raster is encoded as a zlib-DEFLATE PNG whose scanline
+    filters cycle through ALL FIVE types (None/Sub/Up/Average/Paeth),
+    Spark decodes it back — chunk walk, CRC verify, inflate,
+    un-filter — inside the Arrow ``mapInPandas`` stage, and the
+    position-weighted checksum of the decoded raster is hash-compared
+    against DuckDB re-deriving the same pixel bytes.  PNG is
+    lossless, so any slip anywhere in DEFLATE or any un-filter branch
+    changes ``wsum``.  ``n_bytes`` (compressed size) is intentionally
+    NOT in the output: it certifies the zlib build, not the data.
+
+    Reference parity: the reference treats media as opaque payloads;
+    this is the engine extension for multimodal training-data
+    pipelines (SURVEY §2 'multimodal columns')."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    img = multimodal.synthetic_real_media(
+        docs, modality="image", image_codec="png"
+    )
+    return multimodal.decode_checksums(img).select(
+        "media_id", "modality", "wsum"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization (gaps-and-islands): the batch shape of Spark's
 # session_window, exact down to tie-breaks
