@@ -48,6 +48,40 @@ def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+#: shard count for the two-phase top-k: per-(query, shard) local
+#: top-k first, then a global pass over the ≤ shards·k survivors.
+_TOPK_SHARDS = 32
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Exact top-k per ``query_id`` over ``(query_id, vec_id, sim)``
+    WITHOUT a per-query megapartition.
+
+    A single ``Window.partitionBy(query_id)`` funnels every scored
+    candidate of a query into ONE task — with a 100-query batch over
+    a 5M-vector corpus that is 5M rows sorted per task, the window
+    skew that kills brute-force scoring at scale.  Instead: phase 1
+    takes a local top-k inside each ``(query_id, hash-shard)`` —
+    partitions of |candidates|/shards rows — and phase 2 re-ranks the
+    ≤ ``shards·k`` survivors per query (hundreds of rows).  Exact,
+    because the global top-k is contained in the union of shard
+    top-ks, and the (sim desc, vec_id asc) tie-break is total — the
+    two-phase plan is row-identical to the one-window plan."""
+    shard = F.pmod(F.xxhash64("vec_id"), F.lit(_TOPK_SHARDS))
+    w1 = Window.partitionBy("query_id", "_shard").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_shard", shard)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -90,12 +124,7 @@ def cosine_topk(
         base.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", sim.alias("sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", "sim")
-    )
+    return _topk_per_query(scored, k)
 
 
 #: :func:`cosine_topk` broadcasts its query set and scores n·q pairs
@@ -213,12 +242,7 @@ def ivf_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", sim.alias("sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", "sim")
-    )
+    return _topk_per_query(scored, k)
 
 
 def embedding_near_duplicates_bucketed(
