@@ -1,0 +1,239 @@
+"""ANN quality at disk-resident scale (round-8 task 6).
+
+The retention pipeline has a measured 5M-doc trend; this script gives
+the ANN pack the same: a deterministic 5M-vector corpus (N_DISTINCT
+hash-derived base vectors × R near-copies with small jitter, d=64,
+written to parquet — the disk-resident regime), then
+
+* exact brute-force top-10 per query (two-phase ``cosine_topk`` — the
+  ground truth, and itself a scale exhibit: no per-query
+  megapartition);
+* IVF sign-bucket top-10 at TWO probe budgets — 1 bucket
+  (``multiprobe=False``) and 1+``bucket_dims`` Hamming-1 buckets
+  (``multiprobe=True``) — recall@10 against the exact set, the
+  recall-vs-probe-count curve;
+* the same curve at sf0.1 (2k vectors) for the held-recall gate:
+  disk-resident recall at the fixed multiprobe budget must be ≥ the
+  sf0.1 figure;
+* SemDeDup dedup-rate on a 5M exact-copy corpus: collapse identical
+  vectors by fingerprint first (the measured retention trick — the
+  pair set is bounded by DISTINCT vectors), ``semdedup_retention`` on
+  the representatives, expand through the fingerprint map.
+
+Emits ONE JSON line (the ``SIMSEARCH_AB_r08.json`` artifact).
+
+Usage::
+
+    python scripts/bench_simsearch_scale.py [N_DISTINCT] [R] [N_QUERIES]
+
+Defaults 50_000 × 100 = 5M rows, 40 queries.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graphdb_testing_spark import datasets  # noqa: E402
+from graphdb_testing_spark.functions import simsearch  # noqa: E402
+from graphdb_testing_spark.session import get_spark  # noqa: E402
+
+DIM = 64
+
+
+def _vec(seed_col, salt: str, scale: int = 1_000_000):
+    """Deterministic pseudo-uniform [-1, 1] vector from a long column
+    — component j hashes (salt, seed, j); JVM-side, no Python."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda j: (
+            (
+                F.pmod(
+                    F.xxhash64(F.concat_ws("|", F.lit(salt), seed_col, j)),
+                    F.lit(2 * scale + 1),
+                )
+                - scale
+            )
+            / scale
+        ).cast("float"),
+    )
+
+
+def build_corpus(spark, n_distinct: int, r: int, jitter: float, tag: str):
+    """(vec_id, base_id, embedding) — base vector + jitter·noise,
+    written to parquet and read back (disk-resident)."""
+    rows = spark.range(0, n_distinct * r, 1, 64).select(
+        F.col("id").alias("vec_id"),
+        F.pmod(F.col("id"), F.lit(n_distinct)).alias("base_id"),
+    )
+    emb = F.zip_with(
+        _vec(F.col("base_id"), "base"),
+        _vec(F.col("vec_id"), f"jit{tag}"),
+        lambda b, n: (b + F.lit(jitter) * n).cast("float"),
+    )
+    out = rows.select("vec_id", "base_id", emb.alias("embedding"))
+    d = tempfile.mkdtemp(prefix=f"simsearch_{tag}_")
+    out.write.mode("overwrite").parquet(d)
+    return spark.read.parquet(d)
+
+
+def recall_at_k(exact, approx) -> float:
+    """Mean recall@k of approx vs exact over (query_id, vec_id)."""
+    e = exact.select("query_id", "vec_id")
+    a = approx.select("query_id", F.col("vec_id").alias("av"))
+    per_q = (
+        e.join(a, (e.query_id == a.query_id) & (e.vec_id == a.av), "left")
+        .drop(a.query_id)
+        .groupBy("query_id")
+        .agg((F.sum(F.when(F.col("av").isNotNull(), 1).otherwise(0)) / F.count("*")).alias("r"))
+    )
+    row = per_q.agg(F.avg("r").alias("m"), F.count("*").alias("nq")).collect()[0]
+    return round(float(row["m"]), 4)
+
+
+def probe_curve(corpus, queries, k=10) -> dict:
+    """{'exact_s', 'probes1': {recall, s}, 'probes9': {recall, s}}."""
+    out: dict = {}
+    t0 = time.time()
+    exact = simsearch.cosine_topk(corpus, queries, k=k).localCheckpoint()
+    n_exact = exact.count()
+    out["exact_s"] = round(time.time() - t0, 2)
+    out["n_exact_rows"] = n_exact
+    for label, mp in (("probes_1", False), ("probes_9", True)):
+        t0 = time.time()
+        approx = simsearch.ivf_topk(
+            corpus, queries, k=k, bucket_dims=8, multiprobe=mp
+        ).localCheckpoint()
+        approx.count()
+        rec = recall_at_k(exact, approx)
+        out[label] = {"recall_at_10": rec, "s": round(time.time() - t0, 2)}
+        approx.unpersist()
+    exact.unpersist()
+    return out
+
+
+def main() -> int:
+    n_distinct = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    r = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+    spark = get_spark(
+        app_name="simsearch-scale",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    # ---- disk-resident recall-vs-probe-count ----
+    t0 = time.time()
+    corpus = build_corpus(spark, n_distinct, r, jitter=0.05, tag="near")
+    n_corpus = corpus.count()
+    build_s = round(time.time() - t0, 2)
+    # queries are their own jittered variants of the first n_q base
+    # vectors — so each query's true neighbors are that base's copies,
+    # the regime an ANN index actually serves (NOT independent random
+    # points, whose "nearest neighbors" are meaningless directions)
+    q_emb = F.zip_with(
+        _vec(F.col("base_id"), "base"),
+        _vec(F.col("id"), "qjit"),
+        lambda b, n: (b + F.lit(0.05) * n).cast("float"),
+    )
+    queries = (
+        spark.range(n_q)
+        .select(
+            (-1 - F.col("id")).alias("vec_id"),
+            F.pmod(F.col("id"), F.lit(n_distinct)).alias("base_id"),
+            F.col("id"),
+        )
+        .select("vec_id", q_emb.alias("embedding"))
+        .localCheckpoint()
+    )
+    big = probe_curve(corpus.select("vec_id", "embedding"), queries)
+
+    # ---- the sf0.1 reference figure, same probe budgets ----
+    emb01 = datasets.load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    q01 = emb01.filter(F.col("vec_id") % 100 == 0)
+    small = probe_curve(emb01, q01)
+
+    # ---- SemDeDup dedup-rate at 5M via exact-copy collapse ----
+    t0 = time.time()
+    dup = build_corpus(spark, n_distinct, r, jitter=0.0, tag="exact")
+    fp = dup.select(
+        "vec_id", F.xxhash64("embedding").alias("fp"), "embedding"
+    ).localCheckpoint()
+    reps = (
+        fp.groupBy("fp")
+        .agg(
+            F.min("vec_id").alias("vec_id"),
+            F.count("*").alias("copies"),
+            F.first("embedding").alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    n_reps = reps.count()
+    manifest = simsearch.semdedup_retention(
+        reps.select("vec_id", "embedding"),
+        threshold=0.95,
+        target_cluster_size=1024,
+    )
+    # expand through the fingerprint map: every copy inherits its
+    # representative's cluster; keep only the canonical copy of the
+    # canonical representative
+    rep_man = reps.select("fp", F.col("vec_id").alias("rep_id")).join(
+        manifest.withColumnRenamed("vec_id", "rep_id"), "rep_id"
+    )
+    expanded = fp.select("vec_id", "fp").join(rep_man, "fp").select(
+        "vec_id",
+        "cluster_id",
+        ((F.col("vec_id") == F.col("rep_id")) & (F.col("keep") == 1))
+        .cast("long")
+        .alias("keep"),
+    )
+    kept = expanded.agg(
+        F.sum("keep").alias("k"), F.count("*").alias("n")
+    ).collect()[0]
+    semdedup_s = round(time.time() - t0, 2)
+    dedup_rate = round(1.0 - kept["k"] / kept["n"], 6)
+
+    held = (
+        big["probes_9"]["recall_at_10"] >= small["probes_9"]["recall_at_10"]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "simsearch_scale_ab",
+                "dim": DIM,
+                "corpus": {
+                    "n_distinct": n_distinct,
+                    "copies": r,
+                    "n_rows": n_corpus,
+                    "jitter": 0.05,
+                    "build_s": build_s,
+                },
+                "n_queries": n_q,
+                "disk_resident": big,
+                "sf01_reference": small,
+                "recall_held_at_fixed_probe_budget": held,
+                "semdedup_5m": {
+                    "n_rows": kept["n"],
+                    "n_distinct_vectors": n_reps,
+                    "kept": int(kept["k"]),
+                    "dedup_rate": dedup_rate,
+                    "wall_s": semdedup_s,
+                    "note": (
+                        "exact-copy collapse first (pair set bounded by"
+                        " distinct vectors), semdedup on representatives,"
+                        " expanded through the fingerprint map"
+                    ),
+                },
+            }
+        )
+    )
+    return 0 if held else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
