@@ -854,3 +854,56 @@ def ccnet_perplexity_buckets(
         .withColumn("ppl_bucket", bucket)
         .select("doc_id", "lang", "avg_logp_micro", "ppl_bucket", label.alias("bucket_label"))
     )
+
+
+def sequence_packing_plan(
+    docs: DataFrame,
+    capacity: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing plan — ``(doc_id, n_tokens,
+    start_off, first_chunk, last_chunk, n_chunks, spans_boundary)``.
+
+    LLM pretraining pipelines pack documents by CONCATENATING the
+    token stream in a fixed order and slicing it at ``capacity``
+    boundaries (the T5/GPT packing recipe); this emits, per document,
+    exactly where its tokens land: the exclusive global token offset,
+    the first/last training chunk touched, and whether the document
+    straddles a chunk boundary (the fraction of straddlers is the
+    attention-contamination metric a packing config is judged by).
+    Tokens are whitespace words (the registry's word-count model);
+    order is ``doc_id`` ascending — deterministic and total.
+
+    Scale shape: the only global coordination is
+    :func:`~graphdb_testing_spark.operators.prefix.range_prefix_sum`
+    — one range shuffle plus a broadcast of per-partition bases —
+    never a single-partition window over the corpus (the plan shape
+    that dies first at 100 TB: SUM() OVER (ORDER BY ...) with no
+    PARTITION BY).  Everything after the offset is map-side integer
+    arithmetic.
+    """
+    from ..operators.prefix import range_prefix_sum
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    words = F.expr(f"size(filter(split({text_col}, ' '), t -> t <> ''))")
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"), words.cast("long").alias("n_tokens")
+    )
+    off = range_prefix_sum(per_doc, "doc_id", "n_tokens", "start_off")
+    first = F.expr(f"start_off div {capacity}")
+    # an empty doc occupies no tokens: pin it to its offset's chunk
+    last = F.when(
+        F.col("n_tokens") > 0,
+        F.expr(f"(start_off + n_tokens - 1) div {capacity}"),
+    ).otherwise(first)
+    return off.select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        first.cast("long").alias("first_chunk"),
+        last.cast("long").alias("last_chunk"),
+        (last - first + 1).cast("long").alias("n_chunks"),
+        (last > first).cast("long").alias("spans_boundary"),
+    )

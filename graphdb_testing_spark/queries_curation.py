@@ -1829,3 +1829,48 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ccnet_perplexity_buckets`."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return curation.ccnet_perplexity_buckets(docs, k=3)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk): where every document's tokens
+# land in the fixed-capacity training chunks
+# ---------------------------------------------------------------------------
+
+_PACKING_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM t
+)
+SELECT doc_id, n_tokens, start_off,
+       start_off // 2048 AS first_chunk,
+       CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // 2048
+            ELSE start_off // 2048 END AS last_chunk,
+       CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // 2048
+            ELSE start_off // 2048 END - start_off // 2048 + 1 AS n_chunks,
+       CAST(CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // 2048
+            ELSE start_off // 2048 END > start_off // 2048 AS BIGINT)
+         AS spans_boundary
+FROM c
+"""
+
+
+@register("sequence_packing_plan", _PACKING_ORACLE)
+def q_sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing plan at capacity 2048: per-document
+    global token offset and chunk span.  The oracle's single-partition
+    ``SUM() OVER (ORDER BY)`` is exactly the plan Spark must NOT run
+    at scale — the Spark side uses the range-shuffle prefix sum
+    instead and must match it row-for-row.  See
+    :func:`~graphdb_testing_spark.functions.curation.
+    sequence_packing_plan`."""
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return curation.sequence_packing_plan(docs, capacity=2048)
