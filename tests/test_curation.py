@@ -336,3 +336,66 @@ def test_gumbel_topk_plans_take_ordered(spark):
     out = curation.gumbel_topk_sample(df, k=10, tau=1.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-8: sequence packing + advisor-fix guards
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_packing_plan_semantics(spark):
+    """Offsets are the exclusive prefix sum in doc_id order; chunk
+    spans follow integer division; empty docs occupy no tokens and
+    never straddle; capacity < 1 is rejected."""
+    import pytest as _pytest
+
+    from graphdb_testing_spark.functions.curation import sequence_packing_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # 3 tokens  off 0   chunks 0-0
+            (2, ""),               # 0 tokens  off 3   pinned to chunk 0
+            (3, "d e f g"),        # 4 tokens  off 3   spans 0-1 (cap 4: 3..6)
+            (4, "h"),              # 1 token   off 7   chunk 1
+            (5, "i j k l m n"),    # 6 tokens  off 8   chunks 2-3
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in sequence_packing_plan(docs, capacity=4).collect()
+    }
+    want = {
+        1: (3, 0, 0, 0, 1, 0),
+        2: (0, 3, 0, 0, 1, 0),
+        3: (4, 3, 0, 1, 2, 1),
+        4: (1, 7, 1, 1, 1, 0),
+        5: (6, 8, 2, 3, 2, 1),
+    }
+    for d, (n, off, fc, lc, nc, sp) in want.items():
+        r = got[d]
+        assert (
+            r.n_tokens, r.start_off, r.first_chunk,
+            r.last_chunk, r.n_chunks, r.spans_boundary,
+        ) == (n, off, fc, lc, nc, sp), d
+    with _pytest.raises(ValueError, match="capacity"):
+        sequence_packing_plan(docs, capacity=0)
+
+
+def test_ccnet_k_guard_and_fertility_null_safety(spark):
+    import pytest as _pytest
+
+    from graphdb_testing_spark.functions.curation import ccnet_perplexity_buckets
+    from graphdb_testing_spark.functions.textstats import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "   ", "zz")],
+        "doc_id long, text string, lang string",
+    )
+    with _pytest.raises(ValueError, match="k >= 2"):
+        ccnet_perplexity_buckets(docs, k=1)
+    # a language of only-whitespace docs: ratios are NULL, never inf
+    rows = {r.lang: r for r in tokenizer_fertility(docs).collect()}
+    assert rows["zz"].n_words == 0 and rows["zz"].pieces_per_word is None
+    assert rows["zz"].n_pieces == 0 and rows["zz"].chars_per_piece is None
+    assert rows["en"].pieces_per_word is not None
