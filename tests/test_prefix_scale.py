@@ -134,6 +134,10 @@ _EXACT_RANK_QUERIES = [
     # range shuffle + broadcast bases, never a per-language window
     # (|languages| partitions = skew)
     "ccnet_perplexity_buckets",
+    # round-8: concat-and-chunk packing offsets come from the range
+    # prefix sum — the oracle's SUM() OVER (ORDER BY) single-partition
+    # window is exactly what the Spark plan must not contain
+    "sequence_packing_plan",
 ]
 
 # top-k queries: the O(n) ordering must be TakeOrderedAndProject (the
