@@ -1067,3 +1067,56 @@ def lsh_s_curve(
         F.round(F.col("n_detected") / F.col("n_true"), 6).alias("detect_rate"),
         F.round(F.lit(1.0) - qb, 6).alias("p_theory"),
     )
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    n: int = 10,
+    max_doc_freq: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing ≥ 1 contiguous ``n``-word span —
+    ``(a_id, b_id, n_shared_spans)``, the k-gram approximation of
+    exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", which finds ≥ 50-
+    token shared substrings with a suffix array; here a shared
+    ``n``-gram IS a shared n-token substring witness, and
+    ``n_shared_spans`` counts distinct witnesses).
+
+    Scale shape: spans reduce to DISTINCT ``(doc_id, span_hash)``
+    digests (60-bit md5 prefix — one long per span, never text) and
+    the pair set comes from an equi-join on the span hash, so work is
+    Σ f(span)² over span frequencies, bounded by the corpus's real
+    substring duplication.  The known hazard is boilerplate: one
+    corpus-wide span (a license header) makes f ≈ |corpus| and the
+    join quadratic — ``max_doc_freq`` drops spans appearing in more
+    than that many documents BEFORE the join (standard in the
+    suffix-array pipelines too: ubiquitous substrings carry no
+    pairing information).  ``None`` = exact.
+    """
+    from .curation import word_ngrams as _wg  # queries-side helper
+    from ..hashutil import hash_prefix
+
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_wg(text_col, n)).alias("gram"),
+        )
+        .select("doc_id", hash_prefix(F.col("gram"), 15).alias("gh"))
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        keep = grams.groupBy("gh").agg(F.count("*").alias("_df")).filter(
+            F.col("_df") <= max_doc_freq
+        )
+        grams = grams.join(keep.select("gh"), "gh")
+    grams = grams.localCheckpoint()  # feeds both join sides
+    a = grams.select(F.col("doc_id").alias("a_id"), "gh")
+    b = grams.select(F.col("doc_id").alias("b_id"), "gh")
+    return (
+        a.join(b, "gh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").cast("long").alias("n_shared_spans"))
+    )

@@ -519,10 +519,12 @@ def resize_images(
 
     ``codec="passthrough"`` (default) passes the payload through and
     rewrites only the metadata — the shape a PIL/GPU transform plugs
-    into.  ``codec="bmp"`` actually re-encodes: decode each 24-bit
-    BMP payload, nearest-neighbor resample to ``(height, width)``
-    with numpy index arithmetic, re-encode — a real pixel kernel in
-    the same Arrow ``mapInPandas`` stage."""
+    into.  ``codec="bmp"`` / ``codec="png"`` actually re-encode:
+    decode the payload, nearest-neighbor resample to ``(height,
+    width)`` with numpy index arithmetic, re-encode in the same
+    format — a real pixel kernel (for PNG, a real decompress →
+    transform → recompress cycle) in the same Arrow ``mapInPandas``
+    stage."""
     new_meta = F.struct(
         F.lit(width).alias("width"),
         F.lit(height).alias("height"),
@@ -532,19 +534,22 @@ def resize_images(
     if codec == "passthrough":
         return media.withColumn("meta", new_meta)
 
-    if codec != "bmp":
-        raise ValueError("codec must be 'passthrough' or 'bmp'")
+    if codec not in ("bmp", "png"):
+        raise ValueError("codec must be 'passthrough', 'bmp', or 'png'")
+    dec, enc = (
+        (decode_png, encode_png) if codec == "png" else (decode_bmp, encode_bmp)
+    )
 
     def run(batches: "Iterator") -> "Iterator":
         import numpy as np
 
         def rz(data: bytes) -> bytes:
-            px = decode_bmp(data)
+            px = dec(data)
             h0, w0, _ = px.shape
             # nearest-neighbor: center-of-cell source index per target
             ri = np.minimum((np.arange(height) + 0.5) * h0 // height, h0 - 1).astype(int)
             ci = np.minimum((np.arange(width) + 0.5) * w0 // width, w0 - 1).astype(int)
-            return encode_bmp(px[np.ix_(ri, ci)])
+            return enc(px[np.ix_(ri, ci)])
 
         for pdf in batches:
             pdf = pdf.copy()

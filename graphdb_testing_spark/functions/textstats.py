@@ -693,3 +693,61 @@ def tokenizer_fertility(
             ).alias("pieces_per_word"),
         )
     )
+
+
+def source_unigram_kl(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus-drift report — ``(source, n_tokens, n_types,
+    kl_micro)`` where ``kl_micro`` is the KL divergence
+    ``KL(P_source || P_corpus)`` over word unigrams, in integer
+    micronats.
+
+    The domain-mixing diagnostic of multi-source training corpora: a
+    source whose unigram distribution sits far from the mixture is
+    either a distinct domain (weight it deliberately) or contaminated
+    (investigate).  KL is computed term-by-term as
+    ``(c_sw/N_s)·ln((c_sw/N_s)/(C_w/N))``, each term quantized to
+    integer micros with ONE rounding of ONE ``ln`` and summed exactly
+    — the cross-engine float discipline of `bigram_lm_scores`.
+
+    Scale shape: two map-side-combined aggregates (per-(source, word)
+    and per-word counts) and one join on the word key; per-source
+    totals are broadcast, and the corpus total is the only collected
+    scalar.  No windows, nothing quadratic.
+    """
+    w = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    sw = w.groupBy("source", "word").agg(F.count("*").alias("c"))
+    sw = sw.localCheckpoint()  # feeds three aggregates below
+    per_source = sw.groupBy("source").agg(
+        F.sum("c").alias("ns"), F.count("*").cast("long").alias("n_types")
+    )
+    per_word = sw.groupBy("word").agg(F.sum("c").alias("cq"))
+    n = sw.agg(F.sum("c")).collect()[0][0]  # bounded scalar
+    term = (
+        F.round(
+            F.lit(1_000_000.0)
+            * (F.col("c") / F.col("ns"))
+            * F.log((F.col("c") / F.col("ns")) / (F.col("cq") / F.lit(float(n))))
+        )
+        .cast("long")
+        .alias("t")
+    )
+    return (
+        sw.join(F.broadcast(per_source), "source")
+        .join(per_word, "word")
+        .select("source", "ns", "n_types", term)
+        .groupBy("source", "ns", "n_types")
+        .agg(F.sum("t").cast("long").alias("kl_micro"))
+        .select(
+            "source",
+            F.col("ns").cast("long").alias("n_tokens"),
+            "n_types",
+            "kl_micro",
+        )
+    )

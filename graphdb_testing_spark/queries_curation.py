@@ -1874,3 +1874,70 @@ def q_sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence_packing_plan`."""
     docs = datasets.load_table(spark, sf_dir, "documents")
     return curation.sequence_packing_plan(docs, capacity=2048)
+
+
+# ---------------------------------------------------------------------------
+# per-source unigram KL divergence (corpus drift / domain mixing)
+# ---------------------------------------------------------------------------
+
+_SOURCE_KL_ORACLE = """
+WITH w AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS word FROM documents
+),
+sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
+s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns,
+             CAST(COUNT(*) AS BIGINT) AS n_types FROM sw GROUP BY 1),
+cw AS (SELECT word, CAST(SUM(c) AS BIGINT) AS cq FROM sw GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM sw)
+SELECT source, ns AS n_tokens, n_types,
+       CAST(SUM(ROUND(1000000.0 * (c / ns)
+                      * ln((c / ns) / (cq / n)))) AS BIGINT) AS kl_micro
+FROM sw JOIN s USING (source) JOIN cw USING (word) CROSS JOIN tot
+GROUP BY source, ns, n_types
+"""
+
+
+@register("source_unigram_kl", _SOURCE_KL_ORACLE)
+def q_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(P_source || P_corpus) over word unigrams, in
+    integer micronats — the domain-mixing drift diagnostic of a
+    multi-source corpus.  Term-wise micro quantization (one rounding
+    of one ln) keeps the distributed sum order-independent and
+    engine-portable.  See :func:`~graphdb_testing_spark.functions.
+    textstats.source_unigram_kl`."""
+    from .functions import textstats
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return textstats.source_unigram_kl(docs)
+
+
+# ---------------------------------------------------------------------------
+# shared contiguous spans (exact-substring dedup witnesses)
+# ---------------------------------------------------------------------------
+
+_SHARED_SPAN_ORACLE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(w[i:i+9], ' ')), 1, 15))::BIGINT AS gh
+  FROM words, UNNEST(generate_series(1, len(w) - 9)) AS t(i)
+  WHERE len(w) >= 10
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("shared_span_pairs", _SHARED_SPAN_ORACLE)
+def q_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing a 10-word contiguous span — the k-gram
+    witness form of exact-substring deduplication (Lee et al. 2021's
+    suffix-array criterion, re-expressed as a span-digest equi-join).
+    See :func:`~graphdb_testing_spark.functions.dedup.
+    shared_span_pairs`."""
+    from .functions import dedup as ddp
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return ddp.shared_span_pairs(docs, n=10)

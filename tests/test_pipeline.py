@@ -1151,3 +1151,50 @@ def test_lsh_s_curve_calibration(spark, docs):
     top = out[-1]
     assert top.j_bucket == 20 and top.p_theory == 1.0
     assert top.detect_rate == 1.0
+
+
+def test_resize_png_real_kernel(spark, docs):
+    """codec='png' re-encodes through the full compressed cycle:
+    decode -> nearest-neighbor resample -> re-encode; decoded output
+    equals the BMP resize kernel on the same pixels."""
+    import numpy as np
+
+    bmp = multimodal.synthetic_real_media(docs, modality="image")
+    png = multimodal.synthetic_real_media(
+        docs, modality="image", image_codec="png"
+    )
+    out_b = {
+        r.media_id: multimodal.decode_bmp(bytes(r.content))
+        for r in multimodal.resize_images(bmp, 4, 6, codec="bmp").collect()
+    }
+    out_p = {
+        r.media_id: multimodal.decode_png(bytes(r.content))
+        for r in multimodal.resize_images(png, 4, 6, codec="png").collect()
+    }
+    assert set(out_b) == set(out_p)
+    for k in out_b:
+        assert out_b[k].shape == (6, 4, 3)
+        assert np.array_equal(out_b[k], out_p[k])
+
+
+def test_shared_span_pairs_semantics_and_df_cap(spark):
+    from graphdb_testing_spark.functions.dedup import shared_span_pairs
+
+    span = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} tail a"),
+            (2, f"head {span}"),
+            (3, "completely different words here entirely now"),
+            (4, f"{span} another"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a_id, r.b_id): r.n_shared_spans
+        for r in shared_span_pairs(docs, n=5).collect()
+    }
+    # every pair among {1,2,4} shares the 5-gram; doc 3 pairs with none
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}
+    # the span appears in 3 docs: a doc-frequency cap of 2 drops it
+    assert shared_span_pairs(docs, n=5, max_doc_freq=2).count() == 0
