@@ -251,6 +251,8 @@ def run_against(ref: str, sf_dir: str, reps: int) -> None:
         ["git", "rev-parse", "--short", ref],
         cwd=repo, check=True, capture_output=True, text=True,
     ).stdout.strip()
+    # sweep registrations left by a killed previous run before adding
+    subprocess.run(["git", "worktree", "prune"], cwd=repo, capture_output=True)
     wt = tempfile.mkdtemp(prefix="bench-against-")
     subprocess.run(
         ["git", "worktree", "add", "--detach", "--force", wt, ref],
