@@ -1120,3 +1120,65 @@ def shared_span_pairs(
         .groupBy("a_id", "b_id")
         .agg(F.count("*").cast("long").alias("n_shared_spans"))
     )
+
+
+def span_duplication_exposure(
+    docs: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplication exposure — ``(doc_id, n_spans,
+    n_shared_spans, shared_frac)``: of a document's distinct ``n``-word
+    spans, how many also occur in at least one OTHER document.
+
+    The remove-vs-trim signal of substring-level dedup (Lee et al.
+    2021 REMOVE the duplicated span, not the document): a doc at
+    ``shared_frac ≈ 1`` is wholly duplicated material (drop it), one
+    at 0.1 has a boilerplate fragment (trim it), and the corpus
+    histogram of this column is the substring-duplication health
+    report.  Documents shorter than ``n`` words have zero spans and
+    exposure 0.
+
+    Scale shape: one distinct span-digest relation, one document-
+    frequency aggregate on the digest key, one join back — all
+    map-side-combined group-bys on 60-bit longs; no pair enumeration
+    at all (unlike :func:`shared_span_pairs`, this never materializes
+    the quadratic witness set).
+    """
+    from .curation import word_ngrams as _wg
+    from ..hashutil import hash_prefix
+
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_wg(text_col, n)).alias("gram"),
+        )
+        .select("doc_id", hash_prefix(F.col("gram"), 15).alias("gh"))
+        .distinct()
+        .localCheckpoint()  # feeds the df aggregate and the join
+    )
+    span_df = grams.groupBy("gh").agg(F.count("*").alias("_df"))
+    per_doc = (
+        grams.join(span_df, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum((F.col("_df") >= 2).cast("long")).alias("n_shared_spans"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_shared_spans", F.lit(0)).cast("long").alias("n_shared_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.round(F.col("n_shared_spans") / F.col("n_spans"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
+    )

@@ -1941,3 +1941,42 @@ def q_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = datasets.load_table(spark, sf_dir, "documents")
     return ddp.shared_span_pairs(docs, n=10)
+
+
+_SPAN_EXPOSURE_ORACLE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(w[i:i+9], ' ')), 1, 15))::BIGINT AS gh
+  FROM words, UNNEST(generate_series(1, len(w) - 9)) AS t(i)
+  WHERE len(w) >= 10
+),
+sdf AS (SELECT gh, COUNT(*) AS df FROM grams GROUP BY gh),
+per_doc AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN s.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_spans
+  FROM grams g JOIN sdf s USING (gh) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_shared_spans, 0) AS n_shared_spans,
+       CASE WHEN COALESCE(p.n_spans, 0) > 0
+            THEN ROUND(p.n_shared_spans * 1.0 / p.n_spans, 6)
+            ELSE 0.0 END AS shared_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("span_duplication_exposure", _SPAN_EXPOSURE_ORACLE)
+def q_span_duplication_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of 10-word spans that also occur
+    elsewhere in the corpus — the remove-vs-trim signal of
+    substring-level dedup; computed without pair enumeration (span
+    document-frequency aggregate + join back).  See
+    :func:`~graphdb_testing_spark.functions.dedup.
+    span_duplication_exposure`."""
+    from .functions import dedup as ddp
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return ddp.span_duplication_exposure(docs, n=10)
