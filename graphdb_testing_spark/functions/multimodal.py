@@ -247,13 +247,19 @@ def encode_png(pixels) -> bytes:
         elif ft == 3:  # Average
             left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
             filt = row - (left + prev) // 2
-        else:  # Paeth
+        else:  # Paeth — fully vectorized: encode-side inputs are all
+            # known up front (left/up/up-left come from raw rows, no
+            # recurrence through the output as in decode)
             left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
             upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
-            pred = np.fromiter(
-                (_paeth(int(a), int(b), int(c))
-                 for a, b, c in zip(left, prev, upleft)),
-                dtype=np.int32, count=w * bpp,
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, upleft),
             )
             filt = row - pred
         raw.append(ft)
@@ -270,10 +276,18 @@ def encode_png(pixels) -> bytes:
 
 def decode_png(data: bytes):
     """Decode an 8-bit truecolor PNG into ``(h, w, 3)`` uint8 RGB:
-    chunk walk (CRC-verified), zlib inflate, then all five scanline
-    un-filters.  Raises ``ValueError`` on any other PNG flavor
-    (palette, alpha, interlace, 16-bit) — the layout
-    :func:`encode_png` writes."""
+    chunk walk (CRC-verified, length-bounds-checked), zlib inflate,
+    then all five scanline un-filters.  Raises ``ValueError`` on any
+    other PNG flavor (palette, alpha, interlace, 16-bit) and on any
+    malformed/truncated chunk — the layout :func:`encode_png` writes.
+
+    Size bound: filters None/Up/Sub un-filter as whole-row numpy ops,
+    but Average and Paeth carry a serial byte recurrence through the
+    OUTPUT row, so they run as an O(w) Python-int loop per row (~1e7
+    bytes/sec).  Fine for thumbnails and test rasters; megapixel
+    corpora should route through a native codec branch of the same
+    mapInPandas stage (the documented plug-in seam in
+    :func:`extract_features`)."""
     import struct
     import zlib
 
@@ -285,12 +299,19 @@ def decode_png(data: bytes):
     idat = bytearray()
     while pos + 8 <= len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
+        # declared length is untrusted: bounds-check before slicing so
+        # a truncated/malformed chunk raises the codec's ValueError,
+        # not struct.error leaking through mapInPandas error reporting
+        if pos + 12 + ln > len(data):
+            raise ValueError("truncated PNG chunk")
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("truncated PNG IHDR")
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -324,17 +345,28 @@ def decode_png(data: bytes):
         elif ft == 1:  # Sub — grouped cumulative sum, stride bpp
             cur = row.reshape(-1, bpp)
             cur = np.mod(np.cumsum(cur, axis=0), 256).reshape(-1)
-        elif ft == 3:  # Average — serial in x (w is small per batch row)
-            cur = np.zeros(stride, dtype=np.int32)
+        elif ft == 3:  # Average — serial recurrence through the output;
+            # plain Python-int lists beat numpy scalar indexing ~10x here
+            rl, pl = row.tolist(), prev.tolist()
+            cl = [0] * stride
             for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (row[x] + (left + prev[x]) // 2) & 0xFF
-        elif ft == 4:  # Paeth — serial in x
-            cur = np.zeros(stride, dtype=np.int32)
+                left = cl[x - bpp] if x >= bpp else 0
+                cl[x] = (rl[x] + (left + pl[x]) // 2) & 0xFF
+            cur = np.asarray(cl, dtype=np.int32)
+        elif ft == 4:  # Paeth — same serial recurrence, inlined predictor
+            rl, pl = row.tolist(), prev.tolist()
+            cl = [0] * stride
             for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                ul = prev[x - bpp] if x >= bpp else 0
-                cur[x] = (row[x] + _paeth(int(left), int(prev[x]), int(ul))) & 0xFF
+                a = cl[x - bpp] if x >= bpp else 0  # left
+                b = pl[x]                            # up
+                c = pl[x - bpp] if x >= bpp else 0   # up-left
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cl[x] = (rl[x] + pred) & 0xFF
+            cur = np.asarray(cl, dtype=np.int32)
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = cur.astype(np.uint8)

@@ -729,6 +729,9 @@ def source_unigram_kl(
     )
     per_word = sw.groupBy("word").agg(F.sum("c").alias("cq"))
     n = sw.agg(F.sum("c")).collect()[0][0]  # bounded scalar
+    if n is None:  # empty corpus: SUM over zero rows is NULL
+        schema = "source string, n_tokens long, n_types long, kl_micro long"
+        return docs.sparkSession.createDataFrame([], schema)
     term = (
         F.round(
             F.lit(1_000_000.0)

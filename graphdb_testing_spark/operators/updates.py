@@ -515,18 +515,36 @@ def init_edge_store(
 _STORE_SCHEMA = "src bigint, dst bigint, wgt bigint, pt bigint"
 
 
-def read_edge_store(spark, path: str) -> DataFrame:
+def read_edge_store(spark, path: str, recover: bool = False) -> DataFrame:
     """Read the full logical edge table back from a partitioned store,
     resolved through the commit pointer (a pre-generation flat layout
-    is read as-is).  A crashed trickle merge's undo journal, if
-    present, is rolled back first so readers never see a torn
-    partition set — sqlite's hot-journal-on-open semantics, which
-    presumes the store's single-writer discipline (a reader racing a
-    LIVE merge would roll it back; the engine's workflow loop never
-    interleaves the two)."""
+    is read as-is).
+
+    A trickle undo journal on disk means either (a) the last merge
+    crashed mid-overwrite — the table is torn and must be rolled back
+    — or (b) a merge is LIVE right now in another process.  The two
+    are indistinguishable from the filesystem alone, and rolling back
+    a live merge would delete partitions the writer is concurrently
+    rewriting, corrupting the store.  A plain read therefore FAILS
+    LOUDLY on a journal instead of destructively auto-recovering;
+    pass ``recover=True`` to opt into sqlite's hot-journal-on-open
+    rollback once you know no writer is running.  The writer path
+    (:func:`apply_actions_pruned`) still auto-recovers, which is safe
+    under the store's single-writer discipline."""
     meta = store_meta(spark, path)
     data_dir = meta["data_dir"] if meta else path
-    recover_trickle(spark, data_dir)
+    if recover:
+        recover_trickle(spark, data_dir)
+    else:
+        fs, pcls = _hadoop_fs(spark, data_dir)
+        _, jrec = _journal_paths(data_dir)
+        if fs.exists(pcls(jrec)):
+            raise RuntimeError(
+                f"trickle journal present at {data_dir}/{_TRICKLE_JOURNAL}: "
+                "either a merge crashed (re-open with recover=True, or run "
+                "recover_trickle()) or a merge is live in another process "
+                "(wait for it; recovering now would corrupt the store)"
+            )
     return (
         spark.read.schema(_STORE_SCHEMA)
         .parquet(data_dir)
@@ -690,8 +708,10 @@ def apply_actions_pruned(
     pass over the k/B sliver, nothing on the rest), and a kill at any
     point — mid-journal, between partition overwrites, before the
     annihilation sweep, during cleanup — is rolled back to the
-    pre-batch state by :func:`recover_trickle` (auto-invoked here and
-    by :func:`read_edge_store`), after which the batch replays cleanly
+    pre-batch state by :func:`recover_trickle` (auto-invoked here, on
+    the writer path only — readers must opt in via
+    ``read_edge_store(..., recover=True)``), after which the batch
+    replays cleanly
     from the action log.  Replay WITHOUT rollback would double-count
     (the merge is an upsert), which is why the journal exists.  The
     bulk-rewrite path (:func:`apply_actions_auto`) gets the same

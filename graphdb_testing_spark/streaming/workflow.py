@@ -615,7 +615,12 @@ def streaming_sessions(
     decided early: a post-TTL event that would have continued the
     session (a wall-clock laggard still inside the event-time gap)
     starts a new session instead — the exactness-for-bounded-state
-    trade.  ``None`` (default) keeps state forever (batch-exact; the
+    trade.  NOTE: eviction resets the user's ``session_seq`` to 0, so
+    with a TTL the output is NOT unique on ``(user_id, session_seq)``
+    — a user can emit two different sessions both labeled seq 0.
+    Every flushed row carries ``start_us``, which disambiguates: key
+    downstream joins on ``(user_id, start_us)`` when a TTL is set.
+    ``None`` (default) keeps state forever (batch-exact; the
     open session is simply never emitted).  Per-batch state size is
     observable via :func:`state_telemetry`; with a TTL set an
     ``availableNow`` run keeps scheduling state-cleanup batches after

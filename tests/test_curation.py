@@ -399,3 +399,15 @@ def test_ccnet_k_guard_and_fertility_null_safety(spark):
     assert rows["zz"].n_words == 0 and rows["zz"].pieces_per_word is None
     assert rows["zz"].n_pieces == 0 and rows["zz"].chars_per_piece is None
     assert rows["en"].pieces_per_word is not None
+
+
+def test_source_unigram_kl_empty_corpus_returns_empty(spark):
+    """SUM over zero rows is NULL; the collected corpus total must be
+    guarded so an empty input yields an empty result with the right
+    schema, not a TypeError."""
+    from graphdb_testing_spark.functions.textstats import source_unigram_kl
+
+    docs = spark.createDataFrame([], "source string, text string")
+    out = source_unigram_kl(docs)
+    assert out.columns == ["source", "n_tokens", "n_types", "kl_micro"]
+    assert out.count() == 0

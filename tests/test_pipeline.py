@@ -243,6 +243,32 @@ def test_png_roundtrip_exact_all_filters():
         multimodal.decode_png(b"\x89PNGnope")
 
 
+def test_png_truncated_and_malformed_chunks_raise_valueerror():
+    """Malformed chunk LENGTHS raise the codec's ValueError, never a
+    leaked struct.error: (a) payload cut mid-chunk, (b) a declared
+    length overrunning the buffer, (c) a short IHDR body."""
+    import struct as _s
+
+    import numpy as np
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    data = multimodal.encode_png(px)
+    # (a) truncate inside the IDAT chunk body
+    idat_off = data.index(b"IDAT")
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        multimodal.decode_png(data[: idat_off + 10])
+    # (b) inflate the declared IDAT length past the end of the buffer
+    bb = bytearray(data)
+    bb[idat_off - 4 : idat_off] = _s.pack(">I", len(data))
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        multimodal.decode_png(bytes(bb))
+    # (c) IHDR whose declared body is shorter than the 13-byte spec
+    short_body = b"\x00" * 8
+    fake = multimodal.PNG_MAGIC + multimodal._png_chunk(b"IHDR", short_body)
+    with pytest.raises(ValueError, match="truncated PNG IHDR"):
+        multimodal.decode_png(fake)
+
+
 def test_png_real_codec_through_arrow_stage(spark, docs):
     """PNG payloads flow through the same mapInPandas stages as BMP:
     decode_checksums reproduces the pre-encode raster checksum

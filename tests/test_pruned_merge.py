@@ -490,7 +490,7 @@ def test_trickle_crash_between_partition_overwrites(spark, tmp_path):
     d_crash = _data_dir(crash)
 
     # a second uninterrupted twin supplies per-partition MERGED bytes
-    # (built BEFORE journaling crash — read_edge_store auto-recovers,
+    # (built BEFORE journaling crash — the writer path auto-recovers,
     # which would sweep a live journal)
     crash2 = str(tmp_path / "torn_twin2")
     init_edge_store(_edges(spark, [(k[0], k[1], w) for k, w in pre.items()]),
@@ -517,8 +517,13 @@ def test_trickle_crash_between_partition_overwrites(spark, tmp_path):
         _shutil.copytree(src, dst)
     # --- crash here: some partitions merged, some stale, journal live ---
 
-    # a reader resolves the pre-batch table (read_edge_store auto-rolls back)
-    assert as_map(read_edge_store(spark, crash)) == pre
+    # a plain read fails loudly on a live journal (it can't know the
+    # writer is dead); an explicit recover=True rolls back to pre-batch
+    import pytest
+
+    with pytest.raises(RuntimeError, match="trickle journal present"):
+        read_edge_store(spark, crash)
+    assert as_map(read_edge_store(spark, crash, recover=True)) == pre
     # replay from the action log converges to the uninterrupted result
     apply_actions_pruned(spark, crash, acts)
     assert as_map(read_edge_store(spark, crash)) == want
