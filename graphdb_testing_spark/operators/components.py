@@ -42,6 +42,7 @@ def connected_components(
     # low-diameter graphs converge in 1-2 chunks; linear plan growth
     # makes larger unrolls safe for high-diameter graphs
     pointer_jump: bool = True,
+    dst_partitioned: bool = False,
 ) -> DataFrame:
     """``(id, label)`` where ``label`` = min vertex id in the component.
 
@@ -78,11 +79,25 @@ def connected_components(
         edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
     )
     ne = edges.count()
-    e_self = (
-        edges.select("src", "dst")
-        .unionAll(ids.select(F.col("id").alias("src"), F.col("id").alias("dst")))
-        .coalesce(iter_partitions(ne))
+    e_self = edges.select("src", "dst").unionAll(
+        ids.select(F.col("id").alias("src"), F.col("id").alias("dst"))
     )
+    if dst_partitioned:
+        # bucketed-layout variant: materialize the constant relation
+        # hash-partitioned on the per-round join key.  persist() (not
+        # localCheckpoint — LogicalRDD drops outputPartitioning to
+        # Unknown, measured) keeps the HashPartitioning visible to
+        # EnsureRequirements, so every round's join reads the edge
+        # side with NO Exchange (the in-session equivalent of a
+        # dst-bucketed store, ``sources/bucketed.py``) and only the
+        # O(nv) label side shuffles.  The trade: the layout freezes the
+        # power-law dst skew that AQE would otherwise split per round,
+        # and the union materializes a second full edge copy up front —
+        # measured A/B at SCALE (see BENCHMARKS.md) decides, not theory.
+        e_self = e_self.repartition(iter_partitions(ne), "dst").persist()
+        e_self.count()
+    else:
+        e_self = e_self.coalesce(iter_partitions(ne))
     labels = ids.withColumn("label", F.col("id")).localCheckpoint()
     nv = labels.count()
     prev_sum = labels.agg(
@@ -121,6 +136,8 @@ def connected_components(
             break
         prev_sum = cur_sum
     ids.unpersist()
+    if dst_partitioned:
+        e_self.unpersist()
     return labels
 
 

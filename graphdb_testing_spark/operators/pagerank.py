@@ -61,6 +61,7 @@ def pagerank(
     unroll: int = 10,  # one broadcast + one shuffle per round; chunk
     # cost is ~linear in unroll, so 10 mainly amortizes delta checks
     init_ranks: DataFrame | None = None,
+    dst_partitioned: bool = False,
 ) -> DataFrame:
     """``(id, pr)`` PageRank over a symmetric edge table.
 
@@ -103,7 +104,21 @@ def pagerank(
         .select("src", "dst", F.col("degree").alias("deg_src"))
     )
     ne = edges.count()
-    e2 = e2.coalesce(iter_partitions(ne)).localCheckpoint()
+    if dst_partitioned:
+        # bucketed-layout variant (same trade as in
+        # ``connected_components``): hash-partition the constant
+        # relation on the per-round join key and persist() it — cache,
+        # not localCheckpoint, because LogicalRDD drops
+        # outputPartitioning to Unknown (measured) while
+        # InMemoryRelation carries it — so the per-round join
+        # exchanges only the state side.  The scale-18 A/B in the
+        # comment above rejected this (skew-frozen layout vs AQE
+        # splitting); the SCALE-24 A/B re-measures where the effect
+        # is resolvable.
+        e2 = e2.repartition(iter_partitions(ne), "dst").persist()
+        e2.count()
+    else:
+        e2 = e2.coalesce(iter_partitions(ne)).localCheckpoint()
 
     # state: (id, prd, degree) with prd = pr / degree; degree rides
     # along (constant per vertex, re-emitted by each round's agg) so

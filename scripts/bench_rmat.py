@@ -32,12 +32,18 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from bench import calibrate_shuffle  # noqa: E402 (repo-root bench.py)
 from graphdb_testing_spark.operators.bfs import bfs  # noqa: E402
 from graphdb_testing_spark.operators.components import (  # noqa: E402
     connected_components,
 )
 from graphdb_testing_spark.operators.pagerank import pagerank  # noqa: E402
-from graphdb_testing_spark.operators.updates import apply_actions  # noqa: E402
+from graphdb_testing_spark.operators.updates import (  # noqa: E402
+    apply_actions,
+    apply_actions_auto,
+    init_edge_store,
+    read_edge_store,
+)
 from graphdb_testing_spark.session import get_spark  # noqa: E402
 from graphdb_testing_spark.sources.rmat import (  # noqa: E402
     rmat_actions,
@@ -94,6 +100,12 @@ def check_invariants(size: str, meta: dict, pr_sum: float) -> list[str]:
         got = meta.get(key)
         if got != want:
             errs.append(f"{key}: got {got}, expected {want}")
+    # trickle stream must converge to the bulk merge BY CONTENT
+    if "trickle_sig" in meta and meta["trickle_sig"] != meta["trickle_bulk_sig"]:
+        errs.append(
+            f"trickle/bulk content mismatch: {meta['trickle_sig']} != "
+            f"{meta['trickle_bulk_sig']}"
+        )
     return errs
 
 
@@ -162,7 +174,21 @@ def main() -> None:
 
     t: dict[str, float] = state.get("t", {})
     meta: dict = state.get("meta", {})
-    state["t"], state["meta"] = t, meta
+    probes: dict[str, float] = state.get("probes", {})
+    state["t"], state["meta"], state["probes"] = t, meta, probes
+
+    # Per-kernel ambient adjudication (round-8 verdict task 1): the
+    # same fixed-work join+agg+shuffle probe bench.py runs per rep
+    # (``bench.py:calibrate_shuffle``) runs here immediately AFTER
+    # each kernel, in the host state that kernel just experienced.  A
+    # tier-level swing divides out: kernel and probe moving together
+    # is host drift; kernel moving alone is a plan regression.
+    n_threads = spark.sparkContext.defaultParallelism
+
+    def probe(kernel: str) -> None:
+        probes[kernel] = calibrate_shuffle(spark, n_threads)
+
+    calibrate_shuffle(spark, n_threads)  # JIT/codegen warmup, untimed
 
     graph_ready = os.path.isfile(os.path.join(graph_path, "_SUCCESS"))
     if "build" not in t or not graph_ready:
@@ -176,6 +202,7 @@ def main() -> None:
         meta["ne"] = edges.count()  # directed (symmetrized) edge count
         meta["nv"] = edges.select("src").distinct().count()
         t["build"] = round(time.time() - t0, 3)
+        probe("build")
         save_state()
     else:
         t0 = time.time()
@@ -196,6 +223,7 @@ def main() -> None:
         meta["n_components"] = labels.select("label").distinct().count()
         labels.unpersist()
         t["sv"] = round(time.time() - t0, 3)
+        probe("sv")
         save_state()
 
     if "sssp" not in t:
@@ -204,6 +232,7 @@ def main() -> None:
         meta["bfs_reached"] = dist.count()
         dist.unpersist()
         t["sssp"] = round(time.time() - t0, 3)
+        probe("sssp")
         save_state()
 
     if "pr" not in t:
@@ -212,6 +241,7 @@ def main() -> None:
         meta["pr_sum"] = pr.agg(F.sum("pr").alias("s")).collect()[0]["s"]
         pr.unpersist()
         t["pr"] = round(time.time() - t0, 3)
+        probe("pr")
         save_state()
 
     if "update" not in t:
@@ -220,7 +250,53 @@ def main() -> None:
         merged = apply_actions(edges, acts)
         meta["edges_after_update"] = merged.count()
         t["update"] = round(time.time() - t0, 3)
+        probe("update")
         save_state()
+
+    # Trickle regime (round-8 verdict task 3): the reference's update
+    # metric is a STREAM — its loop feeds small batches continuously
+    # (``binary_stream.c:54-85``, ``main.c:165-204``), not one bulk
+    # merge.  Split the SAME na actions into nb seq-contiguous batches
+    # and drive each through apply_actions_auto against the stored
+    # table, logging the picker's per-batch regime choice.  batch_delta
+    # is the exact sequential-replay fixpoint per key, so consecutive
+    # sub-batches applied in seq order converge to the single bulk
+    # merge — verified below by content signature, not assumed.
+    if "update_trickle" not in t:
+        nb = int(os.environ.get("SPARK_GRAFT_TRICKLE_BATCHES", "20"))
+        store = os.path.join(tier_dir, "trickle_store")
+        shutil.rmtree(store, ignore_errors=True)
+        init_edge_store(edges, store, table_rows=meta["ne"])  # untimed setup
+        acts = rmat_actions(spark, scale, na).localCheckpoint()
+        acts.count()
+        per = (na + nb - 1) // nb
+        regimes: list[str] = []
+        t0 = time.time()
+        for i in range(nb):
+            batch = acts.filter(
+                (F.col("seq") >= i * per) & (F.col("seq") < (i + 1) * per)
+            )
+            _, strategy = apply_actions_auto(spark, batch, store_path=store)
+            regimes.append(strategy)
+        t["update_trickle"] = round(time.time() - t0, 3)
+        meta["trickle_batches"] = nb
+        meta["trickle_regimes"] = {r: regimes.count(r) for r in set(regimes)}
+        # content signature vs the single bulk merge (untimed check)
+        def _sig(df):
+            r = df.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.pmod(F.xxhash64("src", "dst", "wgt"), F.lit(1 << 30))
+                ).alias("h"),
+            ).collect()[0]
+            return [r["n"], r["h"]]
+
+        bulk = apply_actions(edges, acts)  # (src, dst, wgt)
+        meta["trickle_sig"] = _sig(read_edge_store(spark, store))
+        meta["trickle_bulk_sig"] = _sig(bulk)
+        probe("update_trickle")
+        save_state()
+        shutil.rmtree(store, ignore_errors=True)
 
     pr_sum = meta["pr_sum"]
     errs = check_invariants(size, meta, pr_sum)
@@ -234,7 +310,15 @@ def main() -> None:
                 "results": t,
                 "na": na,
                 "update_eps": round(na / t["update"], 1),
+                "trickle_eps": (
+                    round(na / t["update_trickle"], 1)
+                    if t.get("update_trickle")
+                    else None
+                ),
                 "meta": meta,
+                # fixed-work join+agg+shuffle probe (bench.py contract)
+                # run right after each kernel — the ambient adjudicator
+                "probes": probes,
                 "invariants": "FAIL: " + "; ".join(errs) if errs else "ok",
             }
         )
