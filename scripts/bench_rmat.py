@@ -269,18 +269,42 @@ def main() -> None:
         init_edge_store(edges, store, table_rows=meta["ne"])  # untimed setup
         acts = rmat_actions(spark, scale, na).localCheckpoint()
         acts.count()
-        per = (na + nb - 1) // nb
-        regimes: list[str] = []
-        t0 = time.time()
-        for i in range(nb):
-            batch = acts.filter(
-                (F.col("seq") >= i * per) & (F.col("seq") < (i + 1) * per)
-            )
-            _, strategy = apply_actions_auto(spark, batch, store_path=store)
-            regimes.append(strategy)
-        t["update_trickle"] = round(time.time() - t0, 3)
+
+        def stream(lo: int, hi: int, batches: int):
+            """Feed actions seq∈[lo,hi) through apply_actions_auto in
+            ``batches`` seq-contiguous sub-batches; returns (sec,
+            regime list)."""
+            per = (hi - lo + batches - 1) // batches
+            regimes: list[str] = []
+            t0 = time.time()
+            for i in range(batches):
+                batch = acts.filter(
+                    (F.col("seq") >= lo + i * per)
+                    & (F.col("seq") < min(lo + (i + 1) * per, hi))
+                )
+                _, strategy = apply_actions_auto(spark, batch, store_path=store)
+                regimes.append(strategy)
+            return round(time.time() - t0, 3), regimes
+
+        # two stream granularities over ONE store, one sequential
+        # history: the reference's trickle regime (tiny batches, where
+        # the picker's pruned path earns its 13.5x) on the first 1000
+        # actions, then the bulk-ish regime (na/nb-action batches,
+        # where full coverage makes rewrite the right call) on the
+        # rest.  Final store content = sequential replay of ALL na
+        # actions = one bulk merge, checked by signature below.
+        n_small = min(1000, na // 10)
+        t_small, reg_small = stream(0, n_small, nb)
+        t["update_trickle_small"] = t_small
+        meta["trickle_small_actions"] = n_small
+        meta["trickle_small_regimes"] = {
+            r: reg_small.count(r) for r in set(reg_small)
+        }
+        t_big, reg_big = stream(n_small, na, nb)
+        t["update_trickle"] = t_big
         meta["trickle_batches"] = nb
-        meta["trickle_regimes"] = {r: regimes.count(r) for r in set(regimes)}
+        meta["trickle_regimes"] = {r: reg_big.count(r) for r in set(reg_big)}
+
         # content signature vs the single bulk merge (untimed check)
         def _sig(df):
             r = df.agg(
@@ -311,8 +335,21 @@ def main() -> None:
                 "na": na,
                 "update_eps": round(na / t["update"], 1),
                 "trickle_eps": (
-                    round(na / t["update_trickle"], 1)
+                    round(
+                        (na - meta.get("trickle_small_actions", 0))
+                        / t["update_trickle"],
+                        1,
+                    )
                     if t.get("update_trickle")
+                    else None
+                ),
+                "trickle_small_eps": (
+                    round(
+                        meta["trickle_small_actions"]
+                        / t["update_trickle_small"],
+                        1,
+                    )
+                    if t.get("update_trickle_small")
                     else None
                 ),
                 "meta": meta,
