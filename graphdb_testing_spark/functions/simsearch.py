@@ -524,32 +524,27 @@ _INT_DIST2 = (
 )
 
 
-def kmeans_lloyd(
-    embeddings: DataFrame,
-    k: int = 8,
-    rounds: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _integerize(
+    embeddings: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """``(vec_id, cluster_id, dist2)`` after ``rounds`` full Lloyd
-    iterations, bit-exact on any engine: points integerize at 1024×
-    (the ``embedding_dim_stats`` convention), centroids live in
-    1000×-finer "milli" units updated as ``(1000·Σx) // n``, and
-    squared distances are pure BIGINT — associative sums, no float
-    boundary anywhere, so the k-means loop itself (not just one
-    assignment) is hash-checkable.
-
-    Scale shape per round: broadcast the k×d centroid relation,
-    map-only argmin per point (ties to the smaller cluster id),
-    then one map-side-combined (cluster, dim) integer-sum shuffle of
-    ≤ k·d groups.  Driver holds nothing; rounds chain through
-    ``localCheckpoint`` like every iterative kernel here."""
-    pts = embeddings.select(
+    """``(vec_id, p)`` with components integerized at 1024× — the
+    cross-engine-exact representation every Lloyd path here uses."""
+    return embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.expr(
             f"transform({vec_col}, x -> cast(floor(cast(x as double) * 1024) as bigint))"
         ).alias("p"),
-    ).localCheckpoint()
+    )
+
+
+def _lloyd_iterate(pts: DataFrame, k: int, rounds: int):
+    """Run ``rounds`` full assign+update Lloyd rounds over integerized
+    points; returns ``(assign, cents)`` where ``assign`` is the final
+    round's assignment (vs the centroids at that round's start) and
+    ``cents`` is the post-update centroid relation ``(cluster_id, c)``
+    in milli units.  Shared by :func:`kmeans_lloyd` (which returns the
+    assignment) and :func:`ivf_kmeans_topk` (which wants the trained
+    centroids)."""
     cents = (
         pts.orderBy("vec_id")
         .limit(k)
@@ -588,6 +583,31 @@ def kmeans_lloyd(
             .select("cluster_id", F.expr("transform(s, t -> t.cm)").alias("c"))
             .localCheckpoint()
         )
+    return assign, cents
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, cluster_id, dist2)`` after ``rounds`` full Lloyd
+    iterations, bit-exact on any engine: points integerize at 1024×
+    (the ``embedding_dim_stats`` convention), centroids live in
+    1000×-finer "milli" units updated as ``(1000·Σx) // n``, and
+    squared distances are pure BIGINT — associative sums, no float
+    boundary anywhere, so the k-means loop itself (not just one
+    assignment) is hash-checkable.
+
+    Scale shape per round: broadcast the k×d centroid relation,
+    map-only argmin per point (ties to the smaller cluster id),
+    then one map-side-combined (cluster, dim) integer-sum shuffle of
+    ≤ k·d groups.  Driver holds nothing; rounds chain through
+    ``localCheckpoint`` like every iterative kernel here."""
+    pts = _integerize(embeddings, id_col, vec_col).localCheckpoint()
+    assign, _ = _lloyd_iterate(pts, k, rounds)
     return assign
 
 
@@ -646,6 +666,138 @@ def kmeans_lloyd_oracle_sql(
 )"""
     )
     return ",\n".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# Learned-centroid IVF (Jégou et al. 2011's IVF-Flat, the standard
+# coarse-quantizer ANN index) — k-means cells instead of sign buckets
+# ---------------------------------------------------------------------------
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    rounds: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k with a LEARNED coarse quantizer: train
+    ``n_cells`` centroids with ``rounds`` integer Lloyd iterations
+    (:func:`_lloyd_iterate` — the bit-exact k-means the registry
+    already oracle-checks), assign every corpus vector to its nearest
+    cell, probe each query's ``nprobe`` nearest cells, and rank exact
+    cosine within the probed candidates.
+
+    This is IVF-Flat (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", 2011): cells adapt to the data distribution, so
+    at equal recall the candidate set is smaller than data-oblivious
+    sign buckets — the A/B ``scripts/bench_simsearch_scale.py``
+    measures both curves.
+
+    Scale shape: training touches the corpus ``rounds + 1`` times with
+    broadcast centroids (k·d integers) and ≤ k·d-group shuffles; the
+    search is ONE equi-join on ``cell`` — candidate work is
+    Σ_probed |cell|, never n², and the query side (queries × nprobe
+    rows) broadcasts.  Every arithmetic step before the final cosine
+    is BIGINT, so cells and probe sets are engine-exact; the cosine is
+    rounded at 6dp like every similarity here."""
+    pts = _integerize(embeddings, id_col, vec_col).localCheckpoint()
+    _, cents = _lloyd_iterate(pts, n_cells, rounds)
+
+    def nearest(points: DataFrame, n: int) -> DataFrame:
+        scored = points.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cluster_id", F.expr(_INT_DIST2).alias("dist2")
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select("vec_id", F.col("cluster_id").alias("cell"))
+        )
+
+    cells = nearest(pts, 1)
+    qpts = _integerize(queries, id_col, vec_col)
+    qprobe = nearest(qpts, nprobe).withColumnRenamed("vec_id", "query_id")
+
+    base = (
+        with_norm(embeddings, vec_col)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            F.col("_norm").alias("nv"),
+        )
+        .join(cells, "vec_id")
+    )
+    qs = (
+        with_norm(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q"),
+            F.col("_norm").alias("nq"),
+        )
+        .join(qprobe, "query_id")
+    )
+    sim = _pair_sim("q", "v", "nq", "nv")
+    scored = (
+        base.join(F.broadcast(qs), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+    )
+    return _topk_per_query(scored, k)
+
+
+def ivf_kmeans_oracle_sql(
+    dim: int = 64,
+    k: int = 10,
+    n_cells: int = 8,
+    rounds: int = 2,
+    nprobe: int = 2,
+    query_pred: str = "vec_id % 100 = 0",
+) -> str:
+    """DuckDB oracle for :func:`ivf_kmeans_topk`: reuses the Lloyd CTE
+    chain with ``rounds + 1`` assignments — ``lassign{rounds+1}`` IS
+    the corpus cell assignment against the trained centroids
+    ``lcent{rounds}`` — then probes, candidates, and ranked cosine.
+    Returns a full SELECT (not a CTE fragment)."""
+    lloyd = kmeans_lloyd_oracle_sql(dim=dim, k=n_cells, rounds=rounds + 1)
+    dist2 = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (1000 * p.p[i] - c.c[i]) * (1000 * p.p[i] - c.c[i])))"
+    )
+    return f"""
+WITH {lloyd},
+cells AS (SELECT vec_id, cluster_id AS cell FROM lassign{rounds + 1}),
+qprobe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT p.vec_id, c.cluster_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist2}, c.cluster_id) AS rn
+    FROM lpts p CROSS JOIN lcent{rounds} c
+    WHERE p.{query_pred})
+  WHERE rn <= {nprobe}
+),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.query_id, s.vec_id,
+         ROUND(list_cosine_similarity(qv.v, b.v), 6) AS sim
+  FROM qprobe q
+  JOIN cells s USING (cell)
+  JOIN base b ON b.vec_id = s.vec_id
+  JOIN base qv ON qv.vec_id = q.query_id
+  WHERE s.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, sim
+FROM ranked WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------

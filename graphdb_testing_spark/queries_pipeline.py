@@ -577,6 +577,29 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register(
+    "ivf_kmeans_topk",
+    simsearch.ivf_kmeans_oracle_sql(
+        dim=64, k=10, n_cells=16, rounds=2, nprobe=4
+    ),
+)
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-centroid IVF top-10 (IVF-Flat, Jégou et al. 2011):
+    16 k-means cells trained with the bit-exact integer Lloyd loop,
+    corpus assigned once, each query probing its 4 nearest cells —
+    candidates come from ONE equi-join on the cell id, so the probed
+    fraction (≈ nprobe/n_cells of the corpus) replaces the n² cross
+    join.  Cells adapt to the data where sign buckets can't; the
+    recall-per-candidate A/B against ``ivf_ann_topk`` is
+    ``ivf_kmeans_recall`` + ``scripts/bench_simsearch_scale.py``."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = simsearch.ivf_kmeans_topk(
+        emb, queries, k=10, n_cells=16, rounds=2, nprobe=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing: binary media column -> Arrow-batched feature
 # extraction (deterministic stub encoder; SURVEY "multimodal columns")
@@ -1013,6 +1036,61 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .drop(ivf.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.sum(F.when(F.col("ivf_vec").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_found"),
+            F.round(
+                F.sum(F.when(F.col("ivf_vec").isNotNull(), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+_KIVF_RECALL_ORACLE = f"""
+WITH exact_r AS ({_ANN_ORACLE.strip()}),
+kivf_r AS ({{kivf}})
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_found,
+       ROUND(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_10
+FROM exact_r e
+LEFT JOIN kivf_r i ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+GROUP BY e.query_id
+""".format(
+    kivf=simsearch.ivf_kmeans_oracle_sql(
+        dim=64, k=10, n_cells=16, rounds=2, nprobe=4
+    ).strip()
+)
+
+
+@register("ivf_kmeans_recall", _KIVF_RECALL_ORACLE)
+def q_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the learned-centroid IVF against the exact
+    brute-force top-10 — the twin of ``ivf_recall`` for the k-means
+    quantizer, so the two index designs are comparable query-by-query
+    on the same ground truth."""
+    emb = datasets.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = simsearch.cosine_topk(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    kivf = simsearch.ivf_kmeans_topk(
+        emb, queries, k=10, n_cells=16, rounds=2, nprobe=4
+    ).select("query_id", F.col("vec_id").alias("ivf_vec"))
+    return (
+        exact.join(
+            kivf,
+            (exact.query_id == kivf.query_id) & (exact.vec_id == kivf.ivf_vec),
+            "left",
+        )
+        .drop(kivf.query_id)
         .groupBy("query_id")
         .agg(
             F.count("*").cast("long").alias("n_true"),

@@ -477,6 +477,8 @@ def run_structured_stream(
     initial_edges: DataFrame,
     schema: str = "seq long, src long, dst long, weight long",
     checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    progress: dict | None = None,
 ) -> DataFrame:
     """Structured Streaming path: watch a directory of action parquet
     files, merge each micro-batch with ``foreachBatch`` (exactly-once
@@ -488,9 +490,21 @@ def run_structured_stream(
     state = {"edges": initial_edges.localCheckpoint()}
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        t0 = time.time()
+        n = batch_df.count() if progress is not None else None
         state["edges"] = apply_actions(state["edges"], batch_df).localCheckpoint()
+        if progress is not None:
+            progress.setdefault("batches", []).append(
+                {"epoch": int(epoch_id), "actions": int(n), "sec": round(time.time() - t0, 3)}
+            )
 
-    stream = spark.readStream.schema(schema).parquet(actions_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch to N source files — the replay knob a
+        # sustained-rate measurement needs (one big availableNow batch
+        # measures a bulk merge, not a stream)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(actions_dir)
     writer = stream.writeStream.foreachBatch(merge).trigger(availableNow=True)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)

@@ -97,23 +97,139 @@ def recall_at_k(exact, approx) -> float:
     return round(float(row["m"]), 4)
 
 
-def probe_curve(corpus, queries, k=10) -> dict:
-    """{'exact_s', 'probes1': {recall, s}, 'probes9': {recall, s}}."""
+def probe_curve(corpus, queries, k=10, kmeans_cells=0, kmeans_rounds=1) -> dict:
+    """Sign-bucket recall/latency/candidates at two probe budgets,
+    plus (when ``kmeans_cells > 0``) the learned-centroid IVF curve
+    over nprobe ∈ {1, 2, 4} on the same exact ground truth.
+
+    ``candidates`` is the number of corpus points each index actually
+    scans (Σ over queries of probed-bucket/cell sizes) — the cost axis
+    of the recall-vs-work trade; "dominates" means fewer candidates at
+    ≥ recall."""
     out: dict = {}
     t0 = time.time()
     exact = simsearch.cosine_topk(corpus, queries, k=k).localCheckpoint()
     n_exact = exact.count()
     out["exact_s"] = round(time.time() - t0, 2)
     out["n_exact_rows"] = n_exact
-    for label, mp in (("probes_1", False), ("probes_9", True)):
+
+    # ---- sign-bucket side (data-oblivious quantizer) ----
+    bsz = (
+        corpus.select(simsearch.sign_bucket("embedding", 8).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("sz"))
+        .localCheckpoint()
+    )
+    for label, mp in (("sign_probes_1", False), ("sign_probes_9", True)):
         t0 = time.time()
         approx = simsearch.ivf_topk(
             corpus, queries, k=k, bucket_dims=8, multiprobe=mp
         ).localCheckpoint()
         approx.count()
         rec = recall_at_k(exact, approx)
-        out[label] = {"recall_at_10": rec, "s": round(time.time() - t0, 2)}
+        qb = queries.select(
+            F.col("vec_id").alias("query_id"),
+            simsearch.sign_bucket("embedding", 8).alias("bucket"),
+        )
+        if mp:
+            probes = F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(8)],
+            )
+            qb = qb.withColumn("bucket", F.explode(probes))
+        cand = (
+            qb.join(bsz, "bucket").agg(F.sum("sz")).collect()[0][0] or 0
+        )
+        out[label] = {
+            "recall_at_10": rec,
+            "s": round(time.time() - t0, 2),
+            "candidates": int(cand),
+        }
         approx.unpersist()
+
+    # ---- learned-centroid IVF (k-means cells, Jégou-style) ----
+    if kmeans_cells:
+        from pyspark.sql import Window
+
+        from graphdb_testing_spark.functions.simsearch import (
+            _INT_DIST2,
+            _integerize,
+            _lloyd_iterate,
+            _pair_sim,
+            _topk_per_query,
+            with_norm,
+        )
+
+        t0 = time.time()
+        pts = _integerize(corpus, "vec_id", "embedding").localCheckpoint()
+        _, cents = _lloyd_iterate(pts, kmeans_cells, kmeans_rounds)
+
+        def nearest(points, n):
+            scored = points.crossJoin(F.broadcast(cents)).select(
+                "vec_id", "cluster_id", F.expr(_INT_DIST2).alias("dist2")
+            )
+            w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
+            return (
+                scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= n)
+                .select("vec_id", F.col("cluster_id").alias("cell"), "rn")
+            )
+
+        cells = nearest(pts, 1).drop("rn").localCheckpoint()
+        csz = (
+            cells.groupBy("cell").agg(F.count("*").alias("sz")).localCheckpoint()
+        )
+        base = (
+            with_norm(corpus, "embedding")
+            .select(
+                "vec_id",
+                F.col("embedding").alias("v"),
+                F.col("_norm").alias("nv"),
+            )
+            .join(cells, "vec_id")
+        )
+        qpts = _integerize(queries, "vec_id", "embedding")
+        qprobe_all = (
+            nearest(qpts, 4)
+            .withColumnRenamed("vec_id", "query_id")
+            .localCheckpoint()
+        )
+        qn = with_norm(queries, "embedding").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q"),
+            F.col("_norm").alias("nq"),
+        )
+        out["kmeans_train_s"] = round(time.time() - t0, 2)
+        out["kmeans_cells"] = kmeans_cells
+        for p in (1, 2, 4):
+            t0 = time.time()
+            qp = qprobe_all.filter(F.col("rn") <= p).drop("rn")
+            qs = qn.join(qp, "query_id")
+            sim = _pair_sim("q", "v", "nq", "nv")
+            scored = (
+                base.join(F.broadcast(qs), "cell")
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .select("query_id", "vec_id", sim.alias("sim"))
+            )
+            approx = _topk_per_query(scored, k).localCheckpoint()
+            approx.count()
+            rec = recall_at_k(exact, approx)
+            cand = qp.join(csz, "cell").agg(F.sum("sz")).collect()[0][0] or 0
+            out[f"kmeans_probes_{p}"] = {
+                "recall_at_10": rec,
+                "s": round(time.time() - t0, 2),
+                "candidates": int(cand),
+            }
+            approx.unpersist()
+
+        # dominance: some k-means point reaches the sign multiprobe
+        # recall with fewer scanned candidates
+        sp9 = out["sign_probes_9"]
+        out["kmeans_dominates_sign"] = any(
+            out[f"kmeans_probes_{p}"]["recall_at_10"] >= sp9["recall_at_10"]
+            and out[f"kmeans_probes_{p}"]["candidates"] <= sp9["candidates"]
+            for p in (1, 2, 4)
+        )
     exact.unpersist()
     return out
 
@@ -151,12 +267,15 @@ def main() -> int:
         .select("vec_id", q_emb.alias("embedding"))
         .localCheckpoint()
     )
-    big = probe_curve(corpus.select("vec_id", "embedding"), queries)
+    big = probe_curve(
+        corpus.select("vec_id", "embedding"), queries,
+        kmeans_cells=16, kmeans_rounds=1,
+    )
 
     # ---- the sf0.1 reference figure, same probe budgets ----
     emb01 = datasets.load_table(spark, "/root/testdata/sf0.1", "embeddings")
     q01 = emb01.filter(F.col("vec_id") % 100 == 0)
-    small = probe_curve(emb01, q01)
+    small = probe_curve(emb01, q01, kmeans_cells=16, kmeans_rounds=1)
 
     # ---- SemDeDup dedup-rate at 5M via exact-copy collapse ----
     t0 = time.time()
@@ -199,7 +318,8 @@ def main() -> int:
     dedup_rate = round(1.0 - kept["k"] / kept["n"], 6)
 
     held = (
-        big["probes_9"]["recall_at_10"] >= small["probes_9"]["recall_at_10"]
+        big["sign_probes_9"]["recall_at_10"]
+        >= small["sign_probes_9"]["recall_at_10"]
     )
     print(
         json.dumps(
