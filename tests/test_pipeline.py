@@ -136,6 +136,47 @@ def test_ivf_recall_vs_bruteforce(spark, embeddings):
     assert recall >= 0.5  # coarse buckets, small data: sanity not SLA
 
 
+def test_ivf_kmeans_topk_exact_when_probing_all_cells(spark, embeddings):
+    """Probing every cell recovers brute force EXACTLY: the cell map
+    partitions the corpus, so nprobe == n_cells means every candidate
+    is scanned and the ranking (sim desc, vec_id) is the same total
+    order cosine_topk uses — the containment argument that makes the
+    IVF approximation's only error source the un-probed cells."""
+    queries = embeddings.filter(F.col("vec_id") % 20 == 0)
+    exact = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in simsearch.cosine_topk(embeddings, queries, k=5).collect()
+    }
+    allprobe = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in simsearch.ivf_kmeans_topk(
+            embeddings, queries, k=5, n_cells=4, rounds=2, nprobe=4
+        ).collect()
+    }
+    assert exact == allprobe
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark, embeddings):
+    """At nprobe < n_cells the learned quantizer keeps recall sane on
+    clustered data (the sinusoid fixture has real cluster structure),
+    and every returned neighbor is a genuine corpus id."""
+    queries = embeddings.filter(F.col("vec_id") % 20 == 0)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in simsearch.cosine_topk(embeddings, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in simsearch.ivf_kmeans_topk(
+            embeddings, queries, k=5, n_cells=4, rounds=2, nprobe=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5
+    ids = {r.vec_id for r in embeddings.collect()}
+    assert {b for (_, b) in approx} <= ids
+
+
 def test_embedding_near_dups_include_self_similar(spark, embeddings):
     out = simsearch.embedding_near_duplicates(embeddings, threshold=0.99)
     assert all(r.sim >= 0.99 for r in out.collect())
