@@ -107,9 +107,36 @@ def main() -> None:
         )
         print(json.dumps(rows[-1]), file=sys.stderr)
 
-    # interleave layouts so slow ambient drift hits both sides alike
+    # interleave layouts so slow ambient drift hits both sides alike.
+    # --dst-only skips the uniform side (use when the SAME-config
+    # bench_rmat run just recorded it, probes included — splice those
+    # numbers in from its state.json via --uniform-from)
+    dst_only = "--dst-only" in sys.argv
+    if dst_only and "--uniform-from" in sys.argv:
+        import json as _json
+
+        st = _json.load(
+            open(sys.argv[sys.argv.index("--uniform-from") + 1])
+        )
+        for kernel, tkey in (("cc", "sv"), ("pr", "pr")):
+            rows.append(
+                {
+                    "kernel": kernel,
+                    "layout": "uniform",
+                    "sec": st["t"][tkey],
+                    "probe_ts": st["probes"].get(tkey),
+                    "invariant": (
+                        st["meta"]["n_components"]
+                        if kernel == "cc"
+                        else round(st["meta"]["pr_sum"], 9)
+                    ),
+                    "source": "bench_rmat state.json (same session config)",
+                }
+            )
     for kernel in ("cc", "pr"):
         for layout in ("uniform", "dst_partitioned"):
+            if dst_only and layout == "uniform":
+                continue
             run(kernel, layout)
 
     ok = all(

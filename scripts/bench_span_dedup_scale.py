@@ -61,8 +61,8 @@ def main() -> int:
         out_path = sys.argv[sys.argv.index("--out") + 1]
 
     spark = get_spark(
-        master="local[32]",
-        shuffle_partitions=64,
+        master=None,  # local[$SPARK_GRAFT_CPUS]
+        shuffle_partitions=None,
         extra_conf={
             "spark.driver.memory": "48g",
             "spark.ui.showConsoleProgress": "false",

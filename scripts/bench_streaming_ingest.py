@@ -63,8 +63,8 @@ def main() -> int:
         out_path = sys.argv[sys.argv.index("--out") + 1]
 
     spark = get_spark(
-        master="local[32]",
-        shuffle_partitions=32,
+        master=None,  # local[$SPARK_GRAFT_CPUS]
+        shuffle_partitions=None,
         extra_conf={
             "spark.driver.memory": "48g",
             "spark.ui.showConsoleProgress": "false",
@@ -86,6 +86,17 @@ def main() -> int:
     ).sortWithinPartitions("seq").write.partitionBy("f").mode("overwrite").parquet(
         tmp + "/actions"
     )
+    # the file source replays oldest-mtime-first; a bulk write lands
+    # near-identical mtimes, so pin strictly increasing mtimes in seq
+    # order — replay order IS part of the semantics (deletes don't
+    # commute with inserts on the same key)
+    import glob as _glob
+    import os as _os
+
+    t_base = time.time() - 3600
+    for i in range(n_files):
+        for f in _glob.glob(tmp + f"/actions/f={i}/*.parquet"):
+            _os.utime(f, (t_base + i, t_base + i))
     progress: dict = {}
     t0 = time.time()
     streamed = run_structured_stream(
@@ -102,8 +113,21 @@ def main() -> int:
     merged = apply_actions(ug_edges, acts)
     n_bulk = merged.count()
     t_bulk = round(time.time() - t0, 3)
-    if n_streamed != n_bulk:
-        errs.append(f"stream/bulk edge count mismatch: {n_streamed} != {n_bulk}")
+
+    def _sig(df):
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64("src", "dst", "wgt"), F.lit(1 << 30))).alias(
+                "h"
+            ),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    sig_stream, sig_bulk = _sig(streamed), _sig(merged)
+    if sig_stream != sig_bulk:
+        errs.append(
+            f"stream/bulk content mismatch: {sig_stream} != {sig_bulk}"
+        )
     batch_secs = [b["sec"] for b in progress.get("batches", [])]
     out["action_merge"] = {
         "actions": na,
