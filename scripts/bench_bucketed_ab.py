@@ -63,7 +63,15 @@ def main() -> None:
     spark = get_spark(
         app_name=f"bench-bucketed-ab-{size}",
         shuffle_partitions=min(sp, 2048),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # 100-iteration kernels accumulate shuffle files until a
+            # driver GC lets the ContextCleaner reap them; with a 95g
+            # heap that GC may never come before the disk fills
+            # (measured: ENOSPC in the SCALE-24 dst PR run).  Force a
+            # periodic GC so shuffle dirs are bounded by the live set.
+            "spark.cleaner.periodicGC.interval": "120s",
+        },
     )
     n_threads = spark.sparkContext.defaultParallelism
 
@@ -133,7 +141,12 @@ def main() -> None:
                     "source": "bench_rmat state.json (same session config)",
                 }
             )
-    for kernel in ("cc", "pr"):
+    kernels = ("cc", "pr")
+    if "--kernels" in sys.argv:
+        kernels = tuple(
+            sys.argv[sys.argv.index("--kernels") + 1].split(",")
+        )
+    for kernel in kernels:
         for layout in ("uniform", "dst_partitioned"):
             if dst_only and layout == "uniform":
                 continue
@@ -141,7 +154,7 @@ def main() -> None:
 
     ok = all(
         len({r["invariant"] for r in rows if r["kernel"] == k}) == 1
-        for k in ("cc", "pr")
+        for k in kernels
     )
     result = {
         "type": "bucketed-layout-ab",
@@ -162,7 +175,7 @@ def main() -> None:
                 ),
                 4,
             )
-            for k in ("cc", "pr")
+            for k in kernels
         },
         "invariants_match_across_layouts": ok,
     }
