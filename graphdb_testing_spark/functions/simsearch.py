@@ -556,14 +556,28 @@ def _lloyd_iterate(pts: DataFrame, k: int, rounds: int):
     )
     assign = None
     for _ in range(rounds):
-        scored = pts.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "cluster_id", F.expr(_INT_DIST2).alias("dist2")
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
+        # argmin as min(struct(dist2, cluster_id)) — lexicographic
+        # struct ordering gives the same (smallest dist2, then
+        # smallest cluster_id) winner as the former row_number window,
+        # but with map-side partial aggregation: the k·|pts| scored
+        # rows never sort and never shuffle, only |pts| partial minima
+        # do.  This is what makes k ≥ 64 cells affordable at 5M+ rows.
         assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster_id", "dist2")
+            pts.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                F.struct(
+                    F.expr(_INT_DIST2).alias("dist2"),
+                    F.col("cluster_id").alias("cluster_id"),
+                ).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cluster_id").alias("cluster_id"),
+                F.col("m.dist2").alias("dist2"),
+            )
             .localCheckpoint()
         )
         sums = (
@@ -711,6 +725,19 @@ def ivf_kmeans_topk(
         scored = points.crossJoin(F.broadcast(cents)).select(
             "vec_id", "cluster_id", F.expr(_INT_DIST2).alias("dist2")
         )
+        if n == 1:
+            # corpus-side assignment: map-side min(struct) — the k·n
+            # scored rows never sort/shuffle (see _lloyd_iterate)
+            return (
+                scored.select(
+                    "vec_id",
+                    F.struct("dist2", "cluster_id").alias("dc"),
+                )
+                .groupBy("vec_id")
+                .agg(F.min("dc").alias("m"))
+                .select("vec_id", F.col("m.cluster_id").alias("cell"))
+            )
+        # query-side multi-probe: tiny relation, window rank is fine
         w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
         return (
             scored.withColumn("rn", F.row_number().over(w))

@@ -168,6 +168,19 @@ def probe_curve(corpus, queries, k=10, kmeans_cells=0, kmeans_rounds=1) -> dict:
             scored = points.crossJoin(F.broadcast(cents)).select(
                 "vec_id", "cluster_id", F.expr(_INT_DIST2).alias("dist2")
             )
+            if n == 1:  # corpus side: map-side min(struct), no window
+                return (
+                    scored.select(
+                        "vec_id", F.struct("dist2", "cluster_id").alias("dc")
+                    )
+                    .groupBy("vec_id")
+                    .agg(F.min("dc").alias("m"))
+                    .select(
+                        "vec_id",
+                        F.col("m.cluster_id").alias("cell"),
+                        F.lit(1).alias("rn"),
+                    )
+                )
             w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
             return (
                 scored.withColumn("rn", F.row_number().over(w))
@@ -269,7 +282,7 @@ def main() -> int:
     )
     big = probe_curve(
         corpus.select("vec_id", "embedding"), queries,
-        kmeans_cells=16, kmeans_rounds=1,
+        kmeans_cells=64, kmeans_rounds=1,
     )
 
     # ---- the sf0.1 reference figure, same probe budgets ----
