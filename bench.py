@@ -105,6 +105,50 @@ def calibrate_shuffle(spark, n_parts: int) -> float:
     return round(time.time() - t0, 4)
 
 
+#: fixed scan-probe work (rows in the probe parquet; one xxhash64
+#: column, so the bytes are incompressible and the scan moves real
+#: I/O).  Constant across rounds BY CONTRACT, same as the other probes.
+_SCAN_PROBE_ROWS = 1 << 26
+
+
+def ensure_scan_probe(spark, path: str) -> None:
+    """Materialize the fixed scan-probe parquet once (untimed setup).
+
+    Deterministic content (``xxhash64(id)`` over a fixed range), so the
+    file is byte-stable across sessions and the probe's work never
+    drifts.
+    """
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        spark.range(0, _SCAN_PROBE_ROWS, 1, 32).select(
+            F.xxhash64("id").alias("x")
+        ).write.mode("overwrite").parquet(path)
+
+
+def calibrate_scan(spark, path: str) -> float:
+    """Fixed-work parquet SCAN probe: full scan + sum of the
+    ``_SCAN_PROBE_ROWS``-row file at ``path`` (see
+    :func:`ensure_scan_probe`), wall-clock seconds.
+
+    Round-9 post-mortem: the join+agg+shuffle probe
+    (:func:`calibrate_shuffle`) synthesizes its input with
+    ``spark.range`` — it measures CPU + memory + shuffle but never
+    touches the disk, so a cold-page-cache / slow-I/O regime is
+    invisible to it (SCALE-24 CC read 791s on a host the shuffle probe
+    called quiet).  This probe reads fixed bytes from storage, so it
+    moves with exactly the regime the other probe is blind to: run it
+    next to ``calibrate_shuffle`` and a kernel slowdown that tracks the
+    scan probe but not the shuffle probe is an I/O regime, not a plan
+    regression.
+    """
+    t0 = time.time()
+    # pmod bounds the sum inside int64 (ANSI mode); the full column of
+    # incompressible bytes is still read
+    spark.read.parquet(path).agg(
+        F.sum(F.pmod(F.col("x"), F.lit(1000003))).alias("s")
+    ).collect()
+    return round(time.time() - t0, 4)
+
+
 def calibrate(spark, n_parts: int) -> float:
     """Fixed-work JVM-side busy kernel: ``sum(xxhash64(id))`` over
     ``range(n_parts * 2^27)`` split into ``n_parts`` partitions,

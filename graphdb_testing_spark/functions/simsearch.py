@@ -537,6 +537,105 @@ def _integerize(
     )
 
 
+#: cell count at and above which nearest-centroid assignment switches
+#: from the Catalyst crossJoin (O(n·k) expression evals — fine for the
+#: registry's small k) to the Arrow/BLAS path, which is bit-identical
+#: (proof in :func:`_assign_cells`) but ~100× faster per pair.  At
+#: √n-sized IVF indexes (k ≈ 2048 for 5M vectors) the Catalyst path is
+#: hours; the BLAS path is seconds.
+_ARROW_ASSIGN_MIN_CELLS = 128
+
+#: exactness bound for the f64 BLAS path: with every |1000·p_i| and
+#: |c_i| < 2^21 (raw components < ~2048 after the 1024× integerize —
+#: unit-ish embeddings sit 3 orders of magnitude inside), each dot
+#: product / squared distance is an integer < 2^53, so float64
+#: arithmetic is EXACT and the argmin matches the bigint path bit for
+#: bit regardless of BLAS summation order.
+_F64_EXACT_BOUND = 1 << 21
+
+
+def _assign_cells(pts: DataFrame, cents: DataFrame, k: int) -> DataFrame:
+    """``(vec_id, cluster_id, dist2)`` — nearest centroid per point
+    under the exact integer metric ``_INT_DIST2``, lowest
+    ``cluster_id`` on ties.
+
+    Two physically different, bitwise-identical plans:
+
+    * ``k < _ARROW_ASSIGN_MIN_CELLS``: broadcast crossJoin + map-side
+      ``min(struct(dist2, cluster_id))`` — the k·n scored rows never
+      sort and never shuffle, only n partial minima do.
+    * ``k ≥ _ARROW_ASSIGN_MIN_CELLS``: Arrow-batched ``mapInPandas``
+      computing ``(1000p)² − 2(1000p)·Cᵀ + C²`` as one BLAS matmul in
+      float64.  All intermediates are integers below 2^53 (guarded by
+      ``_F64_EXACT_BOUND``; ValueError, never silent drift), so f64 is
+      exact and ``np.argmin``'s first-index tie-break equals the
+      struct-min's lowest-cluster_id tie-break because the centroid
+      matrix rows are sorted by ``cluster_id``.  No shuffle at all:
+      the centroid matrix (k·d ints) rides the closure; output is one
+      narrow row per input row, partition-local.
+
+    Parity is pinned by ``test_arrow_assign_parity`` on real
+    embeddings across both regimes."""
+    if k < _ARROW_ASSIGN_MIN_CELLS:
+        return (
+            pts.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                F.struct(
+                    F.expr(_INT_DIST2).alias("dist2"),
+                    F.col("cluster_id").alias("cluster_id"),
+                ).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cluster_id").alias("cluster_id"),
+                F.col("m.dist2").alias("dist2"),
+            )
+        )
+
+    import numpy as np
+
+    rows = cents.orderBy("cluster_id").collect()  # bounded: k·d ints
+    cid = np.asarray([int(r["cluster_id"]) for r in rows], dtype=np.int64)
+    C = np.asarray([list(r["c"]) for r in rows], dtype=np.float64)
+    if np.abs(C).max(initial=0.0) >= _F64_EXACT_BOUND:
+        raise ValueError(
+            "centroid component exceeds the f64-exact range "
+            f"(|c| < {_F64_EXACT_BOUND}); vectors this large must use "
+            "the Catalyst bigint assignment path"
+        )
+    c2 = (C * C).sum(axis=1)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.vstack(pdf["p"].to_numpy()).astype(np.float64) * 1000.0
+            if np.abs(A).max(initial=0.0) >= _F64_EXACT_BOUND:
+                raise ValueError(
+                    "point component exceeds the f64-exact range "
+                    f"(|1000·p| < {_F64_EXACT_BOUND}); vectors this "
+                    "large must use the Catalyst bigint assignment path"
+                )
+            d2 = (A * A).sum(axis=1)[:, None] - 2.0 * (A @ C.T) + c2[None, :]
+            j = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster_id": cid[j],
+                    "dist2": d2[np.arange(len(j)), j].astype(np.int64),
+                }
+            )
+
+    return pts.mapInPandas(
+        assign, schema="vec_id long, cluster_id long, dist2 long"
+    )
+
+
 def _lloyd_iterate(pts: DataFrame, k: int, rounds: int):
     """Run ``rounds`` full assign+update Lloyd rounds over integerized
     points; returns ``(assign, cents)`` where ``assign`` is the final
@@ -556,30 +655,11 @@ def _lloyd_iterate(pts: DataFrame, k: int, rounds: int):
     )
     assign = None
     for _ in range(rounds):
-        # argmin as min(struct(dist2, cluster_id)) — lexicographic
-        # struct ordering gives the same (smallest dist2, then
-        # smallest cluster_id) winner as the former row_number window,
-        # but with map-side partial aggregation: the k·|pts| scored
-        # rows never sort and never shuffle, only |pts| partial minima
-        # do.  This is what makes k ≥ 64 cells affordable at 5M+ rows.
-        assign = (
-            pts.crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
-                F.struct(
-                    F.expr(_INT_DIST2).alias("dist2"),
-                    F.col("cluster_id").alias("cluster_id"),
-                ).alias("dc"),
-            )
-            .groupBy("vec_id")
-            .agg(F.min("dc").alias("m"))
-            .select(
-                "vec_id",
-                F.col("m.cluster_id").alias("cluster_id"),
-                F.col("m.dist2").alias("dist2"),
-            )
-            .localCheckpoint()
-        )
+        # nearest-centroid via _assign_cells: map-side min(struct) for
+        # small k (the k·|pts| scored rows never sort/shuffle), BLAS
+        # matmul above _ARROW_ASSIGN_MIN_CELLS — bit-identical paths,
+        # which is what makes √n-cell training affordable at 5M+ rows.
+        assign = _assign_cells(pts, cents, k).localCheckpoint()
         sums = (
             assign.join(pts, "vec_id")
             .select("cluster_id", F.posexplode("p").alias("pos", "x"))
@@ -722,22 +802,17 @@ def ivf_kmeans_topk(
     _, cents = _lloyd_iterate(pts, n_cells, rounds)
 
     def nearest(points: DataFrame, n: int) -> DataFrame:
+        if n == 1:
+            # corpus-side assignment: shared exact path (map-side
+            # min(struct) below _ARROW_ASSIGN_MIN_CELLS, BLAS matmul
+            # at √n-sized indexes — see _assign_cells)
+            return _assign_cells(points, cents, n_cells).select(
+                "vec_id", F.col("cluster_id").alias("cell")
+            )
+        # query-side multi-probe: tiny relation, window rank is fine
         scored = points.crossJoin(F.broadcast(cents)).select(
             "vec_id", "cluster_id", F.expr(_INT_DIST2).alias("dist2")
         )
-        if n == 1:
-            # corpus-side assignment: map-side min(struct) — the k·n
-            # scored rows never sort/shuffle (see _lloyd_iterate)
-            return (
-                scored.select(
-                    "vec_id",
-                    F.struct("dist2", "cluster_id").alias("dc"),
-                )
-                .groupBy("vec_id")
-                .agg(F.min("dc").alias("m"))
-                .select("vec_id", F.col("m.cluster_id").alias("cell"))
-            )
-        # query-side multi-probe: tiny relation, window rank is fine
         w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
         return (
             scored.withColumn("rn", F.row_number().over(w))

@@ -934,7 +934,16 @@ def apply_actions_auto(
                 f"{meta['n_parts']}, caller passed {n_parts}"
             )
         n_parts = meta["n_parts"]
-    base = edges if edges is not None else read_edge_store(spark, store_path)
+    # the picker IS the writer entry point, so it reads under the same
+    # single-writer discipline apply_actions_pruned assumes: a hot
+    # trickle journal here means the last merge crashed, and re-running
+    # the merge must heal the store, not raise (recover=True replays
+    # sqlite's hot-journal-on-open rollback before reading the base)
+    base = (
+        edges
+        if edges is not None
+        else read_edge_store(spark, store_path, recover=True)
+    )
     if table_rows is None:
         table_rows = base.count()
     if n_parts is None:

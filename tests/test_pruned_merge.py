@@ -632,3 +632,44 @@ def test_trickle_journal_restores_annihilated_partition_dir(spark, tmp_path):
     out = apply_actions_pruned(spark, crash, acts)
     assert out["touched"] == len(touched)
     assert as_map(read_edge_store(spark, crash)) == {(30, 31): 4, (31, 30): 4}
+
+
+def test_auto_picker_heals_crashed_trickle(spark, tmp_path):
+    """ADVICE r9: apply_actions_auto is the writer entry point, so a
+    hot trickle journal (crashed merge) must auto-recover through the
+    picker — a re-run of the merge heals the store instead of raising
+    the reader's fail-loud RuntimeError (which made the documented
+    replay-from-action-log story unreachable via the picker)."""
+    crash, acts, want, pre = _mk_torn_scenario(spark, tmp_path, "autoheal")
+    d_crash = _data_dir(crash)
+
+    from graphdb_testing_spark.operators.updates import (
+        apply_actions_auto,
+        batch_delta,
+        both_directions,
+        decode_actions,
+        _store_pt,
+    )
+
+    delta = batch_delta(both_directions(decode_actions(acts))).withColumn(
+        "pt", _store_pt(8)
+    )
+    touched = sorted(r["pt"] for r in delta.select("pt").distinct().collect())
+    _write_trickle_journal(spark, d_crash, touched)
+    # --- crash here: journal live, data pre-batch ---
+
+    # replaying the SAME batch through the picker rolls back (no-op
+    # here — data was never mutated) and converges, on every strategy
+    got, strategy = apply_actions_auto(
+        spark, acts, store_path=crash, force="pruned"
+    )
+    assert as_map(got) == want
+    assert not os.path.exists(os.path.join(d_crash, ".trickle-journal"))
+
+    # same through a rewrite strategy on a fresh crashed twin
+    crash2, acts2, want2, _ = _mk_torn_scenario(spark, tmp_path, "autoheal2")
+    _write_trickle_journal(spark, _data_dir(crash2), touched)
+    got2, _ = apply_actions_auto(
+        spark, acts2, store_path=crash2, force="rewrite"
+    )
+    assert as_map(got2) == want2
