@@ -153,6 +153,7 @@ def probe_curve(corpus, queries, k=10, kmeans_cells=0, kmeans_rounds=1) -> dict:
 
         from graphdb_testing_spark.functions.simsearch import (
             _INT_DIST2,
+            _assign_cells,
             _integerize,
             _lloyd_iterate,
             _pair_sim,
@@ -162,25 +163,23 @@ def probe_curve(corpus, queries, k=10, kmeans_cells=0, kmeans_rounds=1) -> dict:
 
         t0 = time.time()
         pts = _integerize(corpus, "vec_id", "embedding").localCheckpoint()
+        # √n-sized training is affordable because _lloyd_iterate's
+        # assignment step dispatches to the BLAS path at ≥128 cells
+        # (round-9 verdict: n_cells=16 at 5M was a misconfigured
+        # index, each probe scanned ~312k candidates by construction)
         _, cents = _lloyd_iterate(pts, kmeans_cells, kmeans_rounds)
 
         def nearest(points, n):
+            if n == 1:  # corpus side: shared exact path (BLAS at √n)
+                return _assign_cells(points, cents, kmeans_cells).select(
+                    "vec_id",
+                    F.col("cluster_id").alias("cell"),
+                    F.lit(1).alias("rn"),
+                )
+            # query side: tiny relation, window rank is fine
             scored = points.crossJoin(F.broadcast(cents)).select(
                 "vec_id", "cluster_id", F.expr(_INT_DIST2).alias("dist2")
             )
-            if n == 1:  # corpus side: map-side min(struct), no window
-                return (
-                    scored.select(
-                        "vec_id", F.struct("dist2", "cluster_id").alias("dc")
-                    )
-                    .groupBy("vec_id")
-                    .agg(F.min("dc").alias("m"))
-                    .select(
-                        "vec_id",
-                        F.col("m.cluster_id").alias("cell"),
-                        F.lit(1).alias("rn"),
-                    )
-                )
             w = Window.partitionBy("vec_id").orderBy("dist2", "cluster_id")
             return (
                 scored.withColumn("rn", F.row_number().over(w))
@@ -202,8 +201,9 @@ def probe_curve(corpus, queries, k=10, kmeans_cells=0, kmeans_rounds=1) -> dict:
             .join(cells, "vec_id")
         )
         qpts = _integerize(queries, "vec_id", "embedding")
+        probe_budgets = [p for p in (1, 2, 4, 8, 16) if p <= kmeans_cells]
         qprobe_all = (
-            nearest(qpts, 4)
+            nearest(qpts, max(probe_budgets))
             .withColumnRenamed("vec_id", "query_id")
             .localCheckpoint()
         )
@@ -214,7 +214,17 @@ def probe_curve(corpus, queries, k=10, kmeans_cells=0, kmeans_rounds=1) -> dict:
         )
         out["kmeans_train_s"] = round(time.time() - t0, 2)
         out["kmeans_cells"] = kmeans_cells
-        for p in (1, 2, 4):
+        occ = csz.agg(
+            F.count("*").alias("nonempty"),
+            F.max("sz").alias("max_sz"),
+            F.avg("sz").alias("avg_sz"),
+        ).collect()[0]
+        out["kmeans_cell_occupancy"] = {
+            "nonempty": int(occ["nonempty"]),
+            "max": int(occ["max_sz"]),
+            "avg": round(float(occ["avg_sz"]), 1),
+        }
+        for p in probe_budgets:
             t0 = time.time()
             qp = qprobe_all.filter(F.col("rn") <= p).drop("rn")
             qs = qn.join(qp, "query_id")
@@ -241,7 +251,7 @@ def probe_curve(corpus, queries, k=10, kmeans_cells=0, kmeans_rounds=1) -> dict:
         out["kmeans_dominates_sign"] = any(
             out[f"kmeans_probes_{p}"]["recall_at_10"] >= sp9["recall_at_10"]
             and out[f"kmeans_probes_{p}"]["candidates"] <= sp9["candidates"]
-            for p in (1, 2, 4)
+            for p in probe_budgets
         )
     exact.unpersist()
     return out
@@ -280,15 +290,27 @@ def main() -> int:
         .select("vec_id", q_emb.alias("embedding"))
         .localCheckpoint()
     )
+    # √n-sized index (round-9 verdict task 3): 2^round(log2(√n)) cells
+    # — 2048 at 5M rows, the standard IVF sizing, so each cell holds
+    # ~n/√n vectors and probe=1 scans ~√n·copies candidates instead of
+    # the n/16 a 16-cell index is forced to
+    import math
+
+    n_cells_big = 1 << round(math.log2(math.sqrt(n_corpus)))
     big = probe_curve(
         corpus.select("vec_id", "embedding"), queries,
-        kmeans_cells=64, kmeans_rounds=1,
+        kmeans_cells=n_cells_big, kmeans_rounds=1,
     )
 
     # ---- the sf0.1 reference figure, same probe budgets ----
     emb01 = datasets.load_table(spark, "/root/testdata/sf0.1", "embeddings")
     q01 = emb01.filter(F.col("vec_id") % 100 == 0)
-    small = probe_curve(emb01, q01, kmeans_cells=16, kmeans_rounds=1)
+    n01 = emb01.count()
+    small = probe_curve(
+        emb01, q01,
+        kmeans_cells=1 << round(math.log2(math.sqrt(n01))),
+        kmeans_rounds=1,
+    )
 
     # ---- SemDeDup dedup-rate at 5M via exact-copy collapse ----
     t0 = time.time()
