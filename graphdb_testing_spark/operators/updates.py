@@ -684,8 +684,12 @@ def apply_actions_pruned(
 
     Semantics are exactly :func:`apply_actions` (sequential-replay
     upsert/delete fixpoint, M13); only the storage strategy differs.
-    Returns ``{"touched": k, "n_parts": B}`` for observability — the
-    pruning ratio k/B is the cost model.
+    Returns ``{"touched": k, "n_parts": B, "stage_s": {...}}`` for
+    observability — the pruning ratio k/B is the cost model, and
+    ``stage_s`` breaks the wall clock into recover / delta-fold /
+    base-read / journal-copy / overwrite-write / annihilate-cleanup so
+    a small-batch fixed cost can be attributed to the stage that
+    carries it instead of guessed at.
 
     Scale shape: the delta is tiny relative to the table, so the
     touched-partition list is a bounded ``collect`` (≤ ``n_parts``
@@ -733,15 +737,28 @@ def apply_actions_pruned(
                 "flat (uncommitted) store layout requires explicit n_parts"
             )
         data_dir = path
+    import time as _time
+
+    stage_s: dict[str, float] = {}
+    _t0 = _time.time()
+
+    def _stamp(stage: str) -> None:
+        nonlocal _t0
+        now = _time.time()
+        stage_s[stage] = round(now - _t0, 3)
+        _t0 = now
+
     recover_trickle(spark, data_dir)  # roll back any crashed predecessor
+    _stamp("recover")
     delta = batch_delta(both_directions(decode_actions(actions))).withColumn(
         "pt", _store_pt(n_parts)
     )
     delta = delta.localCheckpoint(eager=True)  # reuse: touched scan + merge
     touched = sorted(r["pt"] for r in delta.select("pt").distinct().collect())
+    _stamp("delta_fold")
     if not touched:
         delta.unpersist()
-        return {"touched": 0, "n_parts": n_parts}
+        return {"touched": 0, "n_parts": n_parts, "stage_s": stage_s}
 
     # localCheckpoint the pruned base subset: (a) Spark refuses to
     # overwrite a path its write plan still reads from, so the lineage
@@ -754,6 +771,7 @@ def apply_actions_pruned(
         .filter(F.col("pt").isin(touched))
         .localCheckpoint(eager=True)
     )
+    _stamp("base_read")
     merged = base.select("src", "dst", "wgt").join(
         delta.drop("pt"), ["src", "dst"], "full_outer"
     )
@@ -797,6 +815,7 @@ def apply_actions_pruned(
     # undo journal BEFORE any mutation — a kill anywhere below rolls
     # back to this point and the batch replays from the action log
     _write_trickle_journal(spark, data_dir, touched)
+    _stamp("journal_copy")
 
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -804,6 +823,7 @@ def apply_actions_pruned(
         out.write.mode("overwrite").partitionBy("pt").parquet(data_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    _stamp("overwrite_write")
 
     for p in touched:
         if before[p] and _ls(p) == before[p]:  # untouched by the write ⇒ annihilated
@@ -812,7 +832,8 @@ def apply_actions_pruned(
     _clear_trickle_journal(spark, data_dir)  # batch durable: journal inert
     delta.unpersist()
     base.unpersist()
-    return {"touched": len(touched), "n_parts": n_parts}
+    _stamp("annihilate_cleanup")
+    return {"touched": len(touched), "n_parts": n_parts, "stage_s": stage_s}
 
 
 # ---------------------------------------------------------------------------
