@@ -926,9 +926,15 @@ def apply_actions_auto(
     table_rows: int | None = None,
     network_bound: bool = False,
     force: str | None = None,
+    stats: dict | None = None,
 ) -> tuple[DataFrame, str]:
     """Merge ``actions`` via whichever physical path
     :func:`merge_strategy` picks; returns ``(merged_edges, strategy)``.
+
+    Pass a dict as ``stats`` to receive per-merge observability
+    without changing the return shape: the pruned path deposits its
+    ``{"touched", "n_parts", "stage_s"}`` record under
+    ``stats["pruned"]``.
 
     Pass ``store_path`` for a table maintained as an
     :func:`init_edge_store` layout (enables the pruned path; the store
@@ -978,7 +984,11 @@ def apply_actions_auto(
     if strategy == "pruned" and store_path is None:
         strategy = "broadcast_delta" if network_bound else "rewrite"
     if strategy == "pruned":
-        apply_actions_pruned(spark, store_path, actions, n_parts=n_parts)
+        pruned = apply_actions_pruned(
+            spark, store_path, actions, n_parts=n_parts
+        )
+        if stats is not None:
+            stats["pruned"] = pruned
         return read_edge_store(spark, store_path), strategy
     merged = apply_actions(
         base, actions, broadcast_delta=(strategy == "broadcast_delta")

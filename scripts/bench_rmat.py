@@ -335,18 +335,25 @@ def main() -> None:
         def stream(lo: int, hi: int, batches: int):
             """Feed actions seq∈[lo,hi) through apply_actions_auto in
             ``batches`` seq-contiguous sub-batches; returns (sec,
-            regime list)."""
+            regime list, per-stage seconds summed over pruned
+            batches)."""
             per = (hi - lo + batches - 1) // batches
             regimes: list[str] = []
+            stage_tot: dict[str, float] = {}
             t0 = time.time()
             for i in range(batches):
                 batch = acts.filter(
                     (F.col("seq") >= lo + i * per)
                     & (F.col("seq") < min(lo + (i + 1) * per, hi))
                 )
-                _, strategy = apply_actions_auto(spark, batch, store_path=store)
+                st: dict = {}
+                _, strategy = apply_actions_auto(
+                    spark, batch, store_path=store, stats=st
+                )
                 regimes.append(strategy)
-            return round(time.time() - t0, 3), regimes
+                for k, v in st.get("pruned", {}).get("stage_s", {}).items():
+                    stage_tot[k] = round(stage_tot.get(k, 0.0) + v, 3)
+            return round(time.time() - t0, 3), regimes, stage_tot
 
         # two stream granularities over ONE store, one sequential
         # history: the reference's trickle regime (tiny batches, where
@@ -356,16 +363,20 @@ def main() -> None:
         # rest.  Final store content = sequential replay of ALL na
         # actions = one bulk merge, checked by signature below.
         n_small = min(1000, na // 10)
-        t_small, reg_small = stream(0, n_small, nb)
+        t_small, reg_small, stages_small = stream(0, n_small, nb)
         t["update_trickle_small"] = t_small
         meta["trickle_small_actions"] = n_small
         meta["trickle_small_regimes"] = {
             r: reg_small.count(r) for r in set(reg_small)
         }
-        t_big, reg_big = stream(n_small, na, nb)
+        if stages_small:  # fixed-cost attribution of the pruned regime
+            meta["trickle_small_stage_s"] = stages_small
+        t_big, reg_big, stages_big = stream(n_small, na, nb)
         t["update_trickle"] = t_big
         meta["trickle_batches"] = nb
         meta["trickle_regimes"] = {r: reg_big.count(r) for r in set(reg_big)}
+        if stages_big:
+            meta["trickle_stage_s"] = stages_big
 
         # content signature vs the single bulk merge (untimed check)
         def _sig(df):
