@@ -149,6 +149,35 @@ def calibrate_scan(spark, path: str) -> float:
     return round(time.time() - t0, 4)
 
 
+def calibrate_membw() -> float:
+    """Fixed-work driver-side memory-bandwidth probe: four passes of a
+    1 GiB int64 multiply (STREAM-scale pattern, single thread, no
+    Spark), reported as GB/s moved.
+
+    Round-10 post-mortem: SCALE-24 CC reproduced at ~766-893s across
+    hot/cold/quiet regimes vs its 383.8s round-5 record with the
+    kernel, harness config, and data byte-identical and every existing
+    probe (CPU busy t1/tn, join+agg shuffle, parquet scan) quiet and
+    stable — all of those probes are short or compute-bound, so a
+    platform-level change in SUSTAINED memory bandwidth (VM placement,
+    NUMA, THP) is invisible to them while hitting a 95 GB-heap
+    iterative kernel hard.  This probe gives future rounds the missing
+    axis."""
+    import numpy as np
+
+    a = np.ones(1 << 27, dtype=np.int64)  # 1 GiB
+    b = np.empty_like(a)
+    b[:] = 0  # pre-fault both buffers: measure streaming, not the allocator
+    t0 = time.time()
+    s = 0
+    for _ in range(4):
+        np.multiply(a, 2, out=b)  # streams 1 GiB in + 1 GiB out per pass
+        s += int(b[-1])
+    dt = time.time() - t0
+    assert s == 8  # 4 passes x (1*2) — guards dead-code elimination
+    return round((4 * 2 * a.nbytes) / dt / 1e9, 2)
+
+
 def calibrate(spark, n_parts: int) -> float:
     """Fixed-work JVM-side busy kernel: ``sum(xxhash64(id))`` over
     ``range(n_parts * 2^27)`` split into ``n_parts`` partitions,

@@ -42,6 +42,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 from bench import (  # noqa: E402 (repo-root bench.py)
+    calibrate_membw,
     calibrate_scan,
     calibrate_shuffle,
     ensure_scan_probe,
@@ -239,9 +240,15 @@ def main() -> None:
     probe_existed = os.path.isfile(os.path.join(scan_path, "_SUCCESS"))
     ensure_scan_probe(spark, scan_path)
 
+    membw_probes: dict[str, float] = state.get("membw_probes", {})
+    state["membw_probes"] = membw_probes
+    for k in redo:
+        membw_probes.pop(k, None)
+
     def probe(kernel: str) -> None:
         probes[kernel] = calibrate_shuffle(spark, n_threads)
         scan_probes[kernel] = calibrate_scan(spark, scan_path)
+        membw_probes[kernel] = calibrate_membw()
 
     # entry-regime scan: taken FIRST so a cold page cache is visible
     # before any kernel warms it (meaningless when ensure_scan_probe
@@ -436,6 +443,9 @@ def main() -> None:
                 # fixed-work parquet-scan probe (disk/page-cache regime
                 # the shuffle probe can't see — round-9 CC post-mortem)
                 "scan_probes": scan_probes,
+                # single-thread STREAM-like GB/s (round-10 CC
+                # post-mortem: the probe axis the others lack)
+                "membw_probes": membw_probes,
                 "invariants": "FAIL: " + "; ".join(errs) if errs else "ok",
             }
         )
