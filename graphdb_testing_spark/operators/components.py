@@ -104,8 +104,20 @@ def connected_components(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     ).collect()[0]["s"]
 
+    # opt-in chunk profile (SPARK_GRAFT_CC_PROFILE=1): one stderr line
+    # per unrolled chunk with its wall seconds — the discriminator
+    # between "every round got slower" (ambient/platform) and "extra
+    # or pathological rounds appeared" (plan/convergence), at zero
+    # cost when off
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _prof = _os.environ.get("SPARK_GRAFT_CC_PROFILE") == "1"
+
     done = 0
     while done < max_iter:
+        _t0 = _time.time()
         k = min(unroll, max_iter - done)
         chunk_start = labels
         for _ in range(k):
@@ -132,6 +144,13 @@ def connected_components(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         chunk_start.unpersist()
+        if _prof:
+            print(
+                f"[cc-profile] chunk rounds {done - k + 1}..{done} "
+                f"(+jump): {_time.time() - _t0:.1f}s "
+                f"converged={cur_sum == prev_sum}",
+                file=_sys.stderr,
+            )
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
