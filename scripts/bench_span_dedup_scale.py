@@ -52,13 +52,16 @@ NGRAM = 10  # words, shared_span_pairs / exposure
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]  # value is NOT a positional
+    args = [a for a in argv if not a.startswith("--")]
     R = int(args[0]) if len(args) > 0 else 100
     D = int(args[1]) if len(args) > 1 else 10
     sf_dir = args[2] if len(args) > 2 else "/root/testdata/sf0.1"
-    out_path = None
-    if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
 
     spark = get_spark(
         master=None,  # local[$SPARK_GRAFT_CPUS]
