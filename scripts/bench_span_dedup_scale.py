@@ -86,8 +86,17 @@ def main() -> int:
         (F.col("doc_id") * R + F.col("r")).alias("doc_id"), "text"
     )
     d = tempfile.mkdtemp(prefix="span_dedup_")
-    corpus.write.mode("overwrite").parquet(d + "/big")
-    distinct_docs.write.mode("overwrite").parquet(d + "/distinct")
+    # the sf table reads as ONE file -> one partition, and broadcast
+    # crossJoins preserve it: without an explicit repartition the
+    # 5M-doc corpus write (and every downstream explode) would run on
+    # a single task (measured: load ~1.0 for 17 min before the fix)
+    n_threads = spark.sparkContext.defaultParallelism
+    corpus.repartition(4 * n_threads).write.mode("overwrite").parquet(
+        d + "/big"
+    )
+    distinct_docs.repartition(n_threads).write.mode("overwrite").parquet(
+        d + "/distinct"
+    )
     big = spark.read.parquet(d + "/big")
     small = spark.read.parquet(d + "/distinct")
     n_docs = big.count()
