@@ -29,7 +29,13 @@ _ARTIFACT = re.compile(r"`([A-Za-z0-9_][A-Za-z0-9_./-]*\.(?:json|log))`")
 #: sentence must make non-existence clear; listing here keeps the
 #: guard honest about deliberate retractions instead of forcing doc
 #: rewrites to dodge the regex)
-ALLOWED_MISSING: set[str] = set()
+ALLOWED_MISSING: set[str] = {
+    # round-10 session restart lost the uncommitted SCALE-24 attribution
+    # log; COVERAGE.md / BENCHMARKS.md cite it only inside an explicit
+    # retraction note (the matrix's numbers are marked unverifiable and
+    # the reproduction script is named)
+    "SCALE24_r10.log",
+}
 
 
 def cited_artifacts() -> dict[str, set[str]]:
