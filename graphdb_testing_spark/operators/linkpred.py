@@ -50,6 +50,30 @@ def adamic_adar(edges: DataFrame, max_center_degree: int | None = None) -> DataF
     weighted = centers.withColumn(
         "term", F.round(F.lit(1000000.0) / F.log(F.col("deg"))).cast("long")
     )
+    if max_center_degree is None:
+        # guarded dense-adjacency fast path (operators/densegraph.py):
+        # the AA wedge join materializes Σ deg² rows — 1.67 B at sf0.1
+        # (1,500 vertices, 70 % dense) — where blocked integer matmuls
+        # over the 280 KB packed adjacency compute the identical
+        # counts and micro-term sums.  The term vector stays
+        # Spark-computed (same F.round expression as the wedge path),
+        # so rounding semantics cannot diverge.  Past DENSE_NV_MAX, or
+        # with a center-degree cap (the 100 TB knob, which changes
+        # which centers count), the wedge join below runs.
+        from .densegraph import dense_adamic_adar, dense_ctx
+
+        ctx = dense_ctx(nbrs, symmetric=True)
+        if ctx is not None:
+            import numpy as np
+
+            tv = np.zeros(ctx.nv, dtype=np.int64)
+            for r in (
+                ctx.ids.join(weighted, ctx.ids.id == weighted.w)
+                .select("vi", "term")
+                .collect()
+            ):  # bounded: ≤ DENSE_NV_MAX rows
+                tv[r["vi"]] = r["term"]
+            return dense_adamic_adar(ctx, tv)
     # the cap must prune BEFORE the wedge self-join — joining the
     # capped relation afterwards would still materialize the hub's
     # deg² wedge rows first (Catalyst executes joins as written)

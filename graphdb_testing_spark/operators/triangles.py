@@ -79,6 +79,17 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     initializes the array to zero).  See :func:`_oriented_triangles`
     for the scale design.
     """
+    # guarded dense-adjacency fast path (operators/densegraph.py):
+    # the sf0.1 user fixture is 1,500 vertices at 70 % density, where
+    # the degree-oriented wedge join still materializes 527 M rows for
+    # a graph whose packed adjacency is 280 KB — blocked integer
+    # matmuls compute the identical counts in-task.  Past DENSE_NV_MAX
+    # the wedge join below remains the scale path.
+    from .densegraph import dense_ctx, dense_triangles_per_vertex
+
+    ctx = dense_ctx(edges.select("src", "dst"), symmetric=True)
+    if ctx is not None:
+        return dense_triangles_per_vertex(ctx)
     tri = _oriented_triangles(edges)
     # single pass: explode each triangle to its 3 corners (a 3-way
     # union of projections would re-execute the wedge join 3 times)
@@ -95,6 +106,14 @@ def edge_triangle_support(canon: DataFrame) -> DataFrame:
     (``src < dst``, distinct) edge, zero included.  One oriented
     enumeration exploded to its three sides; shared by
     :func:`edge_embeddedness` and the k-truss peeler."""
+    # guarded dense-adjacency fast path — same rationale as in
+    # :func:`triangles_per_vertex`; emits every canonical edge with
+    # its exact support (zeros included) directly
+    from .densegraph import dense_ctx, dense_edge_support
+
+    ctx = dense_ctx(canon, symmetric=False)
+    if ctx is not None:
+        return dense_edge_support(ctx)
     tri = _oriented_triangles(canon)
     side = lambda x, y: F.struct(  # noqa: E731
         F.least(x, y).alias("s"), F.greatest(x, y).alias("d")

@@ -2550,6 +2550,14 @@ def q_four_cycle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-oriented exactly like the triangle kernel."""
     g = datasets.user_graph(spark, sf_dir)
     nbrs = g.edges.select("src", "dst").distinct().localCheckpoint()
+    # guarded dense-adjacency path (operators/densegraph.py): the
+    # co-degree wedge join is Σ deg² rows on a 70 %-dense fixture;
+    # the blocked matmul census is integer-exact and identical
+    from .operators.densegraph import dense_codegree_stats, dense_ctx
+
+    ctx = dense_ctx(nbrs, symmetric=True)
+    if ctx is not None:
+        return dense_codegree_stats(ctx)
     a = nbrs.alias("a")
     b = nbrs.alias("b")
     codeg = (
@@ -3515,16 +3523,30 @@ def q_anf_2hop_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     est = hll_estimate(r, ["id"])
-    two_hop = (
-        e.alias("a")
-        .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
-        .select(F.col("a.src").alias("id"), F.col("b.dst").alias("ball"))
-        .unionByName(e.select(F.col("src").alias("id"), F.col("dst").alias("ball")))
-        .unionByName(e.select(F.col("src").alias("id"), F.col("src").alias("ball")))
-        .distinct()
-        .groupBy("id")
-        .agg(F.count("*").cast("long").alias("n_ball2_exact"))
-    )
+    # exact ground-truth column: guarded dense-adjacency path
+    # (operators/densegraph.py) replaces materializing every radius-2
+    # pair (the measured 58-of-60s side) with one blocked product of
+    # the closed adjacency; identical counts, wedge join past the guard
+    from .operators.densegraph import dense_ctx, dense_two_hop_sizes
+
+    ctx = dense_ctx(e, symmetric=True)
+    if ctx is not None:
+        two_hop = dense_two_hop_sizes(ctx)
+    else:
+        two_hop = (
+            e.alias("a")
+            .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("id"), F.col("b.dst").alias("ball"))
+            .unionByName(
+                e.select(F.col("src").alias("id"), F.col("dst").alias("ball"))
+            )
+            .unionByName(
+                e.select(F.col("src").alias("id"), F.col("src").alias("ball"))
+            )
+            .distinct()
+            .groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_ball2_exact"))
+        )
     return two_hop.join(est, "id").select("id", "n_ball2_exact", "est_milli")
 
 

@@ -1778,14 +1778,10 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = datasets.load_table(spark, sf_dir, "documents")
     sh = dedup.char_shingles(docs).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
-    b = sh.select(F.col("doc_id").alias("b_id"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("i"))
-    )
+    # ground-truth pair counts via the guarded bitmap kernel (exact;
+    # falls back to the inverted-index join past its bounds) — see
+    # dedup.pairwise_shared_item_counts
+    inter = dedup.pairwise_shared_item_counts(sh, "sh")
     truth = (
         inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("za")), "a_id")
         .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("zb")), "b_id")
