@@ -1,0 +1,89 @@
+"""Capture .explain('formatted') before/after plans for the round-10
+optimization targets into plans/r10/.
+
+"before" = the pre-round-10 plan, reproduced by forcing the new
+guarded fast paths off (the fallback branches are the unmodified
+original plans); "after" = the shipped defaults.  Usage::
+
+    python scripts/capture_plans_r10.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from graphdb_testing_spark.functions import bitsets  # noqa: E402
+from graphdb_testing_spark.operators import densegraph  # noqa: E402
+from graphdb_testing_spark.session import get_spark  # noqa: E402
+
+DEFAULT_QUERIES = [
+    "containment_join",
+    "jaccard_prefix_join",
+    "lsh_s_curve",
+    "minhash_recall",
+    "adamic_adar_linkpred",
+    "anf_2hop_sizes",
+    "four_cycle_count",
+    "triangle_counts",
+    "edge_embeddedness",
+    "minhash_lsh_candidates",
+]
+
+
+def plan_text(df) -> str:
+    sess = df.sparkSession
+    prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    names = argv[1:] or DEFAULT_QUERIES
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    os.makedirs(out_dir, exist_ok=True)
+    qs = entry_mod.queries()
+    spark = get_spark(
+        app_name="graphdb-testing-spark-plans",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    guards = (bitsets.MAX_DOCS, densegraph.DENSE_NV_MAX)
+    for name in names:
+        for mode in ("before", "after"):
+            if mode == "before":
+                bitsets.MAX_DOCS = 0
+                densegraph.DENSE_NV_MAX = 0
+            else:
+                bitsets.MAX_DOCS, densegraph.DENSE_NV_MAX = guards
+            txt = plan_text(qs[name](spark, sf_dir))
+            path = os.path.join(out_dir, f"{name}_{mode}.txt")
+            with open(path, "w") as fh:
+                fh.write(
+                    f"-- {name} ({mode}) @ {sf_dir}\n"
+                    + (
+                        "-- fast-path guards forced OFF to reproduce the "
+                        "pre-round-10 plan\n"
+                        if mode == "before"
+                        else ""
+                    )
+                    + txt
+                )
+            print(f"wrote {path}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
