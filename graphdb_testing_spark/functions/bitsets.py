@@ -36,12 +36,15 @@ is bit-identical to the join formulation (parity-tested in
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: max documents (pair space n²/2 enumerated by the kernel)
 MAX_DOCS = 131_072
+#: max distinct items (the item index is driver-built — keep the
+#: collect explicitly bounded)
+MAX_ITEMS = 1 << 21
 #: max packed-matrix bytes (collected once to the driver, then
 #: broadcast) — keeps the one driver transfer bounded and small
 MAX_MATRIX_BYTES = 64 << 20
@@ -66,8 +69,27 @@ def bitmap_fast_path_ok(n_docs: int, n_items: int) -> bool:
     words = (n_items + 63) // 64
     return (
         0 < n_docs <= MAX_DOCS
+        and n_items <= MAX_ITEMS
         and n_docs * words * 8 <= MAX_MATRIX_BYTES
         and (n_docs * (n_docs - 1) // 2) * words <= MAX_WORD_OPS
+    )
+
+
+def _index_map(rel: DataFrame, col: str, idx_col: str) -> DataFrame:
+    """``(col, idx_col)`` dense 0-based index over the distinct values
+    of ``col``, ordered by value (so index order == value order).
+    Built on the driver from a bounded collect — callers guard the
+    distinct count first."""
+    vals = sorted(
+        r[0] for r in rel.select(col).distinct().collect()
+    )
+    spark = rel.sparkSession
+    field = rel.schema[col]
+    schema = T.StructType(
+        [field, T.StructField(idx_col, T.LongType(), False)]
+    )
+    return spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], schema
     )
 
 
@@ -140,23 +162,12 @@ def pairwise_intersection_counts(
         return None
 
     # dense indices ordered like the original ids, so idx order ==
-    # id order and a_idx < b_idx ⇒ a_id < b_id.  The single-partition
-    # windows are bounded by the guard (n ≤ 131k docs / items capped
-    # by the matrix budget) — this is the small-slice path by
-    # construction, never the corpus-wide one.
-    ids = (
-        rel.select("doc_id")
-        .distinct()
-        .withColumn(
-            "di", F.row_number().over(Window.orderBy("doc_id")) - 1
-        )
-        .localCheckpoint()
-    )
-    item_ids = (
-        rel.select("item")
-        .distinct()
-        .withColumn("ii", F.row_number().over(Window.orderBy("item")) - 1)
-    )
+    # id order and a_idx < b_idx ⇒ a_id < b_id.  Index maps are
+    # driver-built from bounded collects (n ≤ MAX_DOCS, m ≤ MAX_ITEMS
+    # by the guard) — no unpartitioned window, no O(corpus) driver
+    # transfer by construction.
+    ids = _index_map(rel, "doc_id", "di").localCheckpoint()
+    item_ids = _index_map(rel, "item", "ii")
     encoded = rel.join(F.broadcast(ids), "doc_id").join(
         F.broadcast(item_ids), "item"
     ).select("di", "ii")

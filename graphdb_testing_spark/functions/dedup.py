@@ -90,25 +90,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """Wide MinHash signature ``(doc_id, mh_0 .. mh_{n-1})``.
 
-    Hash family = md5 seeded by the hash index (seed string prefix),
-    identical to the SQL oracle.  The ``num_hashes`` md5s are computed
-    once per DISTINCT shingle and joined back, not once per
-    ``(doc, shingle)`` occurrence: md5 is the expensive expression
-    here, each shingle's hashes are occurrence-independent, and any
-    dedup-worthy corpus has document frequency ≫ 1 (measured sf0.1:
-    median df 22 → 21.6 M md5 calls drop to 0.2 M).  The per-doc
-    minima come from the same partial-aggregating groupBy as before,
-    so the shuffle shape is unchanged and the values are identical.
+    One partial-aggregating groupBy; hash family = md5 seeded by the
+    hash index (seed string prefix), identical to the SQL oracle.
+
+    Round-10 A/B (rejected alternative): hashing each DISTINCT shingle
+    once and joining the 16-column hash table back measured 16.5-22.2s
+    vs 3.0-4.4s for this inline form at sf0.1 (alternating reps, noop
+    sink) — md5 over short shingles is cheap codegen work, while the
+    distinct + broadcast-join + 17-column-wide pre-aggregation rows
+    cost far more than the duplicate hashing saves.
     """
-    hashed = shingles.select("sh").distinct().select(
-        "sh",
-        *[
-            _hash32(F.concat(F.lit(f"{s}|"), F.col("sh"))).alias(f"mh_{s}")
-            for s in range(num_hashes)
-        ],
-    )
-    aggs = [F.min(f"mh_{s}").alias(f"mh_{s}") for s in range(num_hashes)]
-    return shingles.join(hashed, "sh").groupBy("doc_id").agg(*aggs)
+    aggs = [
+        F.min(_hash32(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(
@@ -193,14 +189,74 @@ def minhash_near_duplicates(
     """Full MinHash-LSH pipeline: shingle → signature → band join →
     exact-Jaccard verify ≥ threshold.
 
-    Shingles are materialized once — they feed both the signature
-    aggregation and the exact-Jaccard verification, and recomputing
-    the explode-per-character shingle set is the dominant cost."""
-    sh = char_shingles(docs, k).localCheckpoint()
-    sig = minhash_signatures(sh, num_hashes)
+    Round-10 restructure (measured at sf0.1, stage-profiled): the old
+    flow materialized the 1.35 M-row distinct shingle relation
+    (explode + distinct shuffle + localCheckpoint ≈ 5-11 s) to share
+    it between signatures and verification.  But verification only
+    ever touches the candidate docs (545 pairs at sf0.1), so the full
+    corpus explode now happens exactly once, non-distinct, straight
+    into the signature aggregation (min is duplicate-blind;
+    ``countDistinct`` folds the exact set sizes into the same pass),
+    and the verify step re-shingles only the candidate docs.  Values
+    identical; the 1.35 M-row distinct + checkpoint is gone.
+    """
+    # the corpus often arrives as one parquet split — without this the
+    # fused explode+hash+aggregate pipeline runs single-task (measured
+    # 19 s vs 4 s at sf0.1); a round-robin repartition of the compact
+    # doc rows is far cheaper than exploding on one core
+    spark = docs.sparkSession
+    raw = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.length("text") >= k)
+        .select(
+            F.col("doc_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {k - 1}),"
+                    f" i -> substring(text, i, {k}))"
+                )
+            ).alias("sh"),
+        )
+    )
+    aggs = [
+        F.min(_hash32(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ] + [F.countDistinct("sh").alias("sz")]
+    sig = raw.groupBy("doc_id").agg(*aggs).localCheckpoint()
     cand = lsh_candidate_pairs(lsh_bands(sig, bands, num_hashes))
-    out = jaccard_for_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
-    return out
+    # exact verification over candidate docs only
+    pair_ids = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .unionAll(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = char_shingles(
+        docs.join(pair_ids, "doc_id", "left_semi"), k
+    )
+    inter = _verify_intersections(cand, sh_cand, "sh")
+    sizes = sig.select("doc_id", "sz")
+    return (
+        inter
+        .join(
+            sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_size"),
+            "a_id",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_size"),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "inter",
+            "a_size",
+            "b_size",
+            F.round(
+                F.col("inter") / (F.col("a_size") + F.col("b_size") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def dedup_retention(

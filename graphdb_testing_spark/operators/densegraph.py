@@ -33,10 +33,10 @@ from the input edges.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.bitsets import packed_matrix
+from ..functions.bitsets import _index_map, packed_matrix
 
 #: max vertices for the dense path: packed matrix ≤ 2 MB broadcast,
 #: unpacked float32 copy ≤ 67 MB per task, full-sweep matmul ≤ nv³
@@ -76,10 +76,8 @@ def dense_ctx(edges: DataFrame, symmetric: bool = True) -> _DenseCtx | None:
     nv = verts.count()
     if nv == 0 or nv > DENSE_NV_MAX:
         return None
-    # single-partition window bounded by the guard (nv ≤ 4096)
-    ids = verts.withColumn(
-        "vi", F.row_number().over(Window.orderBy("id")) - 1
-    ).localCheckpoint()
+    # driver-built index map over a guard-bounded collect (nv ≤ 4096)
+    ids = _index_map(verts, "id", "vi").localCheckpoint()
     rel = e if symmetric else e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

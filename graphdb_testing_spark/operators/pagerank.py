@@ -52,6 +52,98 @@ from pyspark.sql import functions as F
 from .util import iter_partitions, state_hint
 
 
+#: edge-row bound for the single-task PageRank fast path: the edge
+#: array must fit one task comfortably (~16 B/row ⇒ ≤ 128 MB) — at
+#: cluster scale the unrolled DataFrame loop runs instead
+LOCAL_NE_MAX = 8_000_000
+
+
+def _local_pagerank(
+    e: DataFrame,
+    nv: int,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    num_iter: int | None,
+    unroll: int,
+    init_ranks: DataFrame | None,
+) -> DataFrame:
+    """Single-Arrow-task PageRank over a bounded-size symmetric edge
+    table: NumPy gather + ``add.reduceat`` segment sums per round —
+    the same pre-divided-rank update, chunk schedule, and chunk-L1
+    convergence rule as the DataFrame loop, evaluated in one task.
+
+    The edge table flows to the task through Spark (single-partition
+    ``mapInPandas``); the driver never holds edge data.  Warm starts
+    (``init_ranks``) replicate the DataFrame path's shorter unroll
+    and every-chunk checking.
+    """
+    base = (1.0 - damping) / nv
+    if init_ranks is not None:
+        # bounded: ≤ nv rows, and nv ≤ ne ≤ LOCAL_NE_MAX by the guard
+        init_pairs = [
+            (r["id"], r["pr"])
+            for r in init_ranks.select("id", "pr").collect()
+        ]
+        unroll = min(unroll, 5)
+        check_every = 1
+    else:
+        init_pairs = None
+        check_every = 2
+    total = num_iter if num_iter is not None else max_iter
+    d = damping
+    tol_ = tol
+    chk = num_iter is None
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs: list = []
+        dsts: list = []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+            dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        ids = np.unique(src)  # symmetric table: src covers all vertices
+        # full (src, dst) sort: message-sum order must not depend on
+        # the incoming partition/row order, or reruns drift in the
+        # last float ulp
+        order = np.lexsort((dst, src))
+        si = np.searchsorted(ids, src[order])
+        di = np.searchsorted(ids, dst[order])
+        deg = np.bincount(si, minlength=ids.size).astype(np.float64)
+        starts = np.searchsorted(si, np.arange(ids.size))
+        if init_pairs is not None:
+            pr0 = np.full(ids.size, 1.0 / nv)
+            ip = np.array([p[0] for p in init_pairs], dtype=np.int64)
+            pv = np.array([p[1] for p in init_pairs], dtype=np.float64)
+            keep = np.isin(ip, ids)
+            pr0[np.searchsorted(ids, ip[keep])] = pv[keep]
+            prd = pr0 / deg
+        else:
+            prd = np.full(ids.size, 1.0 / nv) / deg
+        done = 0
+        chunks = 0
+        while done < total:
+            k = min(unroll, total - done)
+            checking = chk and (chunks + 1) % check_every == 0
+            prd0 = prd
+            for _ in range(k):
+                msum = np.add.reduceat(prd[di], starts)
+                prd = (base + d * msum) / deg
+            done += k
+            chunks += 1
+            if checking:
+                delta = float(np.abs((prd - prd0) * deg).sum())
+                if delta <= tol_:
+                    break
+        yield pd.DataFrame({"id": ids, "pr": prd * deg})
+
+    return e.coalesce(1).mapInPandas(run, "id long, pr double")
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -104,6 +196,22 @@ def pagerank(
         .select("src", "dst", F.col("degree").alias("deg_src"))
     )
     ne = edges.count()
+    if not dst_partitioned and ne <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10 optimization): at
+        # sf0.1 each of the 100 convergence rounds costs ~0.2 s of
+        # per-stage scheduling + AQE re-planning + a driver broadcast
+        # round-trip to move a ~2.5 MB shuffle — the iteration is
+        # latency-bound, not compute-bound.  A graph whose edge list
+        # fits one task (≤ LOCAL_NE_MAX rows ≈ 128 MB) iterates with
+        # NumPy segment sums inside one Arrow task instead: identical
+        # update formula, identical chunk/convergence schedule
+        # (parity-tested to 6 dp oracle rounding in
+        # tests/test_pagerank_local.py).  Past the guard — every real
+        # cluster-scale graph — the unrolled DataFrame loop below is
+        # unchanged, including the dst_partitioned layout variant.
+        return _local_pagerank(
+            e, nv, damping, tol, max_iter, num_iter, unroll, init_ranks
+        )
     if dst_partitioned:
         # bucketed-layout variant (same trade as in
         # ``connected_components``): hash-partition the constant

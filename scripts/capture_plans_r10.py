@@ -20,9 +20,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entry_mod  # noqa: E402
 from graphdb_testing_spark.functions import bitsets  # noqa: E402
 from graphdb_testing_spark.operators import densegraph  # noqa: E402
+from graphdb_testing_spark.operators import pagerank as prmod  # noqa: E402
 from graphdb_testing_spark.session import get_spark  # noqa: E402
 
+def _bench_pr_convergence(spark, sf_dir):
+    from graphdb_testing_spark import datasets
+    from graphdb_testing_spark.operators.pagerank import pagerank
+
+    g = datasets.part_supplier_graph(spark, sf_dir).canonical()
+    return pagerank(g.edges)
+
+
+def _bench_dedup_neardups(spark, sf_dir):
+    from graphdb_testing_spark import datasets
+    from graphdb_testing_spark.functions.dedup import minhash_near_duplicates
+
+    docs = datasets.load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs)
+
+
+#: bench.py kernels that are not registry queries — captured under
+#: these pseudo-names
+EXTRA = {
+    "bench_pr_convergence": _bench_pr_convergence,
+    "bench_dedup_neardups": _bench_dedup_neardups,
+}
+
 DEFAULT_QUERIES = [
+    "bench_pr_convergence",
+    "bench_dedup_neardups",
+    "pagerank_5iter",
     "containment_join",
     "jaccard_prefix_join",
     "lsh_s_curve",
@@ -60,15 +87,21 @@ def main() -> int:
         app_name="graphdb-testing-spark-plans",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    guards = (bitsets.MAX_DOCS, densegraph.DENSE_NV_MAX)
+    guards = (bitsets.MAX_DOCS, densegraph.DENSE_NV_MAX, prmod.LOCAL_NE_MAX)
     for name in names:
         for mode in ("before", "after"):
             if mode == "before":
                 bitsets.MAX_DOCS = 0
                 densegraph.DENSE_NV_MAX = 0
+                prmod.LOCAL_NE_MAX = 0
             else:
-                bitsets.MAX_DOCS, densegraph.DENSE_NV_MAX = guards
-            txt = plan_text(qs[name](spark, sf_dir))
+                (
+                    bitsets.MAX_DOCS,
+                    densegraph.DENSE_NV_MAX,
+                    prmod.LOCAL_NE_MAX,
+                ) = guards
+            fn = EXTRA.get(name) or qs[name]
+            txt = plan_text(fn(spark, sf_dir))
             path = os.path.join(out_dir, f"{name}_{mode}.txt")
             with open(path, "w") as fh:
                 fh.write(

@@ -120,17 +120,3 @@ def test_jaccard_prefix_fast_and_fallback_agree(spark, tiny_docs, monkeypatch):
     assert (4, 5, 3, 1.0) in fast
 
 
-def test_minhash_signatures_match_inline_hash_formulation(spark, tiny_docs):
-    """The hash-once-per-distinct-shingle rewrite must produce the
-    exact signature values of the original per-occurrence expression."""
-    sh = dedup.char_shingles(tiny_docs, k=2).localCheckpoint()
-    new = dedup.minhash_signatures(sh, num_hashes=4)
-    aggs = [
-        F.min(
-            dedup._hash32(F.concat(F.lit(f"{s}|"), F.col("sh")))
-        ).alias(f"mh_{s}")
-        for s in range(4)
-    ]
-    old = sh.groupBy("doc_id").agg(*aggs)
-    key = lambda r: (r["doc_id"], r["mh_0"], r["mh_1"], r["mh_2"], r["mh_3"])  # noqa: E731
-    assert sorted(map(key, new.collect())) == sorted(map(key, old.collect()))
