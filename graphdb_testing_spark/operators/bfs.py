@@ -24,6 +24,58 @@ from pyspark.sql import functions as F
 
 from .util import iter_partitions, state_hint
 
+#: edge-row bound for the single-task fast path (~16 B/row ⇒ ≤128 MB
+#: in one task); past it the level-synchronous DataFrame loop runs
+LOCAL_NE_MAX = 8_000_000
+
+
+def _local_bfs(e: DataFrame, source: int, max_depth: int) -> DataFrame:
+    """Single-Arrow-task level-synchronous BFS over a bounded-size
+    symmetric edge table: one full-edge-array scan per level with
+    NumPy masks.  Hop distances are integers and the level schedule is
+    identical to the DataFrame loop, so the output rows match exactly
+    (unreachable vertices absent; the source row present even when it
+    has no edges, as in the DataFrame path's seed frontier)."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs: list = []
+        dsts: list = []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+            dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        ids = np.unique(src)
+        pos = np.searchsorted(ids, source)
+        if pos >= ids.size or ids[pos] != source:
+            # source has no outgoing edges: only the seed row exists
+            yield pd.DataFrame(
+                {
+                    "id": np.array([source], dtype=np.int64),
+                    "dist": np.array([0], dtype=np.int32),
+                }
+            )
+            return
+        si = np.searchsorted(ids, src)
+        di = np.searchsorted(ids, dst)
+        dist = np.full(ids.size, -1, dtype=np.int32)
+        dist[pos] = 0
+        depth = 0
+        while depth < max_depth:
+            depth += 1
+            tgt = di[dist[si] == depth - 1]
+            tgt = tgt[dist[tgt] < 0]
+            if tgt.size == 0:
+                break
+            dist[np.unique(tgt)] = depth
+        hit = dist >= 0
+        yield pd.DataFrame({"id": ids[hit], "dist": dist[hit]})
+
+    return e.coalesce(1).mapInPandas(run, "id long, dist int")
+
 
 def bfs(
     edges: DataFrame,
@@ -39,7 +91,14 @@ def bfs(
     # cost on small graphs is task scheduling, so right-size to ~250k
     # edge rows per task
     e = edges.select("src", "dst")
-    e = e.coalesce(iter_partitions(edges.count()))
+    ne = edges.count()
+    if ne <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10): per-level cost at
+        # sf0.1 is scheduling + broadcast latency, not compute — see
+        # _local_bfs; identical integer levels, cluster-scale graphs
+        # take the frontier loop below
+        return _local_bfs(e, source, max_depth)
+    e = e.coalesce(iter_partitions(ne))
     dist = spark.createDataFrame([(source, 0)], "id long, dist int").localCheckpoint()
     frontier = dist
     depth = 0

@@ -34,6 +34,51 @@ from pyspark.sql import functions as F
 
 from .util import iter_partitions, state_hint
 
+#: edge-row bound for the single-task fast path (~16 B/row ⇒ ≤128 MB
+#: in one task); past it the unrolled DataFrame loop runs
+LOCAL_NE_MAX = 8_000_000
+
+
+def _local_components(e: DataFrame) -> DataFrame:
+    """Single-Arrow-task min-label fixpoint over a bounded-size
+    symmetric edge table: NumPy min-scatter rounds + full pointer-jump
+    closure per round.  The fixpoint (label = component min id) is
+    structurally determined, so the output is bit-identical to the
+    DataFrame loop's — integer labels carry no float-order risk.
+    The edge table flows to the task through Spark; the driver never
+    holds edge data."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs: list = []
+        dsts: list = []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+            dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        ids = np.unique(src)  # symmetric: src covers every vertex
+        si = np.searchsorted(ids, src)
+        di = np.searchsorted(ids, dst)
+        lab = np.arange(ids.size, dtype=np.int64)
+        while True:
+            m = lab.copy()
+            np.minimum.at(m, si, lab[di])
+            np.minimum(m, lab, out=m)
+            while True:  # pointer-jump to closure
+                mm = m[m]
+                if np.array_equal(mm, m):
+                    break
+                m = mm
+            if np.array_equal(m, lab):
+                break
+            lab = m
+        yield pd.DataFrame({"id": ids, "label": ids[lab]})
+
+    return e.coalesce(1).mapInPandas(run, "id long, label long")
+
 
 def connected_components(
     edges: DataFrame,
@@ -75,10 +120,20 @@ def connected_components(
     # so each round re-reads them through a narrow union instead of
     # paying an up-front materialization of a second full edge copy
     # (measured 52.8s -> 36.9s for CC on the 16M-edge medium graph).
+    ne = edges.count()
+    if not dst_partitioned and ne <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10): the per-round cost
+        # at sf0.1 is stage scheduling + AQE re-planning for tiny
+        # shuffles, not compute.  The fixpoint is the same min-id
+        # labeling either way (max_iter is a safety valve both paths
+        # share only in the non-converged regime, which the 100-round
+        # default never reaches on a graph small enough for this
+        # guard).  Parity-tested in tests/test_components_local.py;
+        # cluster-scale graphs take the unrolled loop below.
+        return _local_components(edges.select("src", "dst"))
     ids = (
         edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
     )
-    ne = edges.count()
     e_self = edges.select("src", "dst").unionAll(
         ids.select(F.col("id").alias("src"), F.col("id").alias("dst"))
     )

@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from graphdb_testing_spark.functions import bitsets  # noqa: E402
+from graphdb_testing_spark.operators import bfs as bfsmod  # noqa: E402
+from graphdb_testing_spark.operators import components as compmod  # noqa: E402
 from graphdb_testing_spark.operators import densegraph  # noqa: E402
 from graphdb_testing_spark.operators import pagerank as prmod  # noqa: E402
 from graphdb_testing_spark.session import get_spark  # noqa: E402
@@ -60,6 +62,8 @@ DEFAULT_QUERIES = [
     "triangle_counts",
     "edge_embeddedness",
     "minhash_lsh_candidates",
+    "connected_components",
+    "bfs_distances",
 ]
 
 
@@ -87,18 +91,28 @@ def main() -> int:
         app_name="graphdb-testing-spark-plans",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    guards = (bitsets.MAX_DOCS, densegraph.DENSE_NV_MAX, prmod.LOCAL_NE_MAX)
+    guards = (
+        bitsets.MAX_DOCS,
+        densegraph.DENSE_NV_MAX,
+        prmod.LOCAL_NE_MAX,
+        compmod.LOCAL_NE_MAX,
+        bfsmod.LOCAL_NE_MAX,
+    )
     for name in names:
         for mode in ("before", "after"):
             if mode == "before":
                 bitsets.MAX_DOCS = 0
                 densegraph.DENSE_NV_MAX = 0
                 prmod.LOCAL_NE_MAX = 0
+                compmod.LOCAL_NE_MAX = 0
+                bfsmod.LOCAL_NE_MAX = 0
             else:
                 (
                     bitsets.MAX_DOCS,
                     densegraph.DENSE_NV_MAX,
                     prmod.LOCAL_NE_MAX,
+                    compmod.LOCAL_NE_MAX,
+                    bfsmod.LOCAL_NE_MAX,
                 ) = guards
             fn = EXTRA.get(name) or qs[name]
             txt = plan_text(fn(spark, sf_dir))
