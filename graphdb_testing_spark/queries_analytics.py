@@ -3434,7 +3434,6 @@ def q_spectral_cut_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .functions.sketches import (  # noqa: E402
     HLL_ALPHA,
     HLL_M,
-    hll_estimate,
     hll_rho,
 )
 
@@ -3511,18 +3510,53 @@ def q_anf_2hop_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = g.edges.select("src", "dst").localCheckpoint()
     verts = e.select(F.col("src").alias("id")).distinct()
     reg, rho = hll_rho(F.col("id"), salt="anf")
-    r = verts.select("id", reg.alias("register"), rho.alias("max_rho"))
+    # register state as ONE 64-slot array row per vertex instead of 64
+    # (id, register, max_rho) rows: each message-passing round then
+    # joins |E| rows instead of 64·|E| (measured 50M -> 0.8M shuffled
+    # rows per round at sf0.1).  Slot value 0 = empty register, which
+    # contributes 2^-0 = 1 to the estimate denominator — exactly the
+    # (m - n_regs) term of hll_estimate, so the arithmetic is
+    # unchanged: every 2^-rho is a dyadic rational ≥ 2^-27 and the
+    # 64-term sum is exact in a double regardless of order.
+    r = verts.select(
+        "id", reg.alias("reg"), rho.alias("rho")
+    ).select(
+        "id",
+        F.expr(
+            "transform(sequence(0, 63),"
+            " j -> IF(j = CAST(reg AS INT), rho, CAST(0 AS BIGINT)))"
+        ).alias("regs"),
+    )
+    slot_max = [
+        F.max(F.element_at("regs", j + 1)).alias(f"m{j}") for j in range(64)
+    ]
     for _ in range(2):
         nbr = e.join(
-            r.select(F.col("id").alias("dst"), "register", "max_rho"), "dst"
-        ).select(F.col("src").alias("id"), "register", "max_rho")
+            r.select(F.col("id").alias("dst"), "regs"), "dst"
+        ).select(F.col("src").alias("id"), "regs")
         r = (
-            nbr.unionByName(r)
-            .groupBy("id", "register")
-            .agg(F.max("max_rho").alias("max_rho"))
+            nbr.unionByName(r.select("id", "regs"))
+            .groupBy("id")
+            .agg(*slot_max)
+            .select(
+                "id",
+                F.array(*[F.col(f"m{j}") for j in range(64)]).alias("regs"),
+            )
             .localCheckpoint()
         )
-    est = hll_estimate(r, ["id"])
+    s = F.aggregate(
+        "regs",
+        F.lit(0.0),
+        lambda acc, x: acc + F.pow(F.lit(2.0), -x.cast("double")),
+    )
+    est = r.select(
+        "id",
+        F.floor(
+            F.lit(1000.0) * F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / s
+        )
+        .cast("long")
+        .alias("est_milli"),
+    )
     # exact ground-truth column: guarded dense-adjacency path
     # (operators/densegraph.py) replaces materializing every radius-2
     # pair (the measured 58-of-60s side) with one blocked product of
