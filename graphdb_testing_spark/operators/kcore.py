@@ -18,6 +18,113 @@ from pyspark.sql import functions as F
 
 from .util import state_hint
 
+#: edge-row bound for the single-task fast paths (~16 B/row ⇒ ≤128 MB
+#: in one task); past it the peel / h-index DataFrame loops run
+LOCAL_NE_MAX = 8_000_000
+
+
+def _local_kcore_vertices(
+    e: DataFrame, k: int, max_rounds: int | None
+) -> DataFrame:
+    """Single-Arrow-task peel loop over a bounded-size symmetric edge
+    table — the same round schedule as the DataFrame loop (degree
+    restricted to survivors, drop < k, stop at fixpoint / round bound
+    / empty), so the surviving id set matches exactly (all-integer)."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs: list = []
+        dsts: list = []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+            dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        ids = np.unique(src)  # symmetric: src covers every vertex
+        si = np.searchsorted(ids, src)
+        di = np.searchsorted(ids, dst)
+        alive = np.ones(ids.size, dtype=bool)
+        prev_n = ids.size
+        rounds = 0
+        while ids.size:
+            if max_rounds is not None and rounds >= max_rounds:
+                break
+            mask = alive[si] & alive[di]
+            deg = np.bincount(si[mask], minlength=ids.size)
+            alive = deg >= k
+            n = int(alive.sum())
+            rounds += 1
+            if max_rounds is None and n == prev_n:
+                break
+            if n == 0:
+                break
+            prev_n = n
+        yield pd.DataFrame({"id": ids[alive]})
+
+    return e.coalesce(1).mapInPandas(run, "id long")
+
+
+def _local_core_numbers(
+    e: DataFrame, max_rounds: int, unroll: int
+) -> DataFrame:
+    """Single-Arrow-task iterated neighborhood h-index with the SAME
+    chunked Σcore convergence schedule as the DataFrame loop (chunks
+    of ``unroll`` rounds, stop when Σcore is unchanged after a chunk
+    or at ``max_rounds``), so bounded-round variants match round for
+    round.  All-integer state."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs: list = []
+        dsts: list = []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+            dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        ids = np.unique(src)
+        si = np.searchsorted(ids, src)
+        di = np.searchsorted(ids, dst)
+        core = np.bincount(si, minlength=ids.size).astype(np.int64)
+        prev_sum = int(core.sum())
+        done = 0
+        while done < max_rounds and ids.size:
+            k = min(unroll, max_rounds - done)
+            for _ in range(k):
+                # h-index per vertex of neighbor core values: sort
+                # edges by (vertex, -value); h = #positions with
+                # value >= 1-based rank (prefix property)
+                vals = core[di]
+                order = np.lexsort((-vals, si))
+                s_si = si[order]
+                s_val = vals[order]
+                starts = np.flatnonzero(
+                    np.r_[True, s_si[1:] != s_si[:-1]]
+                )
+                sizes = np.diff(np.r_[starts, s_si.size])
+                pos = (
+                    np.arange(s_si.size, dtype=np.int64)
+                    - np.repeat(starts, sizes)
+                    + 1
+                )
+                core = np.add.reduceat(
+                    (s_val >= pos).astype(np.int64), starts
+                )
+            new_sum = int(core.sum())
+            done += k
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        yield pd.DataFrame(
+            {"id": ids, "core": core.astype(np.int32)}
+        )
+
+    return e.coalesce(1).mapInPandas(run, "id long, core int")
+
 
 def kcore_vertices(
     edges: DataFrame, k: int, max_rounds: int | None = None
@@ -29,6 +136,12 @@ def kcore_vertices(
     semantics, used by the unrolled SQL oracle).
     """
     e = edges.select("src", "dst")
+    ne = e.count()
+    if k >= 1 and ne <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10): each peel round at
+        # sf0.1 costs stage scheduling + a checkpoint, not compute;
+        # identical round schedule, cluster-scale graphs peel below
+        return _local_kcore_vertices(e, k, max_rounds)
     active = e.select(F.col("src").alias("id")).distinct().localCheckpoint()
     prev_n = active.count()
     rounds = 0
@@ -102,6 +215,11 @@ def core_numbers(
     from .util import iter_partitions
 
     e = edges.select("src", "dst")
+    if e.count() <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10): the sf0.1 fixpoint
+        # is 25 h-index rounds of ~0.4s scheduling each; same chunked
+        # Σcore convergence schedule, exact integer state either way
+        return _local_core_numbers(e, max_rounds, unroll)
     state = (
         e.groupBy(F.col("src").alias("id"))
         .agg(F.count("*").alias("core"))

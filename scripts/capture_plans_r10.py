@@ -22,6 +22,7 @@ from graphdb_testing_spark.functions import bitsets  # noqa: E402
 from graphdb_testing_spark.operators import bfs as bfsmod  # noqa: E402
 from graphdb_testing_spark.operators import components as compmod  # noqa: E402
 from graphdb_testing_spark.operators import densegraph  # noqa: E402
+from graphdb_testing_spark.operators import kcore as kcoremod  # noqa: E402
 from graphdb_testing_spark.operators import pagerank as prmod  # noqa: E402
 from graphdb_testing_spark.session import get_spark  # noqa: E402
 
@@ -64,6 +65,8 @@ DEFAULT_QUERIES = [
     "minhash_lsh_candidates",
     "connected_components",
     "bfs_distances",
+    "kcore_k3",
+    "core_numbers",
 ]
 
 
@@ -97,6 +100,7 @@ def main() -> int:
         prmod.LOCAL_NE_MAX,
         compmod.LOCAL_NE_MAX,
         bfsmod.LOCAL_NE_MAX,
+        kcoremod.LOCAL_NE_MAX,
     )
     for name in names:
         for mode in ("before", "after"):
@@ -106,6 +110,7 @@ def main() -> int:
                 prmod.LOCAL_NE_MAX = 0
                 compmod.LOCAL_NE_MAX = 0
                 bfsmod.LOCAL_NE_MAX = 0
+                kcoremod.LOCAL_NE_MAX = 0
             else:
                 (
                     bitsets.MAX_DOCS,
@@ -113,6 +118,7 @@ def main() -> int:
                     prmod.LOCAL_NE_MAX,
                     compmod.LOCAL_NE_MAX,
                     bfsmod.LOCAL_NE_MAX,
+                    kcoremod.LOCAL_NE_MAX,
                 ) = guards
             fn = EXTRA.get(name) or qs[name]
             txt = plan_text(fn(spark, sf_dir))
