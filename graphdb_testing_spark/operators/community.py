@@ -24,6 +24,90 @@ from pyspark.sql import functions as F
 
 from .util import state_hint
 
+#: edge-row bound for the single-task fast path (~24 B/row ⇒ ≤192 MB
+#: in one task); past it the level-loop DataFrame plan runs
+LOCAL_NE_MAX = 8_000_000
+
+
+def _local_agglomeration(edges: DataFrame, max_levels: int) -> DataFrame:
+    """Single-Arrow-task agglomeration for the deterministic
+    (``min_score_filter=False``) variant over a bounded-size edge
+    table.  Each level at sf0.1 costs ~7 driver actions of scheduling
+    latency in the DataFrame loop; here a level is a few NumPy passes.
+
+    Exactness: ``vol``/``wdeg`` are sums of integer multiplicities
+    (exact in float64 far below 2^53, any order), the per-edge score
+    is the same pointwise IEEE expression the DataFrame/SQL versions
+    compute, and the argmax tie-break (max score, then min dst) is
+    lexicographic — so matching, contraction, and the final mapping
+    are structurally determined, bit-identical to the DataFrame loop
+    (parity-tested).  The mean-score candidate filter (an FP mean
+    whose summation order is engine-dependent) deliberately stays on
+    the DataFrame path."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs: list = []
+        dsts: list = []
+        wgts: list = []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+            dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+            wgts.append(pdf["wgt"].to_numpy(dtype=np.float64))
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        wgt = np.concatenate(wgts) if wgts else np.empty(0, np.float64)
+        ids = np.unique(src)  # symmetric: src covers every vertex
+        n = ids.size
+        si = np.searchsorted(ids, src)
+        di = np.searchsorted(ids, dst)
+        comm = np.arange(n, dtype=np.int64)
+        for _ in range(max_levels):
+            vol = float(wgt.sum())
+            wdeg = np.bincount(si, weights=wgt, minlength=n)
+            ns = si != di
+            score = wgt[ns] / (vol / 2.0) - (
+                2.0 * wdeg[si[ns]] * wdeg[di[ns]] / (vol * vol)
+            )
+            pos = score > 0
+            cs, cd, csc = si[ns][pos], di[ns][pos], score[pos]
+            if cs.size == 0:
+                break
+            # per-src argmax of (score, -dst): sort (src asc, score
+            # desc, dst asc), take the first row of each src group
+            order = np.lexsort((cd, -csc, cs))
+            scs, scd = cs[order], cd[order]
+            first = np.r_[True, scs[1:] != scs[:-1]]
+            bsrc, bdst = scs[first], scd[first]
+            best = np.full(n, -1, dtype=np.int64)
+            best[bsrc] = bdst
+            # mutual best with src < best: contract high -> low
+            lo = bsrc[(best[bdst] == bsrc) & (bsrc < bdst)]
+            hi = best[lo]
+            if lo.size == 0:
+                break
+            lab = np.arange(n, dtype=np.int64)
+            lab[hi] = lo
+            si, di = lab[si], lab[di]
+            comm = lab[comm]
+            # contract the multigraph (self-loops kept: they carry the
+            # merged community's internal weight)
+            key = si * n + di
+            uk, inv = np.unique(key, return_inverse=True)
+            wgt = np.bincount(inv, weights=wgt)
+            si, di = uk // n, uk % n
+            if si.size == 0:
+                break
+        yield pd.DataFrame({"id": ids, "community": ids[comm]})
+
+    return (
+        edges.select("src", "dst", F.col("wgt").cast("double").alias("wgt"))
+        .coalesce(1)
+        .mapInPandas(run, "id long, community long")
+    )
+
 
 def _score_edges(edges: DataFrame, nv: int | None = None) -> DataFrame:
     """Edge modularity-gain scores (reference ``:52-98``).
@@ -73,6 +157,11 @@ def community_agglomeration(
     ``min_score_filter`` applies the reference's mean-based candidate
     filter (scores below the mean are not contracted).
     """
+    if not min_score_filter and edges.count() <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10) for the
+        # deterministic variant — see _local_agglomeration; the
+        # mean-filter path and cluster-scale graphs run the loop below
+        return _local_agglomeration(edges, max_levels)
     mapping = (
         edges.select(F.col("src").alias("id")).distinct().withColumn(
             "community", F.col("id")

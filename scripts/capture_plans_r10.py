@@ -22,6 +22,7 @@ from graphdb_testing_spark.functions import bitsets  # noqa: E402
 from graphdb_testing_spark.operators import bfs as bfsmod  # noqa: E402
 from graphdb_testing_spark.operators import components as compmod  # noqa: E402
 from graphdb_testing_spark.operators import densegraph  # noqa: E402
+from graphdb_testing_spark.operators import community as communitymod  # noqa: E402
 from graphdb_testing_spark.operators import kcore as kcoremod  # noqa: E402
 from graphdb_testing_spark.operators import pagerank as prmod  # noqa: E402
 from graphdb_testing_spark.session import get_spark  # noqa: E402
@@ -67,6 +68,7 @@ DEFAULT_QUERIES = [
     "bfs_distances",
     "kcore_k3",
     "core_numbers",
+    "community_agglomeration",
 ]
 
 
@@ -101,6 +103,7 @@ def main() -> int:
         compmod.LOCAL_NE_MAX,
         bfsmod.LOCAL_NE_MAX,
         kcoremod.LOCAL_NE_MAX,
+        communitymod.LOCAL_NE_MAX,
     )
     for name in names:
         for mode in ("before", "after"):
@@ -111,6 +114,7 @@ def main() -> int:
                 compmod.LOCAL_NE_MAX = 0
                 bfsmod.LOCAL_NE_MAX = 0
                 kcoremod.LOCAL_NE_MAX = 0
+                communitymod.LOCAL_NE_MAX = 0
             else:
                 (
                     bitsets.MAX_DOCS,
@@ -119,6 +123,7 @@ def main() -> int:
                     compmod.LOCAL_NE_MAX,
                     bfsmod.LOCAL_NE_MAX,
                     kcoremod.LOCAL_NE_MAX,
+                    communitymod.LOCAL_NE_MAX,
                 ) = guards
             fn = EXTRA.get(name) or qs[name]
             txt = plan_text(fn(spark, sf_dir))
