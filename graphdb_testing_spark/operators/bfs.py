@@ -28,6 +28,211 @@ from .util import iter_partitions, state_hint
 #: in one task); past it the level-synchronous DataFrame loop runs
 LOCAL_NE_MAX = 8_000_000
 
+#: bound on |roots| × |V| state rows for the multi-source fast path
+LOCAL_MS_STATE_MAX = 64_000_000
+
+
+def _np_edges(batches, with_wgt: bool = False):
+    """Concatenate Arrow batches of a symmetric edge table into NumPy
+    ``(ids, si, di[, wgt])`` index arrays (shared by the single-task
+    kernels below; ``ids`` = sorted distinct src = every vertex)."""
+    import numpy as np
+
+    srcs: list = []
+    dsts: list = []
+    wgts: list = []
+    for pdf in batches:
+        srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+        dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+        if with_wgt:
+            wgts.append(pdf["wgt"].to_numpy(dtype=np.int64))
+    src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+    ids = np.unique(src)
+    si = np.searchsorted(ids, src)
+    di = np.searchsorted(ids, dst)
+    if with_wgt:
+        wgt = np.concatenate(wgts) if wgts else np.empty(0, np.int64)
+        return ids, si, di, wgt
+    return ids, si, di
+
+
+def _local_sssp_weighted(e: DataFrame, source: int, rounds: int) -> DataFrame:
+    """Single-Arrow-task bounded-round Bellman-Ford (exact integer
+    min-plus semiring; each round relaxes from the round-start state,
+    matching the DataFrame loop's union + min-aggregate exactly)."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, si, di, wgt = _np_edges(batches, with_wgt=True)
+        sent = np.iinfo(np.int64).max
+        pos = np.searchsorted(ids, source)
+        in_graph = pos < ids.size and ids[pos] == source
+        dist = np.full(ids.size, sent, dtype=np.int64)
+        if in_graph:
+            dist[pos] = 0
+        for _ in range(rounds):
+            mask = dist[si] < sent
+            val = dist[si[mask]] + wgt[mask]
+            np.minimum.at(dist, di[mask], val)
+        hit = dist < sent
+        out_id, out_d = ids[hit], dist[hit]
+        if not in_graph:
+            out_id = np.r_[out_id, np.int64(source)]
+            out_d = np.r_[out_d, np.int64(0)]
+        yield pd.DataFrame({"id": out_id, "dist": out_d})
+
+    return e.coalesce(1).mapInPandas(run, "id long, dist long")
+
+
+def _local_widest_path(
+    e: DataFrame, source: int, rounds: int, inf: int
+) -> DataFrame:
+    """Single-Arrow-task bounded-round (max, min) semiring fixpoint —
+    exact integers; the DataFrame loop's inf-weight self-loops are the
+    ``new = old.copy()`` carry-over here."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, si, di, wgt = _np_edges(batches, with_wgt=True)
+        pos = np.searchsorted(ids, source)
+        in_graph = pos < ids.size and ids[pos] == source
+        cap = np.full(ids.size, -1, dtype=np.int64)  # -1 = unreached
+        if in_graph:
+            cap[pos] = inf
+        for _ in range(rounds):
+            mask = cap[si] >= 0
+            val = np.minimum(cap[si[mask]], wgt[mask])
+            new = cap.copy()
+            np.maximum.at(new, di[mask], val)
+            cap = new
+        hit = cap >= 0
+        out_id, out_c = ids[hit], cap[hit]
+        if not in_graph and rounds == 0:
+            # the DataFrame loop rebuilds state from the join each
+            # round, so a source absent from the edge table survives
+            # only the zero-round case (unlike SSSP's union carry)
+            out_id = np.r_[out_id, np.int64(source)]
+            out_c = np.r_[out_c, np.int64(inf)]
+        yield pd.DataFrame({"id": out_id, "cap": out_c})
+
+    return e.coalesce(1).mapInPandas(run, "id long, cap long")
+
+
+def _local_two_shortest(
+    e: DataFrame, source: int, rounds: int, sentinel: int
+) -> DataFrame:
+    """Single-Arrow-task k=2 shortest-distinct-distance semiring —
+    exact integers; per round the candidate set is {old d1, old d2,
+    relaxed d1+w, relaxed d2+w} and the new state is the two smallest
+    distinct values per vertex, exactly the DataFrame loop's
+    min / min-above-min aggregate."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, si, di, wgt = _np_edges(batches, with_wgt=True)
+        pos = np.searchsorted(ids, source)
+        in_graph = pos < ids.size and ids[pos] == source
+        d1 = np.full(ids.size, sentinel, dtype=np.int64)
+        d2 = np.full(ids.size, sentinel, dtype=np.int64)
+        if in_graph:
+            d1[pos] = 0
+        for _ in range(rounds):
+            reach = d1 < sentinel
+            m1 = reach[si]
+            cand_i = [np.flatnonzero(reach), di[m1]]
+            cand_v = [d1[reach], d1[si[m1]] + wgt[m1]]
+            has2 = d2 < sentinel
+            if has2.any():
+                m2 = has2[si]
+                b = d2[si[m2]] + wgt[m2]
+                bok = b < sentinel
+                cand_i += [np.flatnonzero(has2), di[m2][bok]]
+                cand_v += [d2[has2], b[bok]]
+            ci = np.concatenate(cand_i)
+            cv = np.concatenate(cand_v)
+            if ci.size == 0:
+                break  # nothing reached in-graph; state is stable
+            order = np.lexsort((cv, ci))
+            ci, cv = ci[order], cv[order]
+            starts = np.flatnonzero(np.r_[True, ci[1:] != ci[:-1]])
+            grp = ci[starts]
+            nd1 = np.full(ids.size, sentinel, dtype=np.int64)
+            nd2 = np.full(ids.size, sentinel, dtype=np.int64)
+            nd1[grp] = cv[starts]
+            above = np.where(
+                cv != np.repeat(cv[starts], np.diff(np.r_[starts, ci.size])),
+                cv,
+                sentinel,
+            )
+            nd2[grp] = np.minimum.reduceat(above, starts)
+            d1, d2 = nd1, nd2
+        hit = d1 < sentinel
+        out = {"id": ids[hit], "d1": d1[hit], "d2": d2[hit]}
+        if not in_graph:
+            out = {
+                "id": np.r_[out["id"], np.int64(source)],
+                "d1": np.r_[out["d1"], np.int64(0)],
+                "d2": np.r_[out["d2"], np.int64(sentinel)],
+            }
+        yield pd.DataFrame(out)
+
+    return e.coalesce(1).mapInPandas(run, "id long, d1 long, d2 long")
+
+
+def _local_multi_source_bfs(
+    e: DataFrame, roots: list[int], max_depth: int
+) -> DataFrame:
+    """Single-Arrow-task multi-source BFS: one masked level loop per
+    root (hop distances are integers; the level schedule matches the
+    compound-key frontier loop, including seeding roots absent from
+    the edge table)."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, si, di = _np_edges(batches)
+        out_r: list = []
+        out_i: list = []
+        out_d: list = []
+        for root in roots:
+            pos = np.searchsorted(ids, root)
+            if pos >= ids.size or ids[pos] != root:
+                out_r.append(np.array([root], dtype=np.int64))
+                out_i.append(np.array([root], dtype=np.int64))
+                out_d.append(np.array([0], dtype=np.int32))
+                continue
+            dist = np.full(ids.size, -1, dtype=np.int32)
+            dist[pos] = 0
+            depth = 0
+            while depth < max_depth:
+                depth += 1
+                tgt = di[dist[si] == depth - 1]
+                tgt = tgt[dist[tgt] < 0]
+                if tgt.size == 0:
+                    break
+                dist[np.unique(tgt)] = depth
+            hit = dist >= 0
+            out_r.append(np.full(int(hit.sum()), root, dtype=np.int64))
+            out_i.append(ids[hit])
+            out_d.append(dist[hit])
+        yield pd.DataFrame(
+            {
+                "root": np.concatenate(out_r),
+                "id": np.concatenate(out_i),
+                "dist": np.concatenate(out_d),
+            }
+        )
+
+    return e.coalesce(1).mapInPandas(run, "root long, id long, dist int")
+
 
 def _local_bfs(e: DataFrame, source: int, max_depth: int) -> DataFrame:
     """Single-Arrow-task level-synchronous BFS over a bounded-size
@@ -150,7 +355,12 @@ def sssp_weighted(
     """
     spark = edges.sparkSession
     e = edges.select("src", "dst", "wgt")
-    e = e.coalesce(iter_partitions(edges.count()))
+    ne = edges.count()
+    if ne <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10): exact min-plus
+        # integers, same relax-from-round-start schedule
+        return _local_sssp_weighted(e, int(source), rounds)
+    e = e.coalesce(iter_partitions(ne))
     dist = spark.createDataFrame(
         [(int(source), 0)], "id long, dist long"
     ).localCheckpoint()
@@ -197,7 +407,12 @@ def multi_source_bfs(
     # checkpoint: the per-level join must probe a materialized table,
     # not re-run a derived-edge pipeline O(diameter) times
     e = edges.select("src", "dst")
-    e = e.coalesce(iter_partitions(edges.count())).localCheckpoint()
+    ne = edges.count()
+    if ne <= LOCAL_NE_MAX and len(roots) * ne <= LOCAL_MS_STATE_MAX:
+        # guarded single-task fast path (round-10): per-root masked
+        # level loops, integer hop distances, identical level schedule
+        return _local_multi_source_bfs(e, [int(r) for r in roots], max_depth)
+    e = e.coalesce(iter_partitions(ne)).localCheckpoint()
     dist = spark.createDataFrame(
         [(int(r), int(r), 0) for r in roots], "root long, id long, dist int"
     ).localCheckpoint()
@@ -241,6 +456,10 @@ def widest_path(
     fixpoint.  Capacity planning / max-flow-lite over co-occurrence
     weights."""
     spark = edges.sparkSession
+    if edges.count() <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10): exact (max, min)
+        # semiring; the copy-forward carry is the self-loop term
+        return _local_widest_path(edges.select("src", "dst", "wgt"), int(source), rounds, int(inf))
     # self-loops with weight = inf make the round a SINGLE
     # join + groupBy.max (min(cap, inf) = cap keeps the old value), so
     # the state is referenced once per round — linear plan growth, and
@@ -295,7 +514,12 @@ def two_shortest(
     """
     spark = edges.sparkSession
     e = edges.select("src", "dst", "wgt")
-    e = e.coalesce(iter_partitions(edges.count()))
+    ne = edges.count()
+    if ne <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10): exact integers,
+        # identical candidate set and two-smallest-distinct reduce
+        return _local_two_shortest(e, int(source), rounds, int(sentinel))
+    e = e.coalesce(iter_partitions(ne))
     st = spark.createDataFrame(
         [(int(source), 0, int(sentinel))], "id long, d1 long, d2 long"
     ).localCheckpoint()
