@@ -332,6 +332,71 @@ def pagerank(
     return out
 
 
+def _local_fixed_rounds_pr(
+    e: DataFrame,
+    num_iter: int,
+    damping: float,
+    seeds: list[int] | None,
+    n_seeds: int | None,
+    weighted: bool,
+) -> DataFrame:
+    """Single-Arrow-task fixed-round kernel shared by the
+    personalized (uniform-reset-to-seeds) and weighted
+    (rank ∝ edge weight) PageRank variants — same pre-divided-rank
+    update and edge (src, dst) lexsort as :func:`_local_pagerank`, so
+    message-sum order is independent of input partitioning."""
+    d = damping
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs: list = []
+        dsts: list = []
+        wgts: list = []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+            dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+            if weighted:
+                wgts.append(pdf["wgt"].to_numpy(dtype=np.float64))
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        ids = np.unique(src)  # symmetric table: src covers all vertices
+        if ids.size == 0:
+            yield pd.DataFrame(
+                {"id": np.empty(0, np.int64), "pr": np.empty(0, np.float64)}
+            )
+            return
+        order = np.lexsort((dst, src))
+        si = np.searchsorted(ids, src[order])
+        di = np.searchsorted(ids, dst[order])
+        starts = np.searchsorted(si, np.arange(ids.size))
+        if weighted:
+            w = np.concatenate(wgts)[order]
+            wdeg = np.bincount(si, weights=w, minlength=ids.size)
+            base = (1.0 - d) / ids.size
+            prd = (1.0 / ids.size) / wdeg
+            for _ in range(num_iter):
+                msum = np.add.reduceat(prd[di] * w, starts)
+                prd = (base + d * msum) / wdeg
+            pr = prd * wdeg
+        else:
+            deg = np.bincount(si, minlength=ids.size).astype(np.float64)
+            in_seed = np.zeros(ids.size, dtype=bool)
+            sp = np.searchsorted(ids, np.asarray(seeds, dtype=np.int64))
+            ok = (sp < ids.size) & (ids[np.minimum(sp, ids.size - 1)] == seeds)
+            in_seed[sp[ok]] = True
+            base = (1.0 - d) / n_seeds
+            prd = np.where(in_seed, 1.0 / n_seeds, 0.0) / deg
+            for _ in range(num_iter):
+                msum = np.add.reduceat(prd[di], starts)
+                prd = (np.where(in_seed, base, 0.0) + d * msum) / deg
+            pr = prd * deg
+        yield pd.DataFrame({"id": ids, "pr": pr})
+
+    return e.coalesce(1).mapInPandas(run, "id long, pr double")
+
+
 def personalized_pagerank(
     edges: DataFrame,
     sources: list[int],
@@ -352,6 +417,12 @@ def personalized_pagerank(
     """
     seeds = [int(s) for s in sources]
     e = edges.select("src", "dst")
+    if seeds and edges.count() <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10): same fixed-round
+        # pre-divided-rank update in one task — see _local_fixed_rounds_pr
+        return _local_fixed_rounds_pr(
+            e, num_iter, damping, seeds, len(seeds), weighted=False
+        )
     deg = (
         e.groupBy(F.col("src").alias("id"))
         .agg(F.count("*").alias("degree"))
@@ -429,6 +500,12 @@ def weighted_pagerank(
     ``num_iter`` rounds (unrolled-CTE oracle parity).
     """
     e = edges.select("src", "dst", F.col(weight_col).alias("wgt"))
+    if edges.count() <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10): same fixed-round
+        # weight-pre-divided update in one task — see _local_fixed_rounds_pr
+        return _local_fixed_rounds_pr(
+            e, num_iter, damping, None, None, weighted=True
+        )
     wdeg = (
         e.groupBy(F.col("src").alias("id"))
         .agg(F.sum("wgt").cast("double").alias("wdeg"))

@@ -64,3 +64,39 @@ def test_mass_conservation(spark, sym_edges):
     out = prmod.pagerank(sym_edges, num_iter=5)
     total = out.agg(F.sum("pr")).collect()[0][0]
     assert abs(total - 1.0) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def sym_weighted_edges(spark):
+    rng = random.Random(19)
+    w = {}
+    for u in range(120):
+        for v in rng.sample(range(120), 6):
+            if u != v:
+                w[(min(u, v), max(u, v))] = rng.randint(1, 7)
+    rows = [(u, v, x) for (u, v), x in w.items()] + [
+        (v, u, x) for (u, v), x in w.items()
+    ]
+    return spark.createDataFrame(rows, "src long, dst long, wgt long").localCheckpoint()
+
+
+@pytest.mark.parametrize("num_iter", [1, 5])
+def test_local_weighted_matches(spark, sym_weighted_edges, monkeypatch, num_iter):
+    fast = _r6(prmod.weighted_pagerank(sym_weighted_edges, num_iter=num_iter))
+    monkeypatch.setattr(prmod, "LOCAL_NE_MAX", 0)
+    slow = _r6(prmod.weighted_pagerank(sym_weighted_edges, num_iter=num_iter))
+    assert fast == slow
+
+
+@pytest.mark.parametrize("seeds", [[0, 1, 2], [5], [0, 99999]])
+def test_local_personalized_matches(spark, sym_weighted_edges, monkeypatch, seeds):
+    fast = _r6(prmod.personalized_pagerank(sym_weighted_edges, seeds, num_iter=5))
+    monkeypatch.setattr(prmod, "LOCAL_NE_MAX", 0)
+    slow = _r6(prmod.personalized_pagerank(sym_weighted_edges, seeds, num_iter=5))
+    assert fast == slow
+
+
+def test_local_weighted_deterministic_across_layouts(spark, sym_weighted_edges):
+    a = _r6(prmod.weighted_pagerank(sym_weighted_edges.repartition(7), num_iter=4))
+    b = _r6(prmod.weighted_pagerank(sym_weighted_edges.repartition(3), num_iter=4))
+    assert a == b
