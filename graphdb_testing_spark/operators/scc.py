@@ -40,6 +40,65 @@ from pyspark.sql import functions as F
 
 from .util import iter_partitions, state_hint
 
+#: edge-row bound for the single-task fast path (~16 B/row ⇒ ≤128 MB
+#: in one task); past it the distributed trim/color/settle loop runs
+LOCAL_NE_MAX = 8_000_000
+
+
+def _local_scc(e: DataFrame) -> DataFrame:
+    """Single-Arrow-task SCC over a bounded-size directed edge table:
+    vectorized forward min-label fixpoint + backward settle within
+    each color class, peeling settled components per outer round.
+
+    The OUTPUT is algorithm-independent — ``scc_id(v) = min{u : u →* v
+    ∧ v →* u}`` is a property of the graph, not of the peeling
+    strategy — so parity with the distributed Multistep loop is
+    structural (exact integers)."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs: list = []
+        dsts: list = []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+            dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        ids = np.unique(np.concatenate([src, dst]))
+        n = ids.size
+        si = np.searchsorted(ids, src)
+        di = np.searchsorted(ids, dst)
+        scc = np.full(n, -1, dtype=np.int64)
+        alive = np.ones(n, dtype=bool)
+        vidx = np.arange(n, dtype=np.int64)
+        while alive.any():
+            em = alive[si] & alive[di]
+            es, ed = si[em], di[em]
+            # forward min-label fixpoint along edge direction
+            f = np.where(alive, vidx, np.iinfo(np.int64).max)
+            while True:
+                nf = f.copy()
+                np.minimum.at(nf, ed, f[es])
+                if np.array_equal(nf, f):
+                    break
+                f = nf
+            # backward settle: v joins SCC(r) iff f[v] == r and v
+            # reaches r; the whole path shares the color, so reach
+            # within the class only
+            settled = alive & (f == vidx)
+            while True:
+                grow = settled[ed] & ~settled[es] & (f[es] == f[ed])
+                if not grow.any():
+                    break
+                settled[es[grow]] = True
+            scc[settled] = f[settled]
+            alive &= ~settled
+        yield pd.DataFrame({"id": ids, "scc_id": ids[scc]})
+
+    return e.coalesce(1).mapInPandas(run, "id long, scc_id long")
+
 
 def _minlabel_forward(
     edges: DataFrame, verts: DataFrame, nv: int, max_iter: int, unroll: int
@@ -92,6 +151,11 @@ def strongly_connected_components(
     is deeper than ``max_outer`` peel rounds (raise the cap for
     pathological chain graphs).
     """
+    if edges.count() <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10): the scc_id output
+        # is algorithm-independent (min id under mutual reachability),
+        # so the vectorized FW-BW peel matches structurally
+        return _local_scc(edges.select("src", "dst"))
     ids = (
         edges.select(F.col("src").alias("id"))
         .unionAll(edges.select(F.col("dst").alias("id")))

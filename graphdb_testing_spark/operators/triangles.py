@@ -72,6 +72,29 @@ def _oriented_triangles(edges: DataFrame) -> DataFrame:
     return wedges.join(closing, ["u", "v"]).select("a", "u", "v")
 
 
+def exact_triangle_count(edges: DataFrame, symmetric: bool = True) -> int:
+    """Total distinct triangles (each counted ONCE) as a driver int.
+
+    Under the dense guard this is the per-vertex dense row sums / 6
+    (each triangle contributes 2 ordered wedges at each of its 3
+    corners — exact integers); past the guard it is the oriented
+    wedge enumeration's row count.  ``symmetric=False`` accepts a
+    canonical ``src < dst`` relation (e.g. a sampled edge set)."""
+    from .densegraph import dense_ctx, dense_triangles_per_vertex
+
+    ctx = dense_ctx(edges.select("src", "dst"), symmetric=symmetric)
+    if ctx is not None:
+        s = (
+            dense_triangles_per_vertex(ctx)
+            .agg(F.sum("ntri").alias("s"))
+            .collect()[0]["s"]
+        )
+        return int(s or 0) // 6
+    # _oriented_triangles canonicalizes (src < dst, distinct) itself,
+    # so both symmetric and canonical inputs enumerate correctly
+    return _oriented_triangles(edges).count()
+
+
 def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     """``(id, ntri)`` with the reference's 2×-per-triangle convention.
 

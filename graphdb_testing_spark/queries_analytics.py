@@ -2988,17 +2988,17 @@ def q_triangle_sampling_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_mod("tri-s", [F.col("u"), F.col("v")], F.lit(4)) == 0
     ).localCheckpoint()
 
+    # triangle counts through the guarded dense-adjacency kernel
+    # (round-10): the u<v<w 3-way self-join materializes Σ outdeg²
+    # wedge rows on the dense user fixture; exact_triangle_count
+    # computes the identical total (dense row sums / 6 under the
+    # guard, the oriented enumeration past it)
+    from .operators.triangles import exact_triangle_count
+
     def tri_count(edges):
-        a = edges.alias("a")
-        b = edges.alias("b")
-        c = edges.alias("c")
-        return (
-            a.join(b, F.col("b.u") == F.col("a.v"))
-            .join(
-                c,
-                (F.col("c.u") == F.col("a.u")) & (F.col("c.v") == F.col("b.v")),
-            )
-            .count()
+        return exact_triangle_count(
+            edges.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            symmetric=False,
         )
 
     n_samp = samp.count()
@@ -3752,9 +3752,9 @@ def q_path_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("da") - 1) * (F.col("db") - 1)).cast("long").alias("n_p3_raw")
         )
     )
-    from .operators.triangles import _oriented_triangles
+    from .operators.triangles import exact_triangle_count
 
-    n_tri = _oriented_triangles(g.edges).count()
+    n_tri = exact_triangle_count(g.edges)
     return (
         p2.crossJoin(p3raw)
         .select(
