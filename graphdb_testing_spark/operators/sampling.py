@@ -25,6 +25,174 @@ from pyspark.sql import functions as F
 
 from ..hashutil import hash_mod as _hash_mod  # the one portable draw
 
+#: edge-row bound for the single-task walk fast paths (~24 B/row ⇒
+#: ≤192 MB in one task); past it the per-step join loops run
+LOCAL_NE_MAX = 8_000_000
+
+
+def _md5_mod(salt: str, parts: list, mod: int) -> int:
+    """Driver/worker-side replica of :func:`hashutil.hash_mod` (md5 of
+    the '|'-joined decimal strings, first 8 hex chars, mod)."""
+    import hashlib
+
+    s = "|".join([salt] + [str(int(p)) for p in parts])
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
+
+
+def _np_adj(batches, with_wgt: bool = False):
+    """Arrow batches of an edge table → per-vertex ascending-``dst``
+    neighbor arrays: ``(verts, starts, nbr[, wgt])`` where vertex
+    ``verts[i]``'s neighbors are ``nbr[starts[i]:starts[i+1]]``.
+    Distinct (src, dst); with ``with_wgt`` the per-pair weight is the
+    MAX (mirroring :func:`weighted_adjacency`)."""
+    import numpy as np
+
+    srcs: list = []
+    dsts: list = []
+    wgts: list = []
+    for pdf in batches:
+        srcs.append(pdf["src"].to_numpy(dtype=np.int64))
+        dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+        if with_wgt:
+            wgts.append(pdf["wgt"].to_numpy(dtype=np.int64))
+    src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+    if with_wgt:
+        w = np.concatenate(wgts) if wgts else np.empty(0, np.int64)
+        order = np.lexsort((w, dst, src))
+        src, dst, w = src[order], dst[order], w[order]
+        # last of each (src, dst) run holds the max weight
+        keep = np.r_[(src[1:] != src[:-1]) | (dst[1:] != dst[:-1]), True]
+        src, dst, w = src[keep], dst[keep], w[keep]
+    else:
+        pairs = np.unique(np.stack([src, dst]), axis=1)
+        src, dst = pairs[0], pairs[1]
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        w = None
+    verts, starts = np.unique(src, return_index=True)
+    starts = np.r_[starts, src.size]
+    if with_wgt:
+        return verts, starts, dst, w
+    return verts, starts, dst
+
+
+def _local_random_walks(
+    e: DataFrame, walk_length: int, start_every: int, salt: str
+) -> DataFrame:
+    """Single-task uniform walks: same seed set, neighbor indexing
+    (ascending dst) and md5 draw as the join loop — exact."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        verts, starts, nbr = _np_adj(batches)
+        rows = []
+        for i, v in enumerate(verts):
+            if v % start_every != 0:
+                continue
+            rows.append((int(v), 0, int(v)))
+            cur = i
+            for s in range(1, walk_length + 1):
+                lo, hi = starts[cur], starts[cur + 1]
+                pick = _md5_mod(salt, [v, s], int(hi - lo))
+                nx = int(nbr[lo + pick])
+                rows.append((int(v), s, nx))
+                cur = int(np.searchsorted(verts, nx))
+        yield pd.DataFrame(
+            rows, columns=["walk_id", "step", "vertex"]
+        ).astype({"walk_id": "int64", "step": "int32", "vertex": "int64"})
+
+    return e.coalesce(1).mapInPandas(run, "walk_id long, step int, vertex long")
+
+
+def _local_weighted_walks(
+    e: DataFrame, walk_length: int, start_every: int, salt: str
+) -> DataFrame:
+    """Single-task weight-biased walks: integer inverse-CDF over the
+    ascending-dst max-weight adjacency, same md5 draw — exact."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        verts, starts, nbr, w = _np_adj(batches, with_wgt=True)
+        rows = []
+        for i, v in enumerate(verts):
+            if v % start_every != 0:
+                continue
+            rows.append((int(v), 0, int(v)))
+            cur = i
+            for s in range(1, walk_length + 1):
+                lo, hi = starts[cur], starts[cur + 1]
+                cw = np.cumsum(w[lo:hi])
+                pick = _md5_mod(salt, [v, s], int(cw[-1]))
+                j = int(np.searchsorted(cw, pick, side="right"))
+                nx = int(nbr[lo + j])
+                rows.append((int(v), s, nx))
+                cur = int(np.searchsorted(verts, nx))
+        yield pd.DataFrame(
+            rows, columns=["walk_id", "step", "vertex"]
+        ).astype({"walk_id": "int64", "step": "int32", "vertex": "int64"})
+
+    return e.coalesce(1).mapInPandas(run, "walk_id long, step int, vertex long")
+
+
+def _local_node2vec_walks(
+    e: DataFrame,
+    walk_length: int,
+    start_every: int,
+    return_mult: int,
+    in_out_mult: int,
+    base_mult: int,
+    salt: str,
+) -> DataFrame:
+    """Single-task second-order walks: step 1 uniform by neighbor
+    index, later steps integer-CDF over candidates in ascending order
+    with the (prev / triangle / other) multiplier — exact."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        verts, starts, nbr = _np_adj(batches)
+
+        def neighbors(vi):
+            return nbr[starts[vi] : starts[vi + 1]]
+
+        rows = []
+        for i, v in enumerate(verts):
+            if v % start_every != 0:
+                continue
+            rows.append((int(v), 0, int(v)))
+            lo, hi = starts[i], starts[i + 1]
+            pick = _md5_mod(salt, [v, 1], int(hi - lo))
+            cur = int(nbr[lo + pick])
+            prev = int(v)
+            rows.append((int(v), 1, cur))
+            for s in range(2, walk_length + 1):
+                ci = int(np.searchsorted(verts, cur))
+                cands = neighbors(ci)  # ascending
+                pi = int(np.searchsorted(verts, prev))
+                pn = neighbors(pi)
+                is_tri = np.isin(cands, pn)
+                mult = np.where(
+                    cands == prev,
+                    return_mult,
+                    np.where(is_tri, base_mult, in_out_mult),
+                ).astype(np.int64)
+                cw = np.cumsum(mult)
+                pick = _md5_mod(salt, [v, s], int(cw[-1]))
+                j = int(np.searchsorted(cw, pick, side="right"))
+                prev, cur = cur, int(cands[j])
+                rows.append((int(v), s, cur))
+        yield pd.DataFrame(
+            rows, columns=["walk_id", "step", "vertex"]
+        ).astype({"walk_id": "int64", "step": "int32", "vertex": "int64"})
+
+    return e.coalesce(1).mapInPandas(run, "walk_id long, step int, vertex long")
+
 
 def indexed_adjacency(edges: DataFrame) -> DataFrame:
     """``(src, idx, dst, deg)`` — each vertex's distinct neighbors
@@ -70,6 +238,12 @@ def random_walks(
     indexed adjacency.  Walks never dead-end on a symmetric graph
     (any reached vertex has at least its predecessor as a neighbor).
     """
+    if edges.count() <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10): same seed set,
+        # ascending-dst indexing, and md5 draw — exact
+        return _local_random_walks(
+            edges.select("src", "dst"), walk_length, start_every, salt
+        )
     adj = indexed_adjacency(edges).localCheckpoint()
     degs = adj.select("src", "deg").distinct()
     out = _seed_walkers(degs.select("src"), start_every)
@@ -217,6 +391,12 @@ def weighted_random_walks(
     neighbor list, filtered to the single interval hit — ``Σ deg``
     rows per step, the inherent cost of weighted selection without a
     precomputed alias table."""
+    if edges.count() <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10): same max-weight
+        # integer CDF and md5 draw — exact
+        return _local_weighted_walks(
+            edges.select("src", "dst", "wgt"), walk_length, start_every, salt
+        )
     adj = weighted_adjacency(edges).localCheckpoint()
     totals = adj.select("src", "total_w").distinct()
     out = _seed_walkers(totals.select("src"), start_every)
@@ -272,6 +452,18 @@ def node2vec_walks(
     :func:`weighted_random_walks`, with per-(walker, step) cumulative
     weights instead of a precomputed per-vertex CDF.
     """
+    if edges.count() <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10): same candidate
+        # ordering, integer multipliers, and md5 draw — exact
+        return _local_node2vec_walks(
+            edges.select("src", "dst"),
+            walk_length,
+            start_every,
+            return_mult,
+            in_out_mult,
+            base_mult,
+            salt,
+        )
     nbrs = edges.select("src", "dst").distinct().localCheckpoint()
     adj = indexed_adjacency(edges).localCheckpoint()
     degs = adj.select("src", "deg").distinct()
