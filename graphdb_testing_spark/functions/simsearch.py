@@ -141,6 +141,11 @@ MAX_BRUTE_QUERY_ROWS = 100_000
 #: letting a user launch an accidental quadratic job on big data).
 MAX_EXACT_ALLPAIRS_ROWS = 100_000
 
+#: row bound for the single-task exact-all-pairs kernel (n² sims in
+#: one task, blocked ≤ 2^22 doubles per block); between this and
+#: MAX_EXACT_ALLPAIRS_ROWS the distributed self-join still runs
+LOCAL_EXACT_ROWS = 20_000
+
 
 def embedding_near_duplicates(
     embeddings: DataFrame,
@@ -163,6 +168,70 @@ def embedding_near_duplicates(
             f"embedding_near_duplicates is an exact all-pairs baseline "
             f"({n} rows > {MAX_EXACT_ALLPAIRS_ROWS} ⇒ ~{n * (n - 1) // 2:.2g} "
             f"pairs); use embedding_near_duplicates_bucketed at this scale"
+        )
+    if n <= LOCAL_EXACT_ROWS:
+        # guarded single-task fast path (round-10): the a_id < b_id
+        # self-join is a nested-loop cross product evaluating a 64-dim
+        # aggregate fold per pair (measured ~36 s for 2M pairs at
+        # sf0.1).  The kernel reproduces the JVM arithmetic EXACTLY:
+        # dot/norm accumulate dimension-by-dimension in the same
+        # sequential fold order (rank-1 updates, identical IEEE adds),
+        # and rounding is BigDecimal HALF_UP via decimal.Decimal on
+        # the near-threshold band only.
+        def run(batches):
+            import numpy as np
+            import pandas as pd
+            from decimal import ROUND_HALF_UP, Decimal
+
+            ids_l: list = []
+            vecs_l: list = []
+            for pdf in batches:
+                ids_l.append(pdf[id_col].to_numpy(dtype=np.int64))
+                vecs_l.append(np.stack(pdf[vec_col].to_numpy()))
+            if not ids_l:
+                yield pd.DataFrame(
+                    {"a_id": [], "b_id": [], "sim": []}
+                ).astype({"a_id": "int64", "b_id": "int64", "sim": "float64"})
+                return
+            ids = np.concatenate(ids_l)
+            mat = np.concatenate(vecs_l).astype(np.float64)
+            order = np.argsort(ids, kind="stable")
+            ids, mat = ids[order], mat[order]
+            m, dims = mat.shape
+            acc = np.zeros(m, dtype=np.float64)
+            for d in range(dims):  # same sequential fold as aggregate()
+                acc = acc + mat[:, d] * mat[:, d]
+            nrm = np.sqrt(acc)
+            six = Decimal("1E-6")
+            out_a: list = []
+            out_b: list = []
+            out_s: list = []
+            step = max(1, (1 << 22) // max(m, 1))
+            for lo in range(0, m, step):
+                hi = min(lo + step, m)
+                dot = np.zeros((hi - lo, m), dtype=np.float64)
+                for d in range(dims):
+                    dot = dot + mat[lo:hi, d, None] * mat[None, :, d]
+                den = nrm[lo:hi, None] * nrm[None, :]
+                raw = np.where(den > 0, dot / np.where(den > 0, den, 1.0), 0.0)
+                ai, bi = np.nonzero(raw >= threshold - 2e-6)
+                keep = (lo + ai) < bi  # a_id < b_id on id-sorted rows
+                for i, j in zip(ai[keep], bi[keep]):
+                    r = float(
+                        Decimal(raw[i, j]).quantize(six, rounding=ROUND_HALF_UP)
+                    )
+                    if r >= threshold:
+                        out_a.append(int(ids[lo + i]))
+                        out_b.append(int(ids[j]))
+                        out_s.append(r)
+            yield pd.DataFrame(
+                {"a_id": out_a, "b_id": out_b, "sim": out_s}
+            ).astype({"a_id": "int64", "b_id": "int64", "sim": "float64"})
+
+        return (
+            embeddings.select(id_col, vec_col)
+            .coalesce(1)
+            .mapInPandas(run, "a_id long, b_id long, sim double")
         )
     base = with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("_norm").alias("n")
