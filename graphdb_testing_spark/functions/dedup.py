@@ -70,6 +70,14 @@ def char_shingles(
     text_col: str = "text",
 ) -> DataFrame:
     """Distinct character k-grams per document: ``(doc_id, sh)``."""
+    if not docs.isStreaming:
+        # the corpus often arrives as one parquet split — without this
+        # the explode (the expensive map stage) runs on ONE task before
+        # the distinct shuffle (guide §2.5 input skew); round-robin of
+        # the compact doc rows is far cheaper than exploding serially
+        docs = docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
+        )
     return (
         docs.filter(F.length(text_col) >= k)
         .select(
@@ -468,6 +476,12 @@ def signature_agreement_pairs(
     signatures already carried by the band join — at 100 TB this is
     the cheap dedup path when estimator precision suffices, and it is
     the batch twin of the streaming near-dup operator."""
+    # the corpus often arrives as one parquet split — the map-only
+    # signature stage (16 md5s per shingle occurrence) would then run
+    # on ONE task (measured 21.7s vs ~3s spread at sf0.1); round-robin
+    # repartition of the compact doc rows first (same fix as
+    # minhash_near_duplicates)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     sig = minhash_signature_rows(docs, k, num_hashes).localCheckpoint()
     bnd = sig_band_keys(sig, bands, num_hashes)
     a = bnd.select(F.col("doc_id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bkey")
@@ -591,7 +605,9 @@ def simhash_near_duplicates(
 
 
 def pairwise_shared_item_counts(
-    items: DataFrame, item_col: str = "sh"
+    items: DataFrame,
+    item_col: str = "sh",
+    min_jaccard_prefilter: float | None = None,
 ) -> DataFrame:
     """``(a_id, b_id, i)`` — exact shared-item counts for every
     unordered pair (``a_id < b_id``) sharing ≥ 1 item, over a DISTINCT
@@ -607,7 +623,15 @@ def pairwise_shared_item_counts(
     """
     from . import bitsets
 
-    fast = bitsets.pairwise_intersection_counts(items, "doc_id", item_col)
+    # min_jaccard_prefilter is a SUPERSET row reduction inside the
+    # bitmap sweep (slack 1e-9); callers whose downstream predicate
+    # implies J ≥ t re-apply the exact predicate themselves, so this
+    # can only shrink the materialized pair set, never change results.
+    # The join fallback ignores it (the full pair set is correct too).
+    fast = bitsets.pairwise_intersection_counts(
+        items, "doc_id", item_col,
+        min_jaccard_prefilter=min_jaccard_prefilter,
+    )
     if fast is not None:
         return fast.withColumnRenamed("inter", "i")
     a = items.select(F.col("doc_id").alias("a_id"), item_col)
@@ -1164,7 +1188,9 @@ def lsh_s_curve(
     rows = num_hashes // bands
     sh = char_shingles(docs, k, id_col, text_col).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = pairwise_shared_item_counts(sh, "sh")
+    inter = pairwise_shared_item_counts(
+        sh, "sh", min_jaccard_prefilter=floor_j
+    )
     truth = (
         inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("za")), "a_id")
         .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("zb")), "b_id")

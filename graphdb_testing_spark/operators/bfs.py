@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import iter_partitions, state_hint
+from .util import iter_partitions, local_input, state_hint
 
 #: edge-row bound for the single-task fast path (~16 B/row ⇒ ≤128 MB
 #: in one task); past it the level-synchronous DataFrame loop runs
@@ -76,7 +76,10 @@ def _local_sssp_weighted(e: DataFrame, source: int, rounds: int) -> DataFrame:
         for _ in range(rounds):
             mask = dist[si] < sent
             val = dist[si[mask]] + wgt[mask]
+            prev = dist.copy()
             np.minimum.at(dist, di[mask], val)
+            if np.array_equal(prev, dist):
+                break  # fixpoint: remaining rounds are idempotent
         hit = dist < sent
         out_id, out_d = ids[hit], dist[hit]
         if not in_graph:
@@ -84,7 +87,7 @@ def _local_sssp_weighted(e: DataFrame, source: int, rounds: int) -> DataFrame:
             out_d = np.r_[out_d, np.int64(0)]
         yield pd.DataFrame({"id": out_id, "dist": out_d})
 
-    return e.coalesce(1).mapInPandas(run, "id long, dist long")
+    return local_input(e).coalesce(1).mapInPandas(run, "id long, dist long")
 
 
 def _local_widest_path(
@@ -109,6 +112,8 @@ def _local_widest_path(
             val = np.minimum(cap[si[mask]], wgt[mask])
             new = cap.copy()
             np.maximum.at(new, di[mask], val)
+            if np.array_equal(new, cap):
+                break  # fixpoint: remaining rounds are idempotent
             cap = new
         hit = cap >= 0
         out_id, out_c = ids[hit], cap[hit]
@@ -120,7 +125,7 @@ def _local_widest_path(
             out_c = np.r_[out_c, np.int64(inf)]
         yield pd.DataFrame({"id": out_id, "cap": out_c})
 
-    return e.coalesce(1).mapInPandas(run, "id long, cap long")
+    return local_input(e).coalesce(1).mapInPandas(run, "id long, cap long")
 
 
 def _local_two_shortest(
@@ -172,6 +177,8 @@ def _local_two_shortest(
                 sentinel,
             )
             nd2[grp] = np.minimum.reduceat(above, starts)
+            if np.array_equal(nd1, d1) and np.array_equal(nd2, d2):
+                break  # fixpoint: remaining rounds are idempotent
             d1, d2 = nd1, nd2
         hit = d1 < sentinel
         out = {"id": ids[hit], "d1": d1[hit], "d2": d2[hit]}
@@ -183,7 +190,7 @@ def _local_two_shortest(
             }
         yield pd.DataFrame(out)
 
-    return e.coalesce(1).mapInPandas(run, "id long, d1 long, d2 long")
+    return local_input(e).coalesce(1).mapInPandas(run, "id long, d1 long, d2 long")
 
 
 def _local_multi_source_bfs(
@@ -231,7 +238,7 @@ def _local_multi_source_bfs(
             }
         )
 
-    return e.coalesce(1).mapInPandas(run, "root long, id long, dist int")
+    return local_input(e).coalesce(1).mapInPandas(run, "root long, id long, dist int")
 
 
 def _local_bfs(e: DataFrame, source: int, max_depth: int) -> DataFrame:
@@ -279,7 +286,7 @@ def _local_bfs(e: DataFrame, source: int, max_depth: int) -> DataFrame:
         hit = dist >= 0
         yield pd.DataFrame({"id": ids[hit], "dist": dist[hit]})
 
-    return e.coalesce(1).mapInPandas(run, "id long, dist int")
+    return local_input(e).coalesce(1).mapInPandas(run, "id long, dist int")
 
 
 def bfs(

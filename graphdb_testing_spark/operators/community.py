@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import state_hint
+from .util import local_input, state_hint
 
 #: edge-row bound for the single-task fast path (~24 B/row ⇒ ≤192 MB
 #: in one task); past it the level-loop DataFrame plan runs
@@ -103,7 +103,9 @@ def _local_agglomeration(edges: DataFrame, max_levels: int) -> DataFrame:
         yield pd.DataFrame({"id": ids, "community": ids[comm]})
 
     return (
-        edges.select("src", "dst", F.col("wgt").cast("double").alias("wgt"))
+        local_input(
+            edges.select("src", "dst", F.col("wgt").cast("double").alias("wgt"))
+        )
         .coalesce(1)
         .mapInPandas(run, "id long, community long")
     )

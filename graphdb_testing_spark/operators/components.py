@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import iter_partitions, state_hint
+from .util import iter_partitions, local_input, state_hint
 
 #: edge-row bound for the single-task fast path (~16 B/row ⇒ ≤128 MB
 #: in one task); past it the unrolled DataFrame loop runs
@@ -77,7 +77,7 @@ def _local_components(e: DataFrame) -> DataFrame:
             lab = m
         yield pd.DataFrame({"id": ids, "label": ids[lab]})
 
-    return e.coalesce(1).mapInPandas(run, "id long, label long")
+    return local_input(e).coalesce(1).mapInPandas(run, "id long, label long")
 
 
 def connected_components(

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import state_hint
+from .util import local_input, state_hint
 
 #: edge-row bound for the single-task fast paths (~16 B/row ⇒ ≤128 MB
 #: in one task); past it the peel / h-index DataFrame loops run
@@ -63,7 +63,7 @@ def _local_kcore_vertices(
             prev_n = n
         yield pd.DataFrame({"id": ids[alive]})
 
-    return e.coalesce(1).mapInPandas(run, "id long")
+    return local_input(e).coalesce(1).mapInPandas(run, "id long")
 
 
 def _local_core_numbers(
@@ -111,19 +111,23 @@ def _local_core_numbers(
                     - np.repeat(starts, sizes)
                     + 1
                 )
-                core = np.add.reduceat(
+                new_core = np.add.reduceat(
                     (s_val >= pos).astype(np.int64), starts
                 )
+                stable = np.array_equal(new_core, core)
+                core = new_core
+                if stable:
+                    break  # fixpoint: remaining rounds are idempotent
             new_sum = int(core.sum())
             done += k
-            if new_sum == prev_sum:
+            if stable or new_sum == prev_sum:
                 break
             prev_sum = new_sum
         yield pd.DataFrame(
             {"id": ids, "core": core.astype(np.int32)}
         )
 
-    return e.coalesce(1).mapInPandas(run, "id long, core int")
+    return local_input(e).coalesce(1).mapInPandas(run, "id long, core int")
 
 
 def kcore_vertices(

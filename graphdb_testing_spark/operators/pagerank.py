@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import iter_partitions, state_hint
+from .util import iter_partitions, local_input, state_hint
 
 
 #: edge-row bound for the single-task PageRank fast path: the edge
@@ -141,7 +141,7 @@ def _local_pagerank(
                     break
         yield pd.DataFrame({"id": ids, "pr": prd * deg})
 
-    return e.coalesce(1).mapInPandas(run, "id long, pr double")
+    return local_input(e).coalesce(1).mapInPandas(run, "id long, pr double")
 
 
 def pagerank(
@@ -394,7 +394,7 @@ def _local_fixed_rounds_pr(
             pr = prd * deg
         yield pd.DataFrame({"id": ids, "pr": pr})
 
-    return e.coalesce(1).mapInPandas(run, "id long, pr double")
+    return local_input(e).coalesce(1).mapInPandas(run, "id long, pr double")
 
 
 def personalized_pagerank(

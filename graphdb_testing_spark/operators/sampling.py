@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 
 from ..hashutil import hash_mod as _hash_mod  # the one portable draw
+from .util import local_input
 
 #: edge-row bound for the single-task walk fast paths (~24 B/row ⇒
 #: ≤192 MB in one task); past it the per-step join loops run
@@ -104,7 +105,7 @@ def _local_random_walks(
             rows, columns=["walk_id", "step", "vertex"]
         ).astype({"walk_id": "int64", "step": "int32", "vertex": "int64"})
 
-    return e.coalesce(1).mapInPandas(run, "walk_id long, step int, vertex long")
+    return local_input(e).coalesce(1).mapInPandas(run, "walk_id long, step int, vertex long")
 
 
 def _local_weighted_walks(
@@ -136,7 +137,7 @@ def _local_weighted_walks(
             rows, columns=["walk_id", "step", "vertex"]
         ).astype({"walk_id": "int64", "step": "int32", "vertex": "int64"})
 
-    return e.coalesce(1).mapInPandas(run, "walk_id long, step int, vertex long")
+    return local_input(e).coalesce(1).mapInPandas(run, "walk_id long, step int, vertex long")
 
 
 def _local_node2vec_walks(
@@ -191,7 +192,7 @@ def _local_node2vec_walks(
             rows, columns=["walk_id", "step", "vertex"]
         ).astype({"walk_id": "int64", "step": "int32", "vertex": "int64"})
 
-    return e.coalesce(1).mapInPandas(run, "walk_id long, step int, vertex long")
+    return local_input(e).coalesce(1).mapInPandas(run, "walk_id long, step int, vertex long")
 
 
 def indexed_adjacency(edges: DataFrame) -> DataFrame:

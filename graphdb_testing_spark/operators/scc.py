@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import iter_partitions, state_hint
+from .util import iter_partitions, local_input, state_hint
 
 #: edge-row bound for the single-task fast path (~16 B/row ⇒ ≤128 MB
 #: in one task); past it the distributed trim/color/settle loop runs
@@ -97,7 +97,7 @@ def _local_scc(e: DataFrame) -> DataFrame:
             alive &= ~settled
         yield pd.DataFrame({"id": ids, "scc_id": ids[scc]})
 
-    return e.coalesce(1).mapInPandas(run, "id long, scc_id long")
+    return local_input(e).coalesce(1).mapInPandas(run, "id long, scc_id long")
 
 
 def _minlabel_forward(

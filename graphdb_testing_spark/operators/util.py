@@ -43,3 +43,17 @@ def iter_partitions(ne: int, cap: int = 2048) -> int:
     """Partition count for an ``ne``-row edge relation in an
     iterative kernel: one task per ~250k edge rows."""
     return max(1, min(cap, (ne + EDGE_ROWS_PER_PARTITION - 1) // EDGE_ROWS_PER_PARTITION))
+
+
+def local_input(e: DataFrame) -> DataFrame:
+    """Materialize a guard-bounded relation with FULL parallelism
+    before a single-task kernel collapses it with ``coalesce(1)``.
+
+    Without this, ``coalesce(1)`` pulls the whole upstream derivation
+    (e.g. the events self-join + aggregation behind ``user_graph``)
+    onto one core: post-shuffle coalesce sets the reduce side of every
+    upstream exchange to one task (measured: two_shortest 13.2 s with
+    the derivation inside the kernel job vs ~3 s checkpointed).  The
+    eager localCheckpoint runs the derivation wide once; the kernel
+    task then reads materialized blocks."""
+    return e.localCheckpoint()

@@ -109,11 +109,16 @@ JOIN sizes zb ON zb.doc_id = c.b_id
 @register("minhash_lsh_candidates", _minhash_oracle())
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) candidate pairs with exact shingle
-    Jaccard — the full near-dup pipeline minus the final threshold."""
+    Jaccard — the full near-dup pipeline minus the final threshold.
+
+    Round-10: composed as ``minhash_near_duplicates(threshold=0.0)``
+    — identical pairs and values (jaccard ≥ 0 always holds, signature
+    mins are duplicate-blind, verification re-shingles candidate docs
+    only), but the corpus-wide distinct-shingle materialization is
+    gone (the same restructure the bench dedup kernel measured
+    13.1 → 5.6 s)."""
     docs = datasets.load_table(spark, sf_dir, "documents")
-    sh = dedup.char_shingles(docs)
-    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(dedup.minhash_signatures(sh)))
-    return dedup.jaccard_for_pairs(sh, cand)
+    return dedup.minhash_near_duplicates(docs, threshold=0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -1781,7 +1786,9 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ground-truth pair counts via the guarded bitmap kernel (exact;
     # falls back to the inverted-index join past its bounds) — see
     # dedup.pairwise_shared_item_counts
-    inter = dedup.pairwise_shared_item_counts(sh, "sh")
+    inter = dedup.pairwise_shared_item_counts(
+        sh, "sh", min_jaccard_prefilter=_MH_RECALL_T
+    )
     truth = (
         inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("za")), "a_id")
         .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("zb")), "b_id")
@@ -3302,9 +3309,10 @@ def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH pipeline (banded equi-join, never all-pairs) with one
     broadcastable source-dim join and a tiny grouped rollup."""
     docs = datasets.load_table(spark, sf_dir, "documents")
-    sh = dedup.char_shingles(docs)
-    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(dedup.minhash_signatures(sh)))
-    pairs = dedup.jaccard_for_pairs(sh, cand)
+    # round-10: the fused threshold-0 pipeline (see
+    # minhash_lsh_candidates) — same pairs/jaccard, no corpus-wide
+    # distinct-shingle materialization
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.0)
     src = docs.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("a_id"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("b_id"), F.col("source").alias("sb"))
