@@ -25,6 +25,9 @@ from graphdb_testing_spark.operators import densegraph  # noqa: E402
 from graphdb_testing_spark.operators import community as communitymod  # noqa: E402
 from graphdb_testing_spark.operators import kcore as kcoremod  # noqa: E402
 from graphdb_testing_spark.operators import pagerank as prmod  # noqa: E402
+from graphdb_testing_spark.operators import sampling as samplingmod  # noqa: E402
+from graphdb_testing_spark.operators import scc as sccmod  # noqa: E402
+from graphdb_testing_spark.functions import simsearch as simsearchmod  # noqa: E402
 from graphdb_testing_spark.session import get_spark  # noqa: E402
 
 def _bench_pr_convergence(spark, sf_dir):
@@ -69,6 +72,15 @@ DEFAULT_QUERIES = [
     "kcore_k3",
     "core_numbers",
     "community_agglomeration",
+    "random_walks",
+    "node2vec_walks",
+    "weighted_random_walks",
+    "embedding_near_dup_pairs",
+    "semantic_dedup_recall",
+    "cross_source_leakage",
+    "minhash_signature_pairs",
+    "path_motif_census",
+    "scc_condensation",
 ]
 
 
@@ -104,6 +116,9 @@ def main() -> int:
         bfsmod.LOCAL_NE_MAX,
         kcoremod.LOCAL_NE_MAX,
         communitymod.LOCAL_NE_MAX,
+        samplingmod.LOCAL_NE_MAX,
+        sccmod.LOCAL_NE_MAX,
+        simsearchmod.LOCAL_EXACT_ROWS,
     )
     for name in names:
         for mode in ("before", "after"):
@@ -115,6 +130,9 @@ def main() -> int:
                 bfsmod.LOCAL_NE_MAX = 0
                 kcoremod.LOCAL_NE_MAX = 0
                 communitymod.LOCAL_NE_MAX = 0
+                samplingmod.LOCAL_NE_MAX = 0
+                sccmod.LOCAL_NE_MAX = 0
+                simsearchmod.LOCAL_EXACT_ROWS = 0
             else:
                 (
                     bitsets.MAX_DOCS,
@@ -124,6 +142,9 @@ def main() -> int:
                     bfsmod.LOCAL_NE_MAX,
                     kcoremod.LOCAL_NE_MAX,
                     communitymod.LOCAL_NE_MAX,
+                    samplingmod.LOCAL_NE_MAX,
+                    sccmod.LOCAL_NE_MAX,
+                    simsearchmod.LOCAL_EXACT_ROWS,
                 ) = guards
             fn = EXTRA.get(name) or qs[name]
             txt = plan_text(fn(spark, sf_dir))
