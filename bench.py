@@ -48,6 +48,11 @@ from graphdb_testing_spark import queries_curation  # noqa: E402,F401 (registers
 from graphdb_testing_spark import queries_temporal  # noqa: E402,F401 (registers)
 from graphdb_testing_spark.queries import all_queries  # noqa: E402
 from graphdb_testing_spark.session import get_spark  # noqa: E402
+from graphdb_testing_spark.operators import util as oputil  # noqa: E402
+from graphdb_testing_spark.operators import bfs as _bfs_mod  # noqa: E402
+from graphdb_testing_spark.operators import components as _cc_mod  # noqa: E402
+from graphdb_testing_spark.operators import densegraph as _dense_mod  # noqa: E402
+from graphdb_testing_spark.operators import pagerank as _pr_mod  # noqa: E402
 
 
 #: fixed calibration work: rows hashed PER PARTITION per calibration
@@ -298,6 +303,35 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
         meta["docs_kept"] = cur(spark, sf_dir).filter("keep = 1").count()
 
     timed("curation", _curation)
+
+    # scaling legibility (round-10 verdict task 2): per-kernel guard
+    # state, additions-only.  true = the single-task fast-path guard
+    # fired (so the kernel is serial BY DESIGN at this SF and core
+    # count cannot move it); false = the guarded kernel took its
+    # distributed scale path; null = the kernel has no guarded
+    # single-task path at all.  The guard constants ride along so the
+    # driver can interpret the booleans without reading the code.
+    fast = oputil.FAST_PATH_DECISIONS
+    meta["fast_path"] = {
+        "build": None,
+        "sv": fast.get("components"),
+        "sssp": fast.get("bfs"),
+        "pr": fast.get("pagerank"),
+        "update": None,
+        "tri": fast.get("dense"),
+        "q1": None,
+        "dedup": None,
+        "asof": None,
+        "curation": None,
+    }
+    meta["guards"] = {
+        "LOCAL_NE_MAX": {
+            "components": _cc_mod.LOCAL_NE_MAX,
+            "bfs": _bfs_mod.LOCAL_NE_MAX,
+            "pagerank": _pr_mod.LOCAL_NE_MAX,
+        },
+        "DENSE_NV_MAX": _dense_mod.DENSE_NV_MAX,
+    }
     return timings, meta
 
 

@@ -193,6 +193,7 @@ def minhash_near_duplicates(
     k: int = DEFAULT_SHINGLE_K,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → signature → band join →
     exact-Jaccard verify ≥ threshold.
@@ -207,25 +208,38 @@ def minhash_near_duplicates(
     ``countDistinct`` folds the exact set sizes into the same pass),
     and the verify step re-shingles only the candidate docs.  Values
     identical; the 1.35 M-row distinct + checkpoint is gone.
+
+    ``shingles`` (round-11, guide §2.4 — remove the duplicate scan):
+    a caller that has ALREADY materialized the distinct
+    ``(doc_id, sh)`` relation (``minhash_recall`` / ``lsh_s_curve``
+    need it for their exact ground-truth side regardless) passes it
+    here and the pipeline derives signatures AND verification from
+    that one scan instead of re-exploding the corpus.  Every
+    downstream expression is duplicate-blind (min, countDistinct,
+    collect_set), so the result is identical whichever input feeds
+    it.
     """
-    # the corpus often arrives as one parquet split — without this the
-    # fused explode+hash+aggregate pipeline runs single-task (measured
-    # 19 s vs 4 s at sf0.1); a round-robin repartition of the compact
-    # doc rows is far cheaper than exploding on one core
     spark = docs.sparkSession
-    raw = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .filter(F.length("text") >= k)
-        .select(
-            F.col("doc_id"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, length(text) - {k - 1}),"
-                    f" i -> substring(text, i, {k}))"
-                )
-            ).alias("sh"),
+    if shingles is not None:
+        raw = shingles.select("doc_id", "sh")
+    else:
+        # the corpus often arrives as one parquet split — without this
+        # the fused explode+hash+aggregate pipeline runs single-task
+        # (measured 19 s vs 4 s at sf0.1); a round-robin repartition of
+        # the compact doc rows is far cheaper than exploding on one core
+        raw = (
+            docs.repartition(spark.sparkContext.defaultParallelism)
+            .filter(F.length("text") >= k)
+            .select(
+                F.col("doc_id"),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, length(text) - {k - 1}),"
+                        f" i -> substring(text, i, {k}))"
+                    )
+                ).alias("sh"),
+            )
         )
-    )
     aggs = [
         F.min(_hash32(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"mh_{s}")
         for s in range(num_hashes)
@@ -238,9 +252,14 @@ def minhash_near_duplicates(
         .unionAll(cand.select(F.col("b_id").alias("doc_id")))
         .distinct()
     )
-    sh_cand = char_shingles(
-        docs.join(pair_ids, "doc_id", "left_semi"), k
-    )
+    if shingles is not None:
+        # the caller's materialized distinct shingles already hold the
+        # candidate docs' sets — no re-shingling scan
+        sh_cand = shingles.join(pair_ids, "doc_id", "left_semi")
+    else:
+        sh_cand = char_shingles(
+            docs.join(pair_ids, "doc_id", "left_semi"), k
+        )
     inter = _verify_intersections(cand, sh_cand, "sh")
     sizes = sig.select("doc_id", "sz")
     return (
@@ -634,8 +653,15 @@ def pairwise_shared_item_counts(
     )
     if fast is not None:
         return fast.withColumnRenamed("inter", "i")
-    a = items.select(F.col("doc_id").alias("a_id"), item_col)
-    b = items.select(F.col("doc_id").alias("b_id"), item_col)
+    # distinct-set semantics on BOTH branches (round-10 ADVICE): the
+    # bitmap kernel is idempotent in duplicates by construction, so the
+    # join fallback dedupes its input too — a non-distinct caller gets
+    # the same answer on either side of the scale guard.  For the
+    # contract-respecting (already-distinct) callers this is one
+    # already-unique aggregation pass, not a semantic change.
+    di = items.select("doc_id", item_col).distinct()
+    a = di.select(F.col("doc_id").alias("a_id"), item_col)
+    b = di.select(F.col("doc_id").alias("b_id"), item_col)
     return (
         a.join(b, item_col)
         .filter(F.col("a_id") < F.col("b_id"))

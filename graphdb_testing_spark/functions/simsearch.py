@@ -217,8 +217,19 @@ def embedding_near_duplicates(
                 ai, bi = np.nonzero(raw >= threshold - 2e-6)
                 keep = (lo + ai) < bi  # a_id < b_id on id-sorted rows
                 for i, j in zip(ai[keep], bi[keep]):
+                    # round from the shortest round-trip decimal repr,
+                    # not the double's exact binary expansion: the JVM
+                    # path (F.round → BigDecimal.valueOf(double) →
+                    # Double.toString) quantizes the SHORTEST repr, so
+                    # a sim whose shortest repr ends in '5' at the 7th
+                    # decimal but whose binary value sits just below
+                    # (e.g. 0.1234565) must round UP here too
+                    # (round-10 ADVICE; parity test in
+                    # tests/test_simsearch_round_parity.py)
                     r = float(
-                        Decimal(raw[i, j]).quantize(six, rounding=ROUND_HALF_UP)
+                        Decimal(repr(float(raw[i, j]))).quantize(
+                            six, rounding=ROUND_HALF_UP
+                        )
                     )
                     if r >= threshold:
                         out_a.append(int(ids[lo + i]))

@@ -20,7 +20,128 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import state_hint
+from .bfs import _np_edges
+from .util import local_input, state_hint
+
+#: edge-row bound for the single-task fast path (~16 B/row ⇒ ≤128 MB
+#: in one task); past it the all-roots DataFrame sweep runs
+LOCAL_NE_MAX = 8_000_000
+
+#: bound on |roots| × |V| state rows for the fast path (same bound as
+#: the multi-source BFS kernel)
+LOCAL_STATE_MAX = 64_000_000
+
+
+def _local_brandes(
+    e: DataFrame,
+    roots: list[int],
+    max_depth: int,
+    edge_mode: bool,
+) -> DataFrame:
+    """Single-Arrow-task multi-root Brandes (round-11, guide §4.2).
+
+    Float discipline (the round-10 verdict's condition for attempting
+    this): forward ``sigma`` sums are integer-valued doubles — exact in
+    any order up to 2^53 paths; the backward dependency sweep
+    accumulates per-parent terms with ``np.add.at`` over the (src,
+    dst)-lexsorted edge array and roots in ascending order, so the
+    fold order is FIXED (independent of input partitioning), the same
+    determinism contract as ``_local_pagerank``.  Final rounding uses
+    the shortest-repr BigDecimal HALF_UP rule (= Spark ``F.round``).
+    Parity with the DataFrame sweep is asserted at 6 dp by
+    tests/test_betweenness_local.py on multi-component fixtures and by
+    the sf0.01/sf0.1 oracle runs.
+    """
+    rts = [int(r) for r in roots]
+    md = int(max_depth)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        ids, si, di = _np_edges(batches)
+        n = ids.size
+        order = np.lexsort((di, si))
+        si_, di_ = si[order], di[order]
+        six = Decimal("1E-6")
+
+        def r6(x: float) -> float:
+            return float(
+                Decimal(repr(float(x))).quantize(six, rounding=ROUND_HALF_UP)
+            )
+
+        bc = np.zeros(n, dtype=np.float64)
+        appears = np.zeros(n, dtype=bool)
+        if edge_mode:
+            # canonical directed-edge key per lexsorted edge row
+            ekey = (
+                np.minimum(si_, di_).astype(np.int64) * n
+                + np.maximum(si_, di_)
+            )
+            uniq_keys, einv = np.unique(ekey, return_inverse=True)
+            ebc = np.zeros(uniq_keys.size, dtype=np.float64)
+            e_hit = np.zeros(uniq_keys.size, dtype=bool)
+        for r in rts:
+            pos = np.searchsorted(ids, r)
+            if pos >= n or ids[pos] != r:
+                continue  # root absent from the vertex set
+            dist = np.full(n, -1, dtype=np.int64)
+            sigma = np.zeros(n, dtype=np.float64)
+            dist[pos] = 0
+            sigma[pos] = 1.0
+            depth = 0
+            while depth < md:
+                depth += 1
+                mask = dist[si_] == depth - 1
+                if not mask.any():
+                    depth -= 1
+                    break
+                nsig = np.zeros(n, dtype=np.float64)
+                np.add.at(nsig, di_[mask], sigma[si_[mask]])
+                new = (nsig > 0) & (dist < 0)
+                if not new.any():
+                    depth -= 1
+                    break
+                dist[new] = depth
+                sigma[new] = nsig[new]
+            # backward dependency sweep, deepest level first
+            delta = np.zeros(n, dtype=np.float64)
+            for d in range(depth, 0, -1):
+                m = (dist[si_] == d - 1) & (dist[di_] == d)
+                if not m.any():
+                    continue
+                p, c = si_[m], di_[m]
+                term = (sigma[p] / sigma[c]) * (1.0 + delta[c])
+                np.add.at(delta, p, term)
+                if edge_mode:
+                    ei = einv[m]
+                    np.add.at(ebc, ei, term)
+                    e_hit[ei] = True
+            reached = dist >= 0
+            reached[pos] = False  # Brandes: v != s
+            bc[reached] += delta[reached]
+            appears |= reached
+        if edge_mode:
+            u = (uniq_keys[e_hit] // n).astype(np.int64)
+            v = (uniq_keys[e_hit] % n).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "u": ids[u],
+                    "v": ids[v],
+                    "bc": [r6(x) for x in ebc[e_hit]],
+                }
+            ).astype({"u": "int64", "v": "int64", "bc": "float64"})
+        else:
+            yield pd.DataFrame(
+                {
+                    "id": ids[appears],
+                    "bc": [r6(x) for x in bc[appears]],
+                }
+            ).astype({"id": "int64", "bc": "float64"})
+
+    schema = "u long, v long, bc double" if edge_mode else "id long, bc double"
+    return local_input(e).coalesce(1).mapInPandas(run, schema)
 
 
 def betweenness(
@@ -42,6 +163,13 @@ def betweenness(
     # constant relation, re-read every level of both sweeps:
     # right-size (~250k edge rows/task) and materialize once
     ne = e.count()
+    if ne <= LOCAL_NE_MAX and len(roots) * ne <= LOCAL_STATE_MAX:
+        # guarded single-task fast path (round-11): per-level cost at
+        # sf0.1 is scheduling for both sweeps (~2·diameter jobs);
+        # sigma is integer-exact and the delta fold order is fixed —
+        # see _local_brandes.  Cluster-scale graphs keep the
+        # all-roots-in-one-state DataFrame sweep below.
+        return _local_brandes(e, roots, max_depth, edge_mode=False)
     e = e.coalesce(iter_partitions(ne)).localCheckpoint()
     # per-root state is bounded by nv rows per root; checkpointed
     # state carries no Catalyst stats, so hint sizes explicitly
@@ -152,6 +280,9 @@ def edge_betweenness(
     spark = edges.sparkSession
     e = edges.select("src", "dst")
     ne = e.count()
+    if ne <= LOCAL_NE_MAX and len(roots) * ne <= LOCAL_STATE_MAX:
+        # guarded single-task fast path (round-11) — see _local_brandes
+        return _local_brandes(e, roots, max_depth, edge_mode=True)
     e = e.coalesce(iter_partitions(ne)).localCheckpoint()
     nv = e.select("src").distinct().count()
     est = nv * len(roots)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import iter_partitions, local_input, state_hint
+from .util import iter_partitions, local_input, record_fast_path, state_hint
 
 #: edge-row bound for the single-task fast path (~16 B/row ⇒ ≤128 MB
 #: in one task); past it the level-synchronous DataFrame loop runs
@@ -51,6 +51,18 @@ def _np_edges(batches, with_wgt: bool = False):
     ids = np.unique(src)
     si = np.searchsorted(ids, src)
     di = np.searchsorted(ids, dst)
+    # contract guard (round-10 ADVICE): these kernels require a
+    # SYMMETRIC table, where src covers every vertex.  A dst outside
+    # the src set would silently scatter updates to the wrong vertex
+    # (searchsorted returns the insertion point) — fail loudly instead.
+    if dst.size and not (
+        (di < ids.size).all() and (ids[np.minimum(di, ids.size - 1)] == dst).all()
+    ):
+        raise ValueError(
+            "edge table is not symmetric: a dst vertex never appears "
+            "as src — single-task graph kernels require the "
+            "symmetrized relation"
+        )
     if with_wgt:
         wgt = np.concatenate(wgts) if wgts else np.empty(0, np.int64)
         return ids, si, di, wgt
@@ -273,6 +285,16 @@ def _local_bfs(e: DataFrame, source: int, max_depth: int) -> DataFrame:
             return
         si = np.searchsorted(ids, src)
         di = np.searchsorted(ids, dst)
+        # contract guard (round-10 ADVICE) — same check as _np_edges
+        if dst.size and not (
+            (di < ids.size).all()
+            and (ids[np.minimum(di, ids.size - 1)] == dst).all()
+        ):
+            raise ValueError(
+                "edge table is not symmetric: a dst vertex never "
+                "appears as src — single-task graph kernels require "
+                "the symmetrized relation"
+            )
         dist = np.full(ids.size, -1, dtype=np.int32)
         dist[pos] = 0
         depth = 0
@@ -304,14 +326,38 @@ def bfs(
     # edge rows per task
     e = edges.select("src", "dst")
     ne = edges.count()
+    record_fast_path("bfs", ne <= LOCAL_NE_MAX)
     if ne <= LOCAL_NE_MAX:
         # guarded single-task fast path (round-10): per-level cost at
         # sf0.1 is scheduling + broadcast latency, not compute — see
         # _local_bfs; identical integer levels, cluster-scale graphs
         # take the frontier loop below
         return _local_bfs(e, source, max_depth)
+    # narrow-id loop (round-11, guide §2.3 "narrower types"): each
+    # level joins the full edge relation against the frontier — above
+    # the broadcast threshold that is one edge-table exchange per
+    # level.  When every id provably fits int32 (min/max over src — a
+    # symmetric table's src covers every vertex), run the loop on int
+    # ids and cast the final output back: identical integer levels,
+    # half the shuffled key bytes.  64-bit hash ids keep the long loop.
+    id_type = edges.schema["src"].dataType.simpleString()
+    narrow = False
+    if id_type == "bigint":
+        r = e.agg(F.min("src").alias("lo"), F.max("src").alias("hi")).collect()[0]
+        narrow = (
+            r["lo"] is not None
+            and int(r["lo"]) >= -(2**31)
+            and int(r["hi"]) <= 2**31 - 1
+        )
+    if narrow:
+        e = e.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+        )
     e = e.coalesce(iter_partitions(ne))
-    dist = spark.createDataFrame([(source, 0)], "id long, dist int").localCheckpoint()
+    dist = spark.createDataFrame(
+        [(source, 0)], f"id {'int' if narrow else 'long'}, dist int"
+    ).localCheckpoint()
     frontier = dist
     depth = 0
     reached = 1
@@ -340,6 +386,8 @@ def bfs(
         if depth % checkpoint_every == 0:
             dist = dist.localCheckpoint()
         frontier = nxt
+    if narrow:
+        dist = dist.select(F.col("id").cast(id_type).alias("id"), "dist")
     return dist
 
 
@@ -463,7 +511,8 @@ def widest_path(
     fixpoint.  Capacity planning / max-flow-lite over co-occurrence
     weights."""
     spark = edges.sparkSession
-    if edges.count() <= LOCAL_NE_MAX:
+    ne = edges.count()
+    if ne <= LOCAL_NE_MAX:
         # guarded single-task fast path (round-10): exact (max, min)
         # semiring; the copy-forward carry is the self-loop term
         return _local_widest_path(edges.select("src", "dst", "wgt"), int(source), rounds, int(inf))
@@ -473,7 +522,6 @@ def widest_path(
     # rounds can be unrolled between checkpoints (the
     # operators/components.py idiom)
     ids = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
-    ne = edges.count()
     e_self = (
         edges.select("src", "dst", "wgt")
         .unionAll(

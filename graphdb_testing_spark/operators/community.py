@@ -63,6 +63,13 @@ def _local_agglomeration(edges: DataFrame, max_levels: int) -> DataFrame:
         n = ids.size
         si = np.searchsorted(ids, src)
         di = np.searchsorted(ids, dst)
+        if dst.size and not (
+            (di < n).all() and (ids[np.minimum(di, n - 1)] == dst).all()
+        ):
+            raise ValueError(
+                "edge table is not symmetric: a dst vertex never "
+                "appears as src"
+            )
         comm = np.arange(n, dtype=np.int64)
         for _ in range(max_levels):
             vol = float(wgt.sum())

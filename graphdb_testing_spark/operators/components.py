@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import iter_partitions, local_input, state_hint
+from .util import iter_partitions, local_input, record_fast_path, state_hint
 
 #: edge-row bound for the single-task fast path (~16 B/row ⇒ ≤128 MB
 #: in one task); past it the unrolled DataFrame loop runs
@@ -62,6 +62,14 @@ def _local_components(e: DataFrame) -> DataFrame:
         ids = np.unique(src)  # symmetric: src covers every vertex
         si = np.searchsorted(ids, src)
         di = np.searchsorted(ids, dst)
+        if dst.size and not (
+            (di < ids.size).all()
+            and (ids[np.minimum(di, ids.size - 1)] == dst).all()
+        ):
+            raise ValueError(
+                "edge table is not symmetric: a dst vertex never "
+                "appears as src"
+            )
         lab = np.arange(ids.size, dtype=np.int64)
         while True:
             m = lab.copy()
@@ -121,6 +129,7 @@ def connected_components(
     # paying an up-front materialization of a second full edge copy
     # (measured 52.8s -> 36.9s for CC on the 16M-edge medium graph).
     ne = edges.count()
+    record_fast_path("components", not dst_partitioned and ne <= LOCAL_NE_MAX)
     if not dst_partitioned and ne <= LOCAL_NE_MAX:
         # guarded single-task fast path (round-10): the per-round cost
         # at sf0.1 is stage scheduling + AQE re-planning for tiny
@@ -134,7 +143,30 @@ def connected_components(
     ids = (
         edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
     )
-    e_self = edges.select("src", "dst").unionAll(
+    # narrow-id loop (round-11, guide §2.3 "narrower types"): every
+    # per-round exchange of this loop carries vertex ids — the 280 M
+    # join-input rows AND the partial-min aggregates.  When every id
+    # provably fits int32 (one tiny min/max over the materialized ids
+    # table), run the whole loop on int keys and cast the final labels
+    # back to the input type: the min-label fixpoint is identical
+    # integers either way, so results are bit-identical while the
+    # shuffled key bytes halve.  Ids past int32 (e.g. 64-bit hash ids
+    # at 100 TB) keep the long loop — the check IS the scale path's
+    # guard, not a local tweak.
+    from .util import ids_fit_int32
+
+    id_type = edges.schema["src"].dataType.simpleString()
+    ids_ck = ids  # checkpointed handle (unpersisted at the end)
+    narrow = id_type == "bigint" and ids_fit_int32(ids)
+    if narrow:
+        ids = ids.select(F.col("id").cast("int").alias("id"))
+        e_rel = edges.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+        )
+    else:
+        e_rel = edges.select("src", "dst")
+    e_self = e_rel.unionAll(
         ids.select(F.col("id").alias("src"), F.col("id").alias("dst"))
     )
     if dst_partitioned:
@@ -209,9 +241,14 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    ids.unpersist()
+    ids_ck.unpersist()
     if dst_partitioned:
         e_self.unpersist()
+    if narrow:
+        labels = labels.select(
+            F.col("id").cast(id_type).alias("id"),
+            F.col("label").cast(id_type).alias("label"),
+        )
     return labels
 
 

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.bitsets import _index_map, packed_matrix
+from .util import record_fast_path
 
 #: max vertices for the dense path: packed matrix ≤ 2 MB broadcast,
 #: unpacked float32 copy ≤ 67 MB per task, full-sweep matmul ≤ nv³
@@ -74,6 +75,7 @@ def dense_ctx(edges: DataFrame, symmetric: bool = True) -> _DenseCtx | None:
         .distinct()
     )
     nv = verts.count()
+    record_fast_path("dense", not (nv == 0 or nv > DENSE_NV_MAX))
     if nv == 0 or nv > DENSE_NV_MAX:
         return None
     # driver-built index map over a guard-bounded collect (nv ≤ 4096)

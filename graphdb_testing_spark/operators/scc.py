@@ -45,15 +45,24 @@ from .util import iter_partitions, local_input, state_hint
 LOCAL_NE_MAX = 8_000_000
 
 
-def _local_scc(e: DataFrame) -> DataFrame:
+def _local_scc(e: DataFrame, max_outer: int = 30) -> DataFrame:
     """Single-Arrow-task SCC over a bounded-size directed edge table:
-    vectorized forward min-label fixpoint + backward settle within
-    each color class, peeling settled components per outer round.
+    trim + vectorized forward min-label fixpoint + backward settle
+    within each color class, peeling settled components per outer
+    round.
 
     The OUTPUT is algorithm-independent — ``scc_id(v) = min{u : u →* v
     ∧ v →* u}`` is a property of the graph, not of the peeling
     strategy — so parity with the distributed Multistep loop is
-    structural (exact integers)."""
+    structural (exact integers).
+
+    Round-10 ADVICE: the first version had neither a trim step nor the
+    ``max_outer`` cap, so a pathological chain/DAG under the 8M-edge
+    guard settled one root per outer round with an O(diameter)
+    full-edge-scan fixpoint each — effectively a hang where the
+    distributed path fails fast.  Trivial SCCs (no alive in- OR
+    out-edge) are now peeled to fixpoint each round, and the same
+    ``max_outer`` cap raises the same error."""
 
     def run(batches):
         import numpy as np
@@ -73,7 +82,31 @@ def _local_scc(e: DataFrame) -> DataFrame:
         scc = np.full(n, -1, dtype=np.int64)
         alive = np.ones(n, dtype=bool)
         vidx = np.arange(n, dtype=np.int64)
+        outer = 0
         while alive.any():
+            if outer >= max_outer:
+                raise RuntimeError(
+                    f"SCC did not converge within max_outer={max_outer} "
+                    "peel rounds"
+                )
+            outer += 1
+            # trim to fixpoint: a vertex with no alive in-edge or no
+            # alive out-edge is a singleton SCC (chains/DAG tails cost
+            # one cheap vectorized pass per layer instead of one full
+            # color round each)
+            while True:
+                em = alive[si] & alive[di]
+                has_out = np.zeros(n, dtype=bool)
+                has_out[si[em]] = True
+                has_in = np.zeros(n, dtype=bool)
+                has_in[di[em]] = True
+                triv = alive & ~(has_out & has_in)
+                if not triv.any():
+                    break
+                scc[triv] = vidx[triv]
+                alive &= ~triv
+            if not alive.any():
+                break
             em = alive[si] & alive[di]
             es, ed = si[em], di[em]
             # forward min-label fixpoint along edge direction
@@ -154,8 +187,10 @@ def strongly_connected_components(
     if edges.count() <= LOCAL_NE_MAX:
         # guarded single-task fast path (round-10): the scc_id output
         # is algorithm-independent (min id under mutual reachability),
-        # so the vectorized FW-BW peel matches structurally
-        return _local_scc(edges.select("src", "dst"))
+        # so the vectorized FW-BW peel matches structurally; it honors
+        # the same max_outer cap (with per-round trim) so pathological
+        # chain graphs fail fast instead of hanging (round-10 ADVICE)
+        return _local_scc(edges.select("src", "dst"), max_outer)
     ids = (
         edges.select(F.col("src").alias("id"))
         .unionAll(edges.select(F.col("dst").alias("id")))

@@ -29,6 +29,29 @@ def state_hint(df: DataFrame, nv: int | None) -> DataFrame:
     return df.hint("shuffle_hash")
 
 
+#: int32 value range — the narrow-id loop optimization (guide §2.3
+#: "narrower types") applies only when every vertex id provably fits
+INT32_MIN = -(2**31)
+INT32_MAX = 2**31 - 1
+
+
+def ids_fit_int32(ids_df: DataFrame, col: str = "id") -> bool:
+    """True when every value of ``col`` fits int32 — the provably-safe
+    precondition for running an iterative integer kernel's per-round
+    exchanges on int ids instead of long (halves the shuffled key
+    bytes, guide §2.3).  One tiny min/max aggregate over the (already
+    materialized) vertex relation; the caller casts the final output
+    back to long, so results are bit-identical."""
+    r = ids_df.agg(
+        F.min(col).alias("lo"), F.max(col).alias("hi")
+    ).collect()[0]
+    return (
+        r["lo"] is not None
+        and int(r["lo"]) >= INT32_MIN
+        and int(r["hi"]) <= INT32_MAX
+    )
+
+
 #: Target edge rows per task for iterative kernels.  Iteration cost on
 #: small inputs is dominated by per-stage task scheduling, so the edge
 #: relation is coalesced to ``ceil(ne / EDGE_ROWS_PER_PARTITION)``
@@ -43,6 +66,21 @@ def iter_partitions(ne: int, cap: int = 2048) -> int:
     """Partition count for an ``ne``-row edge relation in an
     iterative kernel: one task per ~250k edge rows."""
     return max(1, min(cap, (ne + EDGE_ROWS_PER_PARTITION - 1) // EDGE_ROWS_PER_PARTITION))
+
+
+#: Last guard decision per kernel family — observability ONLY.  The
+#: bench harness emits these in its JSON ``meta`` so the driver's
+#: CPU-scaling probe can tell "serial because a single-task fast-path
+#: guard fired (by design at this SF)" from "serial because broken"
+#: (round-10 verdict task 2: ``suspect_cpus_ignored`` fired on a bench
+#: where every heavy kernel was legitimately below-guard).  Never read
+#: by any query path; carries no data, only the branch taken.
+FAST_PATH_DECISIONS: dict[str, bool] = {}
+
+
+def record_fast_path(family: str, fired: bool) -> None:
+    """Record which side of a scale guard a kernel invocation took."""
+    FAST_PATH_DECISIONS[family] = fired
 
 
 def local_input(e: DataFrame) -> DataFrame:

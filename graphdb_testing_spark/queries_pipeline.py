@@ -1796,8 +1796,13 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .localCheckpoint()
     )
+    # candidate pipeline fed by the SAME materialized shingle scan the
+    # ground-truth side needs anyway (round-11, guide §2.4): signatures,
+    # band join, and verification all derive from `sh` — the second
+    # full corpus explode + candidate re-shingle are gone.  Values are
+    # identical: min / countDistinct / collect_set are duplicate-blind.
     cand = (
-        dedup.minhash_near_duplicates(docs, threshold=_MH_RECALL_T)
+        dedup.minhash_near_duplicates(docs, threshold=_MH_RECALL_T, shingles=sh)
         .select("a_id", "b_id")
         .localCheckpoint()
     )
